@@ -1,0 +1,260 @@
+"""SchemaCatalog — the engine's local, network-free schema registry.
+
+The reference fetches Avro schemas from an Apicurio registry over REST at
+job start (``pyspark_scripts/10_create_schemas.py:77-118``,
+``11_incremental_sales_avro.py:112-119``, ``12:150-157``) and converts
+Avro JSON → StructType by reading an empty Avro source
+(``11:98-109``). Our engine replaces that with an in-process catalog:
+named StructTypes plus the equivalent Avro-JSON strings, no network and
+no dummy reads (``T.StructType`` is authored directly).
+
+Also provides the table loader for the deterministic parquet test
+tables (``/root/testdata/sf*``), always with explicit schemas-on-read
+semantics: parquet is self-describing, CSV entries pass ``schema=``
+and never infer, mirroring the reference's discipline (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Reference-domain schemas (SURVEY.md §1 / FIXTURES.md).
+# ---------------------------------------------------------------------------
+
+#: Core fact stream (reference: 01_seed_sales_kafka.py:36-44 decoded form
+#: 02_batch_read_kafka.py:66-74; Avro registry form 10_create_schemas.py:48-57)
+SALES = T.StructType([
+    T.StructField("payment_id", T.IntegerType(), False),
+    T.StructField("customer_id", T.IntegerType(), False),
+    T.StructField("amount", T.FloatType(), False),
+    T.StructField("payment_date", T.TimestampType(), False),
+    T.StructField("city", T.StringType(), True),
+    T.StructField("district", T.StringType(), True),
+    T.StructField("country", T.StringType(), False),
+])
+
+#: Static dimension (reference: 08_streaming_read_kafka_join_window.py:67-70)
+SALES_REGIONS = T.StructType([
+    T.StructField("country", T.StringType(), False),
+    T.StructField("region", T.StringType(), False),
+])
+
+#: Aggregated output topic (reference: 10_create_schemas.py:65-74,
+#: 07_batch_read_kafka.py:36-42)
+SALES_SUMMARY = T.StructType([
+    T.StructField("region", T.StringType(), False),
+    T.StructField("sales", T.FloatType(), False),
+    T.StructField("orders", T.IntegerType(), False),
+    T.StructField("window_start", T.LongType(), False),
+    T.StructField("window_end", T.LongType(), False),
+])
+
+#: Kafka transport envelope, as produced by the Kafka source (FIXTURES.md §4).
+#: A parquet table with these columns lets any pipeline run against a file
+#: source standing in for a topic.
+KAFKA_ENVELOPE = T.StructType([
+    T.StructField("key", T.BinaryType(), True),
+    T.StructField("value", T.BinaryType(), False),
+    T.StructField("topic", T.StringType(), True),
+    T.StructField("partition", T.IntegerType(), True),
+    T.StructField("offset", T.LongType(), True),
+    T.StructField("timestamp", T.TimestampType(), False),
+    T.StructField("timestampType", T.IntegerType(), True),
+])
+
+#: Flattened (post-unwrap) Debezium CDC record for the artists table
+#: (reference: avro_samples envelope header + SMT config
+#: debezium_avro_source_connector_postgresql_06.json:19-24; FIXTURES.md §5).
+CDC_ARTISTS = T.StructType([
+    T.StructField("artist_id", T.IntegerType(), False),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("nationality", T.StringType(), True),
+    T.StructField("gender", T.StringType(), True),
+    T.StructField("birth_year", T.IntegerType(), True),
+    T.StructField("death_year", T.IntegerType(), True),
+    T.StructField("__op", T.StringType(), False),
+    T.StructField("__db", T.StringType(), True),
+    T.StructField("__table", T.StringType(), True),
+    T.StructField("__schema", T.StringType(), True),
+    T.StructField("__lsn", T.LongType(), True),
+    T.StructField("__source_ts_ms", T.LongType(), False),
+    T.StructField("__deleted", T.StringType(), True),
+])
+
+#: Debezium envelope (pre-unwrap): before/after/source/op/ts_ms
+#: (reference: avro_samples/moma.public.artists+0+0000000000.avro header).
+def debezium_envelope(record_schema: T.StructType) -> T.StructType:
+    source = T.StructType([
+        T.StructField("db", T.StringType(), True),
+        T.StructField("schema", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("ts_ms", T.LongType(), False),
+    ])
+    return T.StructType([
+        T.StructField("before", record_schema, True),
+        T.StructField("after", record_schema, True),
+        T.StructField("source", source, False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+    ])
+
+
+def _avro_field(f: T.StructField) -> dict:
+    mapping = {
+        T.IntegerType(): "int",
+        T.LongType(): "long",
+        T.FloatType(): "float",
+        T.DoubleType(): "double",
+        T.StringType(): "string",
+        T.BinaryType(): "bytes",
+        T.BooleanType(): "boolean",
+    }
+    if isinstance(f.dataType, T.TimestampType):
+        avro_t: object = {"type": "long", "logicalType": "timestamp-millis"}
+    else:
+        avro_t = mapping.get(f.dataType, "string")
+    if f.nullable:
+        avro_t = [avro_t, "null"] if not isinstance(avro_t, list) else avro_t
+    return {"name": f.name, "type": avro_t}
+
+
+def struct_to_avro_json(name: str, schema: T.StructType) -> str:
+    """StructType → Avro record schema JSON (replaces the registry)."""
+    return json.dumps({
+        "type": "record",
+        "name": name,
+        "namespace": "kafka_connect_msk_demo_spark",
+        "fields": [_avro_field(f) for f in schema.fields],
+    })
+
+
+class SchemaCatalog:
+    """Named schemas: artifact-id → (StructType, Avro JSON).
+
+    Mirrors the artifact ids the reference registers in Apicurio
+    (``10_create_schemas.py:21-74``) but resolves locally.
+    """
+
+    _BUILTINS: dict[str, T.StructType] = {
+        "pagila.sales": SALES,
+        "pagila.sales.regions": SALES_REGIONS,
+        "pagila.sales.summary": SALES_SUMMARY,
+        "kafka.envelope": KAFKA_ENVELOPE,
+        "cdc.artists": CDC_ARTISTS,
+        "cdc.artists.envelope": debezium_envelope(
+            T.StructType(CDC_ARTISTS.fields[:6])),
+    }
+
+    def __init__(self) -> None:
+        self._schemas = dict(self._BUILTINS)
+
+    def register(self, artifact_id: str, schema: T.StructType) -> None:
+        self._schemas[artifact_id] = schema
+
+    def struct(self, artifact_id: str) -> T.StructType:
+        return self._schemas[artifact_id]
+
+    def avro_json(self, artifact_id: str) -> str:
+        return struct_to_avro_json(artifact_id.replace(".", "_"),
+                                   self._schemas[artifact_id])
+
+    def ddl(self, artifact_id: str) -> str:
+        return self._schemas[artifact_id].simpleString()[7:-1]
+
+    def list(self) -> list[str]:
+        return sorted(self._schemas)
+
+
+# ---------------------------------------------------------------------------
+# Test-table loading (driver-generated parquet star schema, TESTDATA.md).
+#
+# Timestamps are read as raw LONG in their storage unit and converted to
+# TimestampType via timestamp_micros(). Rationale: (a) events.ts is
+# TIMESTAMP(NANOS) which Spark's parquet converter rejects outright, and
+# (b) reading through Spark's NTZ/LTZ inference makes epoch extraction
+# depend on the caller's session config (spark.sql.parquet.inferTimestampNTZ,
+# session timeZone). Raw-long + timestamp_micros pins the instant
+# unambiguously regardless of who built the SparkSession.
+# ---------------------------------------------------------------------------
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+#: timestamp columns per table → storage unit ("ms" | "us" | "ns")
+_TS_COLUMNS: dict[str, dict[str, str]] = {
+    "orders": {"o_orderdate": "ms"},
+    "lineitem": {"l_shipdate": "ms"},
+    "events": {"ts": "ns"},
+}
+
+#: explicit read schemas (timestamps as LongType) for tables that have them
+_RAW_FIELDS: dict[str, list[tuple[str, T.DataType]]] = {
+    "orders": [("o_orderkey", T.LongType()), ("o_custkey", T.LongType()),
+               ("o_orderstatus", T.StringType()),
+               ("o_totalprice", T.DoubleType()),
+               ("o_orderdate", T.LongType()),
+               ("o_orderpriority", T.StringType())],
+    "lineitem": [("l_orderkey", T.LongType()), ("l_partkey", T.LongType()),
+                 ("l_suppkey", T.LongType()), ("l_linenumber", T.IntegerType()),
+                 ("l_quantity", T.DoubleType()),
+                 ("l_extendedprice", T.DoubleType()),
+                 ("l_discount", T.DoubleType()), ("l_tax", T.DoubleType()),
+                 ("l_returnflag", T.StringType()),
+                 ("l_linestatus", T.StringType()),
+                 ("l_shipdate", T.LongType())],
+    "events": [("event_id", T.LongType()), ("ts", T.LongType()),
+               ("user_id", T.LongType()), ("event_type", T.StringType()),
+               ("value", T.DoubleType()), ("props", T.StringType())],
+}
+
+_UNIT_TO_MICROS = {"ms": 1000, "us": 1, "ns": None}  # ns divides instead
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one deterministic parquet table with unambiguous timestamps.
+
+    Tables without timestamp columns read self-described; tables with
+    them read through an explicit long-typed schema and convert to
+    TimestampType at micro precision (nanos truncate, matching DuckDB's
+    ``epoch_us``). Column order and names are preserved, so downstream
+    operators see the documented TESTDATA.md shape. Projection/filter
+    pushdown still reaches the scan (the conversion is a Project on top).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ts_cols = _TS_COLUMNS.get(name)
+    if not ts_cols:
+        return spark.read.parquet(path)
+    schema = T.StructType([T.StructField(c, t, True)
+                           for c, t in _RAW_FIELDS[name]])
+    df = spark.read.schema(schema).parquet(path)
+    cols = []
+    for c, _ in _RAW_FIELDS[name]:
+        if c in ts_cols:
+            unit = ts_cols[c]
+            mult = _UNIT_TO_MICROS[unit]
+            # integer arithmetic only: double division would lose
+            # precision on epoch-nanos (> 2^53)
+            us = (F.col(c) * mult) if mult else F.expr(f"`{c}` div 1000")
+            cols.append(F.timestamp_micros(us.cast("long")).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so ``spark.sql`` queries (the reference's
+    interactive SQL plane, SURVEY.md §0.4) run over the same tables."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,124 @@
+"""Grouped aggregations — the reference's core analytic shape.
+
+Reference semantics reproduced here (SURVEY.md §2.6):
+
+* A1 — all-time group-by sum/count ordered by sales desc
+  (``03_streaming_read_kafka_console.py:77-79``, ``06:95-97``,
+  ``09:96-101``).
+* A2 — event-time sliding-window aggregation
+  (``05_streaming_read_kafka_console_window.py:78-80``, ``08:97-98``,
+  ``12:101-102``).
+* A4 — summary statistics (``13_batch_read_results_avro.ipynb`` cells
+  7/14 ``df.summary()``).
+* A6 — upstream GROUP BY views (``pagila-schema.sql:835-846``).
+
+Scale notes
+-----------
+Every aggregate here compiles to a partial (map-side) + final
+``HashAggregateExec`` pair, so the shuffle carries one row per group per
+input partition — not per input row. Monetary sums run on exact DECIMAL
+(see :func:`dec`) so the result is bit-identical regardless of partition
+count / accumulation order — the property that makes results stable
+between a 32-thread local run and a 1000-executor cluster, and lets the
+DuckDB oracle hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
+    """Exact-decimal view of a monetary column.
+
+    Summing IEEE doubles is order-dependent; at cluster scale the
+    accumulation order is nondeterministic, so two runs of the same query
+    can differ in the last bits. Casting to DECIMAL before aggregation
+    makes sums exact and deterministic; callers cast the final aggregate
+    back to DOUBLE at the presentation boundary.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def sum_count(df: DataFrame, group_cols: list[str], amount_col: str,
+              sales_alias: str = "sales",
+              count_alias: str = "orders") -> DataFrame:
+    """A1: ``groupBy(keys).agg(sum(amount), count(amount))`` ordered by
+    the sum descending (reference 03:77-79)."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sum(dec(amount_col)).cast("double").alias(sales_alias),
+            F.count(amount_col).alias(count_alias),
+        )
+        .orderBy(F.col(sales_alias).desc())
+    )
+
+
+def windowed_sum_count(df: DataFrame, group_cols: list[str], ts_col: str,
+                       amount_col: str, window_duration: str = "10 minutes",
+                       slide_duration: str | None = "5 minutes",
+                       sales_alias: str = "sales",
+                       count_alias: str = "orders") -> DataFrame:
+    """A2: event-time (sliding) window aggregation (reference 05:78-80).
+
+    ``slide_duration=None`` gives a tumbling window. Output carries the
+    window bounds as epoch seconds (``window_start``/``window_end``),
+    matching the reference's summary topic encoding
+    (``10_create_schemas.py:72-73``, ``12:107-108``).
+    """
+    window = (F.window(ts_col, window_duration, slide_duration)
+              if slide_duration else F.window(ts_col, window_duration))
+    return (
+        df.groupBy(*group_cols, window)
+        .agg(
+            F.sum(dec(amount_col)).cast("double").alias(sales_alias),
+            F.count(amount_col).alias(count_alias),
+        )
+        .select(
+            *group_cols,
+            F.unix_timestamp("window.start").alias("window_start"),
+            F.unix_timestamp("window.end").alias("window_end"),
+            sales_alias,
+            count_alias,
+        )
+        .orderBy(F.col("window_start").desc(), F.col(sales_alias).desc())
+    )
+
+
+def summary_stats(df: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """A4: count/mean/stddev/min/max per group, deterministically.
+
+    ``df.summary()`` computes mean/stddev as streaming double
+    aggregations whose result depends on row order. We instead derive
+    them from exact decimal ``sum`` and ``sum of squares`` (one shuffle,
+    same partial/final hash-agg), then do the final arithmetic in IEEE
+    double — deterministic and oracle-matchable.
+    """
+    x = dec(value_col)
+    x2 = (x * x).cast("decimal(38,4)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("cnt"),
+        F.sum(x).cast("double").alias("_sum"),
+        F.sum(x2).cast("double").alias("_sum2"),
+        F.min(dec(value_col)).cast("double").alias("min_val"),
+        F.max(dec(value_col)).cast("double").alias("max_val"),
+    )
+    n = F.col("cnt").cast("double")
+    mean = F.col("_sum") / n
+    # Sample variance from exact sums: (sum2 - sum^2/n) / (n-1).
+    var = (F.col("_sum2") - F.col("_sum") * F.col("_sum") / n) / (n - F.lit(1.0))
+    return (
+        agg.select(
+            *group_cols,
+            F.col("cnt"),
+            F.round(mean, 6).alias("mean_val"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("stddev_val"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy(*group_cols)
+    )

@@ -1,0 +1,69 @@
+"""Joins — enrichment, multi-way chains, subquery shapes.
+
+Reference semantics (SURVEY.md §2.5):
+
+* J1 — stream-static left-outer enrichment join on ``country`` against a
+  cached 245-row dimension, null-filled to "Unassigned"
+  (``08_streaming_read_kafka_join_window.py:94-95``, ``09:94-95``,
+  ``12:98-99``).
+* J2 — static 5-way inner equi-join chain producing the sales feed
+  (``pyspark/data/sales.sql:12-16``).
+* J3 — multi-way join + correlated scalar subquery views
+  (``sql-scripts/pagila-schema.sql:483-498``).
+* J4 — IN-subquery point lookups
+  (``moma_debezium_hudi_demo.ipynb`` cells 17-20).
+
+Scale notes
+-----------
+Dimension joins broadcast explicitly (``F.broadcast``): at 100 TB the
+fact side never shuffles for a dim join — the 1000-executor plan is a
+``BroadcastHashJoin`` inside the scan stage. Fact-fact joins
+(orders ⋈ lineitem) shuffle on the join key; both sides hash-partition
+once and AQE handles skew. Correlated scalar subqueries are left to
+Catalyst's ``RewriteCorrelatedScalarSubquery`` (decorrelates to an
+aggregate + join) — no hand rewrite needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich(fact: DataFrame, dim: DataFrame, on: list[str],
+           fill: dict[str, str] | None = None) -> DataFrame:
+    """J1: left-outer broadcast join to a small dimension + na.fill.
+
+    ``fill`` maps dim-column → default for unmatched keys (the
+    reference fills "Unassigned", 08:95).
+    """
+    out = fact.join(F.broadcast(dim), on, "left_outer")
+    if fill:
+        out = out.na.fill(fill)
+    return out
+
+
+def star_join(tables: dict[str, DataFrame]) -> DataFrame:
+    """J2: the 5-way chain over the test star schema —
+    region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+
+    Mirrors ``sales.sql:12-16`` (payment⋈customer⋈address⋈city⋈country)
+    on the driver's TPC-H-ish tables (FIXTURES.md §6). Dimension legs
+    (region, nation) broadcast; orders⋈lineitem is the one real shuffle.
+    """
+    return (
+        tables["lineitem"]
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(tables["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(tables["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+
+
+def semi_join_in(df: DataFrame, keys: DataFrame, left_key: str,
+                 right_key: str) -> DataFrame:
+    """J4: ``WHERE k IN (SELECT ...)`` as a left-semi join (Catalyst's
+    own rewrite of IN-subqueries)."""
+    return df.join(keys, df[left_key] == keys[right_key], "left_semi")

@@ -1,0 +1,423 @@
+"""Query registry — every implemented operator as a (Spark, oracle-SQL) pair.
+
+Each entry maps a SURVEY.md §2 operator (or a datapipe extension) to
+
+* a callable ``(spark, sf_dir) -> DataFrame`` built from the engine's
+  operator modules, and
+* an ANSI-SQL oracle string DuckDB runs over the same parquet tables.
+
+Cross-engine determinism rules used throughout (see operators/aggregates.py):
+
+* monetary/value sums aggregate on exact DECIMAL, cast to DOUBLE last;
+* timestamps cross the boundary as epoch microseconds (``unix_micros`` /
+  ``epoch_us``) — no timezone ambiguity;
+* every ranking has an explicit unique tiebreaker;
+* aggregate/computed columns carry identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table, load_tables
+from .operators.aggregates import dec, sum_count, summary_stats, windowed_sum_count
+from .operators.dedup_rank import latest_by_key, ranked_keep_first
+from .operators.formatting import format_sales, order_by_deformatted
+from .operators.joins import enrich, semi_join_in, star_join
+from .operators.relational import (bucket_case, group_concat_distinct,
+                                   limit_offset, shift_days, surrogate_key)
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2). The testdata star schema stands in
+# for the pagila/sales domain per FIXTURES.md §6: orders≈payment,
+# nation/region≈country→sales_region dim, events≈the kafka-envelope stream.
+# ---------------------------------------------------------------------------
+
+
+def q_sales_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/J2 (03_streaming...py:77-79 batch shape): all-time sum/count by
+    country (= nation)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumnRenamed("n_name", "country")
+    )
+    return sum_count(joined, ["country"], "o_totalprice",
+                     count_alias="orders_cnt")
+
+
+_SQL_SALES_BY_COUNTRY = """
+SELECT n_name AS country,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       COUNT(o_totalprice) AS orders_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY sales DESC
+"""
+
+
+def q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+J1 (09:94-101): enrichment join to the region dim then all-time
+    agg by region."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    dim = (t["nation"].join(F.broadcast(t["region"]),
+                            F.col("n_regionkey") == F.col("r_regionkey"))
+           .select(F.col("n_nationkey"), F.col("r_name").alias("region")))
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")))
+    return sum_count(joined, ["region"], "o_totalprice",
+                     count_alias="orders_cnt")
+
+
+_SQL_SALES_BY_REGION = """
+SELECT r_name AS region,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       COUNT(o_totalprice) AS orders_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY sales DESC
+"""
+
+
+def q_windowed_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/T2 (05:78-80): sliding event-time window agg (10 min / 5 min)
+    over the events stream table."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_sum_count(events, ["event_type"], "ts", "value")
+
+
+_SQL_WINDOWED_SALES = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+  FROM events
+)
+SELECT event_type,
+       (es // 300) * 300 - o.off AS window_start,
+       (es // 300) * 300 - o.off + 600 AS window_end,
+       CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       COUNT(value) AS orders
+FROM e CROSS JOIN (VALUES (0), (300)) AS o(off)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (07:65-75): latest-by-timestamp dedup per key, with event_id as
+    the deterministic tiebreaker."""
+    events = load_table(spark, sf_dir, "events")
+    out = ranked_keep_first(events, ["user_id"],
+                            [F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select("event_id", F.unix_micros("ts").alias("ts_us"),
+                      "user_id", "event_type", "value")
+
+
+_SQL_LATEST_EVENT_PER_USER = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_latest_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (13:59-70): latest row per (group, window_start) — the
+    reference's reconciliation of complete-mode re-emissions, on a 5-min
+    tumbling bucket."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.withColumn(
+        "window_start",
+        F.unix_timestamp(F.window("ts", "5 minutes").start))
+    out = ranked_keep_first(bucketed, ["event_type", "window_start"],
+                            [F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select("event_type", "window_start", "event_id",
+                      F.unix_micros("ts").alias("ts_us"), "value")
+
+
+_SQL_LATEST_PER_WINDOW = """
+SELECT event_type, window_start, event_id, epoch_us(ts) AS ts_us, value
+FROM (
+  SELECT *,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start,
+         row_number() OVER (
+             PARTITION BY event_type,
+                          (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
+             ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_top25_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/O3/O4 (02:76-98): formatted display strings, de-formatted
+    re-sort, top-25. Aggregates stay DECIMAL until format_number so no
+    double rounding is involved."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey")))
+    agg = joined.groupBy(F.col("n_name").alias("country")).agg(
+        F.sum(dec("o_totalprice")).alias("sales"),
+        F.count("o_totalprice").alias("orders"))
+    out = format_sales(agg)
+    return order_by_deformatted(out, "sales", F.col("country")).limit(25)
+
+
+_SQL_TOP25_FORMATTED = """
+WITH agg AS (
+  SELECT n_name AS country,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+         COUNT(o_totalprice) AS c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT country,
+       format('{:,}', CAST(s * 100 AS BIGINT) // 100) || '.' ||
+         lpad(CAST(CAST(s * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0') AS sales,
+       format('{:,}', c) AS orders
+FROM agg
+ORDER BY CAST(replace(sales, ',', '') AS DOUBLE) DESC, country
+LIMIT 25
+"""
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (sales.sql:12-16 shape): the 5-way star join with a derived
+    revenue measure, aggregated per region."""
+    t = load_tables(spark, sf_dir)
+    joined = star_join(t)
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) \
+        .cast("decimal(25,8)")
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("line_count"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+_SQL_REVENUE_BY_REGION = """
+SELECT r_name AS region,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY revenue DESC
+"""
+
+
+def q_enrich_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P4 (08:94-95): left-outer broadcast enrichment with
+    na.fill("Unassigned") for unmatched keys."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey"), F.col("c_mktsegment").alias("segment"))
+    joined = enrich(events.withColumn("c_custkey", F.col("user_id")),
+                    customer, ["c_custkey"], fill={"segment": "Unassigned"})
+    return joined.select("event_id", "user_id", "event_type", "segment")
+
+
+_SQL_ENRICH_NULLFILL = """
+SELECT event_id, user_id, event_type,
+       COALESCE(c_mktsegment, 'Unassigned') AS segment
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+"""
+
+
+def q_case_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 (sales.sql:4-8): CASE WHEN bucketing + interval-days shift."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        bucket_case(F.col("o_totalprice"), [1000.0, 10000.0],
+                    ["small", "medium", "large"]).alias("price_band"),
+        F.unix_micros(shift_days(F.col("o_orderdate"), 1565))
+        .alias("adjusted_us"),
+    )
+
+
+_SQL_CASE_INTERVAL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 1000.0 THEN 'small'
+            WHEN o_totalprice < 10000.0 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       epoch_us(o_orderdate + INTERVAL 1565 DAYS) AS adjusted_us
+FROM orders
+"""
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (pagila-schema.sql:486-492): sorted distinct group
+    concatenation — nations per region."""
+    t = load_tables(spark, sf_dir, ("nation", "region"))
+    joined = t["nation"].join(F.broadcast(t["region"]),
+                              F.col("n_regionkey") == F.col("r_regionkey"))
+    return group_concat_distinct(
+        joined.select(F.col("r_name").alias("region"), F.col("n_name")),
+        ["region"], "n_name", alias="nations")
+
+
+_SQL_GROUP_CONCAT = """
+SELECT r_name AS region,
+       array_to_string(list_sort(list(DISTINCT n_name)), ', ') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY region
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (ipynb cells 17-20): IN-subquery point lookup as a left-semi
+    join."""
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    return semi_join_in(orders, rich, "o_custkey", "c_custkey") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_SQL_IN_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+"""
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (pagila-schema.sql:487-492): correlated scalar subquery —
+    customers above their nation's average balance. Left to Catalyst's
+    decorrelation (RewriteCorrelatedScalarSubquery)."""
+    load_table(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("q12_customer")
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM q12_customer c1
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q12_customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+    """)
+
+
+_SQL_CORRELATED_SUBQUERY = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c1
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c1.c_nationkey)
+"""
+
+
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (sales.sql:37): OFFSET 250 LIMIT 600 over a deterministic
+    ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = limit_offset(orders,
+                       [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                       limit=600, offset=250)
+    return out.select("o_orderkey", "o_totalprice")
+
+
+_SQL_LIMIT_OFFSET = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+OFFSET 250 LIMIT 600
+"""
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (13 ipynb cells 7/14): deterministic df.summary() equivalent —
+    count/mean/stddev/min/max per return flag."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return summary_stats(lineitem, ["l_returnflag"], "l_extendedprice")
+
+
+_SQL_SUMMARY_STATS = """
+WITH a AS (
+  SELECT l_returnflag,
+         COUNT(l_extendedprice) AS cnt,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              AS DOUBLE) AS s2,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+         CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_val
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, cnt,
+       round(s / CAST(cnt AS DOUBLE), 6) AS mean_val,
+       round(sqrt(greatest((s2 - s * s / CAST(cnt AS DOUBLE))
+             / (CAST(cnt AS DOUBLE) - 1.0), 0.0)), 6) AS stddev_val,
+       min_val, max_val
+FROM a
+ORDER BY l_returnflag
+"""
+
+
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (06:98): deterministic surrogate key per row (md5 twin of the
+    reference's sha1 — the oracle lacks sha1; sha1 itself is unit-tested
+    against hashlib)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return surrogate_key(orders, ["o_orderkey", "o_custkey"],
+                         out="skey", algo="md5") \
+        .select("o_orderkey", "skey")
+
+
+_SQL_SURROGATE_KEY = """
+SELECT o_orderkey,
+       md5(CAST(o_orderkey AS VARCHAR) || CAST(o_custkey AS VARCHAR)) AS skey
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+BATCH_QUERIES = {
+    "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
+    "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
+    "windowed_sales": (q_windowed_sales, _SQL_WINDOWED_SALES),
+    "latest_event_per_user": (q_latest_event_per_user,
+                              _SQL_LATEST_EVENT_PER_USER),
+    "latest_per_window": (q_latest_per_window, _SQL_LATEST_PER_WINDOW),
+    "top25_formatted": (q_top25_formatted, _SQL_TOP25_FORMATTED),
+    "revenue_by_region": (q_revenue_by_region, _SQL_REVENUE_BY_REGION),
+    "enrich_nullfill": (q_enrich_nullfill, _SQL_ENRICH_NULLFILL),
+    "case_interval": (q_case_interval, _SQL_CASE_INTERVAL),
+    "group_concat": (q_group_concat, _SQL_GROUP_CONCAT),
+    "in_subquery": (q_in_subquery, _SQL_IN_SUBQUERY),
+    "correlated_subquery": (q_correlated_subquery, _SQL_CORRELATED_SUBQUERY),
+    "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
+    "summary_stats": (q_summary_stats, _SQL_SUMMARY_STATS),
+    "surrogate_key": (q_surrogate_key, _SQL_SURROGATE_KEY),
+}
+
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _) in BATCH_QUERIES.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in BATCH_QUERIES.items() if sql}

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference relies on EMR defaults plus a couple of hand-tuned knobs
+(Hudi shuffle parallelism 2 for its toy data, Kryo — see SURVEY.md §4).
+We instead pin the settings that matter for a large cluster and let AQE
+re-plan at runtime:
+
+* AQE on (coalesce partitions, skew-join splitting) — replaces the
+  reference's static ``coalesce(1)``/parallelism-2 tuning.
+* ``spark.sql.shuffle.partitions`` sized from the env (32 locally;
+  a real deployment overrides to ~2-3x total cores).
+* Arrow enabled so the few Pandas-UDF operators move batches, not rows.
+* Session timezone pinned to UTC for deterministic event-time semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(app_name: str = "kafka_connect_msk_demo_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Config already set on an existing session is left untouched —
+    ``getOrCreate`` semantics — so tests can share one JVM.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Files: pack small test files but keep 128MB splits for big scans.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Streaming tests restart from checkpoints; keep state store default
+        # (HDFS-backed) locally, RocksDB is a deploy-time override.
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    return builder.getOrCreate()
