@@ -17,6 +17,8 @@ and never infer, mirroring the reference's discipline (SURVEY.md §1.3).
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -216,28 +218,21 @@ _RAW_FIELDS: dict[str, list[tuple[str, T.DataType]]] = {
 _UNIT_TO_MICROS = {"ms": 1000, "us": 1, "ns": None}  # ns divides instead
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one deterministic parquet table with unambiguous timestamps.
+def raw_schema(name: str) -> T.StructType:
+    """Explicit read schema for a timestamped table (timestamps as LONG
+    in storage units)."""
+    return T.StructType([T.StructField(c, t, True)
+                         for c, t in _RAW_FIELDS[name]])
 
-    Tables without timestamp columns read self-described; tables with
-    them read through an explicit long-typed schema and convert to
-    TimestampType at micro precision (nanos truncate, matching DuckDB's
-    ``epoch_us``). Column order and names are preserved, so downstream
-    operators see the documented TESTDATA.md shape. Projection/filter
-    pushdown still reaches the scan (the conversion is a Project on top).
-    """
-    path = f"{sf_dir}/{name}.parquet"
-    ts_cols = _TS_COLUMNS.get(name)
-    if not ts_cols:
-        return spark.read.parquet(path)
-    schema = T.StructType([T.StructField(c, t, True)
-                           for c, t in _RAW_FIELDS[name]])
-    df = spark.read.schema(schema).parquet(path)
+
+def finalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Convert raw long timestamp columns to TimestampType at micro
+    precision (nanos truncate, matching DuckDB's ``epoch_us``)."""
+    ts_cols = _TS_COLUMNS.get(name, {})
     cols = []
     for c, _ in _RAW_FIELDS[name]:
         if c in ts_cols:
-            unit = ts_cols[c]
-            mult = _UNIT_TO_MICROS[unit]
+            mult = _UNIT_TO_MICROS[ts_cols[c]]
             # integer arithmetic only: double division would lose
             # precision on epoch-nanos (> 2^53)
             us = (F.col(c) * mult) if mult else F.expr(f"`{c}` div 1000")
@@ -245,6 +240,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             cols.append(F.col(c))
     return df.select(*cols)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one deterministic parquet table with unambiguous timestamps.
+
+    Tables without timestamp columns read self-described; tables with
+    them read through an explicit long-typed schema and convert to
+    TimestampType at micro precision. Column order and names are
+    preserved, so downstream operators see the documented TESTDATA.md
+    shape. Projection/filter pushdown still reaches the scan (the
+    conversion is a Project on top).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name not in _TS_COLUMNS:
+        return spark.read.parquet(path)
+    df = spark.read.schema(raw_schema(name)).parquet(path)
+    return finalize_timestamps(df, name)
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """The file-stream source requires a directory; testdata tables are
+    single files. Stage a per-table directory of symlinks under /tmp
+    (testdata itself is read-only)."""
+    safe = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_streams", safe, name)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """The same table as an unbounded stream (file-stream source standing
+    in for a Kafka topic, SURVEY.md §2.1 S3 test mapping)."""
+    path = _stream_dir(sf_dir, name)
+    if name in _RAW_FIELDS:
+        schema = raw_schema(name)
+    else:
+        schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    df = reader.load(path)
+    return finalize_timestamps(df, name) if name in _RAW_FIELDS else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -391,9 +391,74 @@ FROM orders
 """
 
 
+def q_serde_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E4 (01:75-76 → 02:80-83): whole-row JSON encode into a binary
+    Kafka-style value, then decode against the explicit schema — the
+    identity the serde layer must preserve."""
+    from .serde import decode_json, encode_json
+
+    orders = load_table(spark, sf_dir, "orders")
+    enveloped = encode_json(orders, key_col="o_orderkey") \
+        .select(F.col("key"), F.col("value").cast("binary").alias("value"))
+    decoded = decode_json(enveloped, orders.schema)
+    return decoded.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority")
+
+
+_SQL_SERDE_JSON_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+FROM orders
+"""
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 end-to-end: Debezium envelope stream → unwrap (P11) →
+    foreachBatch latest-wins MERGE into a partitioned table with delete
+    rewrite and cross-partition key moves (W5) → final table read.
+
+    The change stream is deterministically derived from ``orders``
+    (see sources/cdc.py), so the merged table is SQL-expressible."""
+    import tempfile
+
+    from .sources.cdc import write_envelope_stream_dir
+    from .streaming.runner import run_foreach_batch
+    from .streaming.upsert import UpsertTable
+    from .transforms import cdc_unwrap
+
+    base = tempfile.mkdtemp(prefix="cdc_upsert_")
+    env_dir = f"{base}/envelope"
+    write_envelope_stream_dir(spark, sf_dir, env_dir)
+    env_schema = spark.read.parquet(env_dir).schema
+    stream = (spark.readStream.schema(env_schema)
+              .option("maxFilesPerTrigger", "1").parquet(env_dir))
+    table = UpsertTable(f"{base}/table", key_cols=["o_orderkey"],
+                        ordering_col="__source_ts_ms", tiebreak_col="__lsn",
+                        partition_by="o_orderstatus")
+    run_foreach_batch(cdc_unwrap(stream), table.merge_batch,
+                      checkpoint_dir=f"{base}/ckpt")
+    return table.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+_SQL_CDC_UPSERT = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 10 IN (1, 2) THEN o_totalprice * 1.1
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 10 <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+from .streaming.queries import STREAMING_QUERIES  # noqa: E402
 
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
@@ -412,12 +477,17 @@ BATCH_QUERIES = {
     "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
     "summary_stats": (q_summary_stats, _SQL_SUMMARY_STATS),
     "surrogate_key": (q_surrogate_key, _SQL_SURROGATE_KEY),
+    "serde_json_roundtrip": (q_serde_json_roundtrip,
+                             _SQL_SERDE_JSON_ROUNDTRIP),
+    "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
 }
+
+ALL_QUERIES: dict = {**BATCH_QUERIES, **STREAMING_QUERIES}
 
 
 def queries() -> dict:
-    return {name: fn for name, (fn, _) in BATCH_QUERIES.items()}
+    return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
 
 
 def oracles() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in BATCH_QUERIES.items() if sql}
+    return {name: sql for name, (_, sql) in ALL_QUERIES.items() if sql}

@@ -1,0 +1,91 @@
+"""CDC envelope source — Debezium-shaped change-event streams.
+
+The reference's CDC plane is Postgres WAL → Debezium envelope
+``{before, after, source{db,schema,table,lsn,ts_ms}, op, ts_ms}`` →
+SMT unwrap → Avro topic (SURVEY.md §3.3). The engine models the
+connector boundary as a DataFrame of envelope rows; everything from
+the envelope inward (unwrap, upsert, SQL read) is real.
+
+``orders_cdc_envelope`` derives a deterministic change stream from the
+``orders`` test table so upsert semantics can be oracle-checked:
+
+* every order arrives as a snapshot read (``op='r'``),
+* orders with ``o_orderkey % 10 ∈ {0,1,2}`` receive an update
+  (``op='u'``) that raises the price 10% and flips the status — for
+  keys ending in 0 this also MOVES the row across table partitions,
+  exercising the reference's GLOBAL_BLOOM cross-partition concern,
+* orders with ``o_orderkey % 10 = 0`` are then deleted (``op='d'``),
+
+with strictly increasing ``ts_ms`` epochs per key (snapshot < update <
+delete) and ``lsn`` as a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+RECORD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _envelope(record, before, op, ts_ms, lsn):
+    return F.struct(
+        before.alias("before"),
+        record.alias("after"),
+        F.struct(
+            F.lit("pagila").alias("db"),
+            F.lit("public").alias("schema"),
+            F.lit("orders").alias("table"),
+            lsn.alias("lsn"),
+            ts_ms.alias("ts_ms"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+
+
+def orders_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Debezium-envelope stream derived from ``orders``.
+    Returns envelope rows (unioned snapshot/update/delete phases) with
+    a ``__phase`` column so callers can split into micro-batch files."""
+    orders = load_table(spark, sf_dir, "orders").select(*RECORD_COLS)
+    key = F.col("o_orderkey")
+    base_rec = F.struct(*[F.col(c) for c in RECORD_COLS])
+    upd_rec = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    null_rec = F.lit(None).cast(
+        orders.select(base_rec.alias("r")).schema["r"].dataType)
+
+    snapshot = orders.select(
+        _envelope(base_rec, null_rec, F.lit("r"),
+                  F.lit(1_000_000_000) + key, key * 10).alias("e"),
+        F.lit(0).alias("__phase"))
+    updates = orders.filter(key % 10 < 3).select(
+        _envelope(upd_rec, base_rec, F.lit("u"),
+                  F.lit(2_000_000_000) + key, key * 10 + 1).alias("e"),
+        F.lit(1).alias("__phase"))
+    deletes = orders.filter(key % 10 == 0).select(
+        _envelope(null_rec, upd_rec, F.lit("d"),
+                  F.lit(3_000_000_000) + key, key * 10 + 2).alias("e"),
+        F.lit(2).alias("__phase"))
+
+    return (snapshot.unionByName(updates).unionByName(deletes)
+            .select("e.*", "__phase"))
+
+
+def write_envelope_stream_dir(spark: SparkSession, sf_dir: str,
+                              out_dir: str) -> None:
+    """Materialize the envelope as one parquet file per phase so a file
+    stream with maxFilesPerTrigger=1 replays snapshot → updates →
+    deletes as separate micro-batches (arrival order shouldn't matter —
+    the MERGE is ordered by ts_ms — but this exercises it)."""
+    env = orders_cdc_envelope(spark, sf_dir)
+    for phase in (0, 1, 2):
+        (env.filter(F.col("__phase") == phase).drop("__phase")
+         .coalesce(1)
+         .write.mode("append").parquet(out_dir))

@@ -1,0 +1,133 @@
+"""Streaming pipelines — the reference's six streaming scripts as
+engine operators, runnable to completion for oracle checks.
+
+Shapes reproduced (SURVEY.md §3.1):
+
+* 03/06/09 — stream → decode → all-time groupBy agg → complete-mode
+  sink with sort.
+* 05 — stream → watermark → sliding event-time window agg → complete.
+* 08/12 (flagship) — stream → broadcast-enrich against a static dim →
+  na.fill → watermark → sliding window agg → typed projection →
+  complete-mode sink.
+
+Each function returns the FINAL emission of the stream (availableNow
+drain through real IncrementalExecution + state store), which for
+complete-mode aggregations equals the batch answer over the same data —
+that is exactly the property the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, stream_table
+from ..operators.aggregates import dec
+from .runner import run_to_memory
+
+
+def stream_sales_by_type(spark: SparkSession, sf_dir: str,
+                         batches: int | None = None) -> DataFrame:
+    """03/06/09 shape: all-time agg in complete mode over the events
+    stream; returns the final complete emission."""
+    events = stream_table(spark, sf_dir, "events",
+                          max_files_per_trigger=batches)
+    agg = (events.groupBy("event_type")
+           .agg(F.sum(dec("value", 25, 8)).cast("double").alias("sales"),
+                F.count("value").alias("orders"))
+           .orderBy(F.col("sales").desc()))
+    return run_to_memory(agg, "complete")
+
+
+_SQL_STREAM_SALES_BY_TYPE = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       COUNT(value) AS orders
+FROM events
+GROUP BY event_type
+ORDER BY sales DESC
+"""
+
+
+def stream_windowed_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """05 shape: watermark + sliding event-time window (10 min / 5 min),
+    complete mode. Complete mode keeps all windows in state, so the
+    final emission covers the whole stream (the watermark still runs —
+    late-row *dropping* is exercised separately in append-mode tests)."""
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("event_type", F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.sum(dec("value", 25, 8)).cast("double").alias("sales"),
+             F.count("value").alias("orders"))
+        .select("event_type",
+                F.unix_timestamp("window.start").alias("window_start"),
+                F.unix_timestamp("window.end").alias("window_end"),
+                "sales", "orders")
+    )
+    return run_to_memory(agg, "complete")
+
+
+_SQL_STREAM_WINDOWED_BY_TYPE = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+  FROM events
+)
+SELECT event_type,
+       (es // 300) * 300 - o.off AS window_start,
+       (es // 300) * 300 - o.off + 600 AS window_end,
+       CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       COUNT(value) AS orders
+FROM e CROSS JOIN (VALUES (0), (300)) AS o(off)
+GROUP BY 1, 2, 3
+"""
+
+
+def stream_enriched_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """08/12 flagship shape: stream ⋈ broadcast static dim (left outer,
+    null-filled), watermark, sliding window, grouped agg, typed
+    projection with epoch window bounds."""
+    events = stream_table(spark, sf_dir, "events")
+    dim = (load_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment"))
+           .cache())
+    enriched = (events.join(F.broadcast(dim), ["user_id"], "left_outer")
+                .na.fill({"segment": "Unassigned"}))
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy("segment", F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.sum(dec("value", 25, 8)).cast("double").alias("sales"),
+             F.count("value").alias("orders"))
+        .select("segment",
+                F.unix_timestamp("window.start").alias("window_start"),
+                F.unix_timestamp("window.end").alias("window_end"),
+                "sales", "orders")
+    )
+    return run_to_memory(agg, "complete")
+
+
+_SQL_STREAM_ENRICHED_WINDOWED = """
+WITH e AS (
+  SELECT COALESCE(c_mktsegment, 'Unassigned') AS segment,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+  FROM events LEFT JOIN customer ON user_id = c_custkey
+)
+SELECT segment,
+       (es // 300) * 300 - o.off AS window_start,
+       (es // 300) * 300 - o.off + 600 AS window_end,
+       CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       COUNT(value) AS orders
+FROM e CROSS JOIN (VALUES (0), (300)) AS o(off)
+GROUP BY 1, 2, 3
+"""
+
+
+STREAMING_QUERIES = {
+    "stream_sales_by_type": (stream_sales_by_type,
+                             _SQL_STREAM_SALES_BY_TYPE),
+    "stream_windowed_by_type": (stream_windowed_by_type,
+                                _SQL_STREAM_WINDOWED_BY_TYPE),
+    "stream_enriched_windowed": (stream_enriched_windowed,
+                                 _SQL_STREAM_ENRICHED_WINDOWED),
+}

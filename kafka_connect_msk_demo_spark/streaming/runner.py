@@ -1,0 +1,90 @@
+"""Streaming run harness — start, drain, and collect streaming queries.
+
+The reference starts each stream with a processing-time trigger and
+blocks on ``awaitTermination()`` (``03:84-93`` and five twins). For
+deterministic tests and the driver's batch-style correctness gate we run
+the same unbounded plans with ``trigger(availableNow=True)``: Spark
+processes everything available in (possibly several) micro-batches
+through the normal IncrementalExecution path — real state store, real
+watermark advancement — then stops. A production deployment passes a
+``processing_time`` trigger instead; the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def file_stream(spark: SparkSession, path: str, schema: T.StructType,
+                fmt: str = "parquet",
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """S3-analog file stream source (stands in for a Kafka topic in
+    tests, per SURVEY.md §2.1 S3). ``maxFilesPerTrigger`` splits the
+    input into multiple micro-batches to exercise incremental state."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def run_to_memory(df: DataFrame, output_mode: str = "complete",
+                  query_name: str | None = None) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table and return
+    the final result as a batch DataFrame.
+
+    This is the reference's console-sink shape (``03:84-91``) with the
+    sink swapped for the inspectable memory sink; complete mode permits
+    the reference's ``orderBy`` before the sink (§2.9 T3).
+    """
+    spark = df.sparkSession
+    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    q = (df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch(df: DataFrame, fn, checkpoint_dir: str | None = None,
+                      output_mode: str = "update") -> None:
+    """Run a stream through ``foreachBatch`` to completion — the MERGE
+    writer path (§3.3). ``fn(batch_df, batch_id)``."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    q = (df.writeStream
+         .foreachBatch(fn)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def kafka_sink(writer_df: DataFrame, bootstrap_servers: str, topic: str,
+               checkpoint: str, processing_time: str | None = None,
+               output_mode: str = "complete",
+               query_name: str | None = None) -> DataStreamWriter:
+    """S6 (06:105-112): Kafka streaming sink config builder. The input
+    must already carry binary/string ``key``/``value`` columns. Returned
+    unstarted so environments without the Kafka connector jar can still
+    unit-test the configuration."""
+    w = (writer_df.writeStream
+         .format("kafka")
+         .option("kafka.bootstrap.servers", bootstrap_servers)
+         .option("topic", topic)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode))
+    if query_name:
+        w = w.queryName(query_name)
+    if processing_time:
+        w = w.trigger(processingTime=processing_time)
+    else:
+        w = w.trigger(availableNow=True)
+    return w

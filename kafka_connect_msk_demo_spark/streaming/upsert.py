@@ -1,0 +1,136 @@
+"""Upsertable table — the engine's native replacement for the
+reference's Hudi DeltaStreamer plane (SURVEY.md §3.3, §2.1 S15).
+
+Semantics reproduced:
+
+* record key + ordering field, latest-wins
+  (``deltastreamer_jobs_bulk.sh:13`` ``--source-ordering-field
+  __source_ts_ms``; recordkey ``artist_id``
+  ``deltastreamer_artists_apicurio_cow.properties:17``),
+* hive-style partitioned layout (``:15-16``),
+* delete rewrite: rows whose latest version has ``__deleted='true'``
+  leave the table (``demonstration_notes.md:218-224``),
+* cross-partition key moves — the reason the reference needs
+  ``hoodie.index.type=GLOBAL_BLOOM`` (``…cow.properties:28``) — are
+  handled by keying the MERGE on the record key alone and recomputing
+  the partition path every batch.
+
+Physical strategy (scale notes)
+-------------------------------
+Each ``foreachBatch`` MERGE:
+
+1. reduces the incoming batch to one winner per key (``max_by`` — one
+   shuffle on the key, map-side partials);
+2. reads ONLY the currently-affected partitions of the base table —
+   incoming partition values ∪ partitions that may hold moved keys
+   (determined by an inner semi-join of base × batch keys, which
+   Catalyst executes as a broadcast semi join for normal batch sizes);
+3. re-merges and rewrites just those partitions via dynamic partition
+   overwrite.
+
+So the per-batch cost scales with the touched partitions, not the
+table — the same contract Hudi's upsert gives. A 100 TB table with
+date/tenant partitioning rewrites only the partitions the batch hits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class UpsertTable:
+    """Primary-keyed, partitioned, time-ordered parquet table with
+    latest-wins MERGE (W5)."""
+
+    def __init__(self, path: str, key_cols: list[str], ordering_col: str,
+                 tiebreak_col: str, partition_by: str | None = None,
+                 deleted_col: str = "__deleted") -> None:
+        self.path = path
+        self.key_cols = key_cols
+        self.ordering_col = ordering_col
+        self.tiebreak_col = tiebreak_col
+        self.partition_by = partition_by
+        self.deleted_col = deleted_col
+
+    # -- helpers ----------------------------------------------------------
+
+    def _exists(self, spark: SparkSession) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" or "=" in f
+            for f in os.listdir(self.path))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def _latest_wins(self, df: DataFrame) -> DataFrame:
+        ordering = F.struct(F.col(self.ordering_col),
+                            F.col(self.tiebreak_col))
+        others = [c for c in df.columns if c not in self.key_cols]
+        return (df.groupBy(*self.key_cols)
+                .agg(*[F.max_by(c, ordering).alias(c) for c in others])
+                .select(*df.columns))
+
+    # -- the MERGE --------------------------------------------------------
+
+    def merge_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch body: MERGE a micro-batch of unwrapped CDC rows
+        (must carry key, ordering, tiebreak and deleted columns)."""
+        spark = batch.sparkSession
+        incoming = self._latest_wins(batch)
+
+        if self._exists(spark):
+            base = self.read(spark).select(*batch.columns)
+            if self.partition_by:
+                # Affected partitions: where incoming rows land ∪ where
+                # existing versions of the incoming keys currently live
+                # (cross-partition moves must vacate their old partition).
+                in_parts = [r[0] for r in incoming
+                            .select(self.partition_by).distinct().collect()]
+                moved = (base.join(incoming.select(*self.key_cols).distinct(),
+                                   self.key_cols, "left_semi")
+                         .select(self.partition_by).distinct().collect())
+                parts = sorted({*in_parts, *[r[0] for r in moved]})
+                affected = base.filter(F.col(self.partition_by).isin(parts))
+                merged = self._latest_wins(affected.unionByName(incoming))
+                live = merged.filter(F.col(self.deleted_col) != "true")
+                with _dynamic_overwrite(spark):
+                    (live.write.mode("overwrite")
+                     .partitionBy(self.partition_by).parquet(self.path))
+            else:
+                merged = self._latest_wins(base.unionByName(incoming))
+                live = merged.filter(F.col(self.deleted_col) != "true")
+                live.write.mode("overwrite").parquet(self.path)
+        else:
+            live = incoming.filter(F.col(self.deleted_col) != "true")
+            writer = live.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(self.partition_by)
+            writer.parquet(self.path)
+
+    # -- read views (S15: Hudi _ro/_rt analog) -----------------------------
+
+    def register_view(self, spark: SparkSession, name: str) -> None:
+        """Register the merged table for spark.sql() reads — the
+        engine's equivalent of the Hive-synced ``_ro`` view."""
+        self.read(spark).createOrReplaceTempView(name)
+
+
+class _dynamic_overwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic, so the
+    overwrite replaces only partitions present in the written frame."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            self.prev)

@@ -1,0 +1,77 @@
+"""SMT-equivalents — the Kafka Connect Single Message Transforms the
+reference chains in its connector configs, as DataFrame operators.
+
+Reference semantics (SURVEY.md §2.3 P8-P11):
+
+* P8 — ``ValueToKey`` + ``ExtractField$Key``
+  (``jdbc_source_connector_postgresql_01.json:13-17``).
+* P9 — ``InsertField$Value`` static + topic-meta fields
+  (``…_01.json:19-23``, ``s3_sink_connector_02.json:20-28``).
+* P10 — ``ReplaceField$Value`` rename
+  (``s3_sink_connector_02.json:17-19``).
+* P11 — Debezium ``ExtractNewRecordState`` unwrap with delete rewrite
+  and meta-column propagation
+  (``debezium_avro_source_connector_postgresql_06.json:19-24``).
+
+These are row-level, shuffle-free Projects — they fuse into the scan
+stage under whole-stage codegen regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def value_to_key(df: DataFrame, field: str, key_col: str = "key") -> DataFrame:
+    """P8: promote a value field to the record key."""
+    return df.withColumn(key_col, F.col(field))
+
+
+def insert_static_fields(df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """P9: add static metadata columns (e.g. message_source=pagila)."""
+    for name, value in fields.items():
+        df = df.withColumn(name, F.lit(value))
+    return df
+
+
+def insert_topic_field(df: DataFrame, topic_col: str = "topic",
+                       out: str = "message_topic") -> DataFrame:
+    """P9 (topic variant): copy the envelope topic into the value."""
+    return df.withColumn(out, F.col(topic_col))
+
+
+def rename_fields(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """P10: rename value fields (district → state_province)."""
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def cdc_unwrap(df: DataFrame, drop_tombstones: bool = True) -> DataFrame:
+    """P11: Debezium ExtractNewRecordState.
+
+    Input: the raw envelope ``(before, after, source, op, ts_ms)``.
+    Output: flattened ``after.*`` (or ``before.*`` for deletes, matching
+    ``delete.handling.mode=rewrite``) plus the connector's meta columns
+    ``__op, __db, __table, __schema, __lsn, __source_ts_ms, __deleted``.
+    Tombstones (both before/after null) are dropped unless kept.
+    """
+    if drop_tombstones:
+        df = df.filter(F.col("after").isNotNull() |
+                       F.col("before").isNotNull())
+    record = F.when(F.col("op") == "d", F.col("before")) \
+        .otherwise(F.col("after"))
+    flat = df.withColumn("__record", record)
+    field_names = [f.name for f in df.schema["after"].dataType.fields]
+    return flat.select(
+        *[F.col(f"__record.{name}").alias(name) for name in field_names],
+        F.col("op").alias("__op"),
+        F.col("source.db").alias("__db"),
+        F.col("source.table").alias("__table"),
+        F.col("source.schema").alias("__schema"),
+        F.col("source.lsn").alias("__lsn"),
+        F.col("source.ts_ms").alias("__source_ts_ms"),
+        F.when(F.col("op") == "d", F.lit("true")).otherwise(F.lit("false"))
+        .alias("__deleted"),
+    )
