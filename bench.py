@@ -3,10 +3,19 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock seconds across the headline set
-(lower is better). Each query executes to completion via a count-style
-action (``df.count()`` after a cache-free plan), which forces the full
-plan without driver-side collection of large results.
+``value`` is the total wall-clock seconds across the stable HEADLINE set
+(lower is better) — kept fixed so the number is comparable round over
+round. The ``queries`` dict additionally reports per-query seconds for
+EVERY registered batch query, so per-operator regressions are visible
+even for queries outside the headline set.
+
+Methodology:
+* one untimed warm-up action first (JVM/codegen/file-listing warm-up
+  otherwise lands entirely on the first timed query);
+* each query executes via the ``noop`` sink — unlike ``count()`` it
+  preserves the full plan (a count aggregate lets Catalyst eliminate
+  the final sort and prune projection work, under-measuring sorted/
+  projected queries).
 """
 
 from __future__ import annotations
@@ -18,15 +27,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 from kafka_connect_msk_demo_spark import queries as _q  # noqa: E402
 from kafka_connect_msk_demo_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-#: headline set — one per major operator family
+#: headline set — one per major operator family; FIXED across rounds so
+#: the total stays comparable (new operators are timed but not totaled).
 HEADLINE = [
     "sales_by_country",
     "sales_by_region",
@@ -41,25 +49,33 @@ HEADLINE = [
     "summary_stats",
 ]
 
+#: slow/stateful queries excluded from the timed sweep (streaming drain
+#: + checkpoint restore dominate; they are correctness-gated instead).
+SKIP = {"cdc_upsert", "stream_sales_by_type", "stream_windowed_by_type",
+        "stream_enriched_windowed"}
+
+
+def _force(df) -> None:
+    """Execute the FULL plan (sort + projection included) without
+    collecting results to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
 
 def run() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
     registry = _q.queries()
+    # Untimed warm-up: JVM, codegen caches, parquet footer/file listing.
+    _force(registry["sales_by_region"](spark, SF_DIR))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in registry:
+    for name, fn in registry.items():
+        if name in SKIP:
             continue
-        fn = registry[name]
-        # warm the file listing/JVM on the first query only implicitly;
-        # measure a single cold run per query (matches driver behavior).
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
+        _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_wall_clock",

@@ -267,8 +267,15 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "spark_graft_streams", safe, name)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    target = f"{sf_dir}/{name}.parquet"
+    # lexists: a dangling symlink (testdata moved/recreated) fails the
+    # exists() check but still breaks os.symlink with FileExistsError.
+    if os.path.lexists(link):
+        if os.path.realpath(link) == os.path.realpath(target) \
+                and os.path.exists(link):
+            return d
+        os.remove(link)
+    os.symlink(target, link)
     return d
 
 

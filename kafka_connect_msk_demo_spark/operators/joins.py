@@ -31,13 +31,21 @@ from pyspark.sql import functions as F
 
 
 def enrich(fact: DataFrame, dim: DataFrame, on: list[str],
-           fill: dict[str, str] | None = None) -> DataFrame:
-    """J1: left-outer broadcast join to a small dimension + na.fill.
+           fill: dict[str, str] | None = None,
+           broadcast_dim: bool = False) -> DataFrame:
+    """J1: left-outer enrichment join to a dimension + na.fill.
 
     ``fill`` maps dim-column → default for unmatched keys (the
     reference fills "Unassigned", 08:95).
+
+    ``broadcast_dim`` force-broadcasts the dimension. Only set it for
+    TRUE fixed-size dims (the reference's 245-row regions CSV): forcing
+    a broadcast of a table that scales with the data (customer) turns
+    into an executor OOM at 100 TB instead of a plan choice. Default is
+    to let AQE pick — it broadcasts small sides at runtime anyway.
     """
-    out = fact.join(F.broadcast(dim), on, "left_outer")
+    out = fact.join(F.broadcast(dim) if broadcast_dim else dim,
+                    on, "left_outer")
     if fill:
         out = out.na.fill(fill)
     return out

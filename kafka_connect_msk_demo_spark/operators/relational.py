@@ -69,18 +69,12 @@ def limit_offset(df: DataFrame, order_cols: list[Column], limit: int,
                  offset: int = 0) -> DataFrame:
     """O5: OFFSET+LIMIT over a deterministic ordering.
 
-    Implemented as ``row_number`` over a global ordering + range filter.
-    Scale note: a global row_number is a single-task window — acceptable
-    only because OFFSET/LIMIT is inherently a small-result presentation
-    op; the input should already be reduced (aggregated / filtered).
-    For plain LIMIT (offset=0) prefer ``orderBy().limit()`` which is
-    distributed (TakeOrderedAndProject).
+    Uses the native ``DataFrame.offset`` (Spark ≥ 3.4): the sort stays
+    distributed and the limit+offset collapse into one
+    CollectLimit/TakeOrdered boundary — no single-task global window
+    (the previous row_number approach funneled every row through one
+    task, a driver-adjacent bottleneck on a full fact table at scale).
     """
     if offset == 0:
         return df.orderBy(*order_cols).limit(limit)
-    w = Window.orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
-        .drop("__rn")
-    )
+    return df.orderBy(*order_cols).offset(offset).limit(limit)

@@ -63,14 +63,23 @@ def decode_json(df: DataFrame, schema: T.StructType,
 # Avro (E5/E6) — JVM functions when available, Pandas-UDF fallback otherwise.
 # ---------------------------------------------------------------------------
 
+_JVM_AVRO: bool | None = None  # memoized — probe once per process
+
+
 def _jvm_avro_available(spark) -> bool:
-    try:
-        from pyspark.sql.avro.functions import to_avro  # noqa: F401
-        spark.range(1).select(
-            to_avro(F.struct(F.lit(1).alias("x")))).collect()
-        return True
-    except Exception:
-        return False
+    """True when the spark-avro jar is loadable. Memoized: the probe
+    runs a tiny Spark job, so doing it per encode/decode call would add
+    a job per operator invocation."""
+    global _JVM_AVRO
+    if _JVM_AVRO is None:
+        try:
+            from pyspark.sql.avro.functions import to_avro  # noqa: F401
+            spark.range(1).select(
+                to_avro(F.struct(F.lit(1).alias("x")))).collect()
+            _JVM_AVRO = True
+        except Exception:
+            _JVM_AVRO = False
+    return _JVM_AVRO
 
 
 # -- pure-Python Avro binary codec (flat records only) ----------------------
@@ -190,10 +199,6 @@ def avro_decode_rows(blobs: pd.Series, avro_json: str) -> pd.DataFrame:
                 val = pd.Timestamp(val, unit="ms")
             cols[name].append(val)
     return pd.DataFrame(cols)
-
-
-def _spark_field_types(schema: T.StructType) -> T.StructType:
-    return schema
 
 
 def to_avro_column(df: DataFrame, avro_json: str,

@@ -92,7 +92,11 @@ def stream_enriched_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("c_custkey").alias("user_id"),
                    F.col("c_mktsegment").alias("segment"))
            .cache())
-    enriched = (events.join(F.broadcast(dim), ["user_id"], "left_outer")
+    # No forced broadcast: customer scales with the data (unlike the
+    # reference's fixed 245-row regions CSV), so a hard F.broadcast
+    # becomes an executor OOM at 100 TB. AQE broadcasts it at runtime
+    # while it is small and falls back to shuffle join when it is not.
+    enriched = (events.join(dim, ["user_id"], "left_outer")
                 .na.fill({"segment": "Unassigned"}))
     agg = (
         enriched.withWatermark("ts", "10 minutes")

@@ -35,10 +35,18 @@ date/tenant partitioning rewrites only the partitions the batch hits.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the Hadoop FS API — works for file://,
+    hdfs:// and s3a:// alike (the local-FS os.path probe this replaces
+    broke on any non-local deployment)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
 
 
 class UpsertTable:
@@ -58,9 +66,14 @@ class UpsertTable:
     # -- helpers ----------------------------------------------------------
 
     def _exists(self, spark: SparkSession) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" or "=" in f
-            for f in os.listdir(self.path))
+        fs, jpath = _hadoop_fs(spark, self.path)
+        return fs.exists(jpath) and len(fs.listStatus(jpath)) > 0
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Drop deleted rows, null-safely: a NULL deleted flag means the
+        row was never deleted (external CDC feeds may leave it NULL)."""
+        return df.filter(
+            ~F.coalesce(F.col(self.deleted_col) == "true", F.lit(False)))
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -87,24 +100,53 @@ class UpsertTable:
                 # Affected partitions: where incoming rows land ∪ where
                 # existing versions of the incoming keys currently live
                 # (cross-partition moves must vacate their old partition).
+                # The lookup scans only (key, partition) — column pruning
+                # keeps it a 2-column parquet scan.
                 in_parts = [r[0] for r in incoming
                             .select(self.partition_by).distinct().collect()]
-                moved = (base.join(incoming.select(*self.key_cols).distinct(),
-                                   self.key_cols, "left_semi")
+                moved = (base.select(*self.key_cols, self.partition_by)
+                         .join(incoming.select(*self.key_cols).distinct(),
+                               self.key_cols, "left_semi")
                          .select(self.partition_by).distinct().collect())
                 parts = sorted({*in_parts, *[r[0] for r in moved]})
                 affected = base.filter(F.col(self.partition_by).isin(parts))
-                merged = self._latest_wins(affected.unionByName(incoming))
-                live = merged.filter(F.col(self.deleted_col) != "true")
+                live = self._live(
+                    self._latest_wins(affected.unionByName(incoming)))
+                # Dynamic overwrite only rewrites partitions present in
+                # the written frame: a partition fully vacated by deletes
+                # or key moves keeps its stale files and must be dropped
+                # explicitly. Collect the surviving partition list BEFORE
+                # the write — afterwards the lazy `live` plan would
+                # re-scan base files the overwrite just replaced.
+                live_parts = {r[0] for r in live
+                              .select(self.partition_by).distinct().collect()}
                 with _dynamic_overwrite(spark):
                     (live.write.mode("overwrite")
                      .partitionBy(self.partition_by).parquet(self.path))
+                fs, _ = _hadoop_fs(spark, self.path)
+                jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+                for p in parts:
+                    if p not in live_parts:
+                        fs.delete(
+                            jvm_path(f"{self.path}/{self.partition_by}={p}"),
+                            True)
             else:
-                merged = self._latest_wins(base.unionByName(incoming))
-                live = merged.filter(F.col(self.deleted_col) != "true")
-                live.write.mode("overwrite").parquet(self.path)
+                # Never overwrite the path a lazy plan is still reading:
+                # Spark's static overwrite deletes target files before the
+                # scan runs, destroying the table. Write the merged result
+                # to a sibling temp dir, then swap via FS rename (atomic
+                # on HDFS; copy-rename on S3A — a versioned-dir layout is
+                # the production alternative there).
+                live = self._live(self._latest_wins(
+                    base.unionByName(incoming)))
+                tmp = f"{self.path.rstrip('/')}__tmp_{batch_id}"
+                live.write.mode("overwrite").parquet(tmp)
+                fs, jpath = _hadoop_fs(spark, self.path)
+                jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+                fs.delete(jpath, True)
+                fs.rename(jvm_path(tmp), jpath)
         else:
-            live = incoming.filter(F.col(self.deleted_col) != "true")
+            live = self._live(incoming)
             writer = live.write.mode("overwrite")
             if self.partition_by:
                 writer = writer.partitionBy(self.partition_by)
