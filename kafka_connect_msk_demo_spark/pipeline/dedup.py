@@ -1,0 +1,222 @@
+"""Document deduplication — exact and near-duplicate.
+
+Four strategies, all DataFrame-native:
+
+* :func:`exact_dedup` — hash-groupBy on normalized text. One shuffle on
+  the 32-byte digest; at 100 TB the digest is the shuffle key, so skew
+  equals true duplicate skew (use the group count output to spot it).
+* :func:`jaccard_pairs` — EXACT n-gram-Jaccard near-dup pairs via an
+  inverted shingle index with prefix filtering (the PPJoin-style exact
+  algorithm): a pair with ``J ≥ t`` must share at least one of each
+  document's ``⌊(1-t)·|s|⌋+1`` globally-rarest shingles, so only those
+  prefix shingles are indexed. Candidate generation is a self-join on
+  the shingle (a shuffle key, NOT a crossJoin); verification intersects
+  the full shingle arrays. Exact at any scale; the prefix filter keeps
+  the index a small fraction of the corpus.
+* :func:`minhash_lsh_pairs` — banded MinHash LSH: signature → band
+  buckets → per-bucket candidate pairs → exact-Jaccard verification.
+  The band bucket is the shuffle key; cost scales with bucket
+  occupancy, never |docs|². This is the 100 TB path: with b=16 bands of
+  r=8 rows, P(candidate | J=0.9) ≈ 1-(1-0.9^8)^16 ≈ 0.9996 and
+  P(candidate | J=0.3) ≈ 0.1%, so almost all quadratic work disappears.
+* :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash with
+  block-pigeonhole candidate generation (pairs within Hamming distance
+  d must agree on one of d+1 bit-blocks → block value is the shuffle
+  key).
+
+The reference has no dedup surface; this family extends it for
+training-data pipelines (BASELINE.json). Closest reference analog is
+the W2-W4 ranked dedup (SURVEY.md §2.7), which :func:`exact_dedup`
+generalizes from key-equality to content-equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textprep import with_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One canonical row per distinct normalized text: the lowest id
+    wins; ``dup_count`` reports group size. Shuffle key = md5 digest."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (docs.select(F.col(id_col), digest.alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted index + prefix filter)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  prefix_filter: bool = True) -> DataFrame:
+    """All pairs (d1 < d2) with shingle-Jaccard ≥ threshold — EXACT.
+
+    Plan shape: shingle explode → (optional) global-df ranking → prefix
+    index → self-equi-join on shingle → distinct candidate pairs →
+    verify by intersecting full shingle arrays. The only shuffles are
+    on the shingle string and on the pair key.
+    """
+    sh = with_shingles(docs.select(id_col, text_col), text_col, k) \
+        .select(F.col(id_col).alias("doc_id"), "s")
+    ex = sh.select("doc_id", F.size("s").alias("n"),
+                   F.explode("s").alias("sg"))
+
+    if prefix_filter:
+        # Rank each doc's shingles by global document frequency (rarest
+        # first, shingle string as tiebreak); only the first
+        # ⌊(1-t)·n⌋+1 can witness a pair at J ≥ t.
+        dfreq = ex.groupBy("sg").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "sg")
+        index = (ex.join(dfreq, "sg")
+                 .withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <=
+                         F.floor((1.0 - threshold) * F.col("n")) + 1)
+                 .select("doc_id", "sg"))
+    else:
+        index = ex.select("doc_id", "sg")
+
+    cand = (index.alias("a")
+            .join(index.alias("b"), (F.col("a.sg") == F.col("b.sg"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs via full-array intersection."""
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    return (cand.join(s1, "d1").join(s2, "d2")
+            .withColumn("jac", inter.cast("double") / union)
+            .filter(F.col("jac") >= threshold)
+            .select("d1", "d2", "jac")
+            .orderBy("d1", "d2"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """doc_id, m0…m{n-1}: per-doc MinHash signature. Each hash function
+    is ``xxhash64(shingle, i)`` (JVM-side, seeded by the constant second
+    argument); the signature is one hash-aggregate — map-side partial
+    mins, one shuffle on doc_id."""
+    ex = sh.select("doc_id", F.explode("s").alias("sg"))
+    aggs = [F.min(F.xxhash64("sg", F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
+                      num_hashes: int = 128, bands: int = 16,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-dup pairs at ``J ≥ threshold`` via banded MinHash-LSH with
+    exact verification. Output is identical to :func:`jaccard_pairs`
+    whenever every qualifying pair lands in ≥ 1 shared band — with the
+    default b=16, r=8 the miss probability at J = 0.8 is
+    (1-0.8⁸)¹⁶ ≈ 4%, and ≈ 10⁻¹³ at the J ≈ 0.98 of true near-dups;
+    tests/test_pipeline.py checks recall==1.0 against the exact pairs
+    on the testdata."""
+    rows = num_hashes // bands
+    sh = with_shingles(docs.select(id_col, text_col), text_col, k) \
+        .select(F.col(id_col).alias("doc_id"), "s")
+    sig = minhash_signature(sh, num_hashes)
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.hash(*[F.col(f"m{b * rows + j}") for j in range(rows)])
+                 .alias("bh"))
+        for b in range(bands)]
+    buckets = (sig.select("doc_id",
+                          F.explode(F.array(*band_structs)).alias("x"))
+               .select("doc_id", "x.band", "x.bh"))
+
+    cand = (buckets.alias("a")
+            .join(buckets.alias("b"),
+                  ["band", "bh"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+    return _verify_jaccard(cand, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 64) -> DataFrame:
+    """doc_id, simhash: 64-bit SimHash over shingle hashes — bit ``j``
+    of the fingerprint is the sign of Σ±1 over the corpus shingles'
+    ``j``-th hash bits. One explode + one hash-aggregate (64 sums)."""
+    sh = with_shingles(docs.select(id_col, text_col), text_col, k) \
+        .select(F.col(id_col).alias("doc_id"), "s")
+    ex = (sh.select("doc_id", F.explode("s").alias("sg"))
+          .select("doc_id", F.xxhash64("sg").alias("h")))
+    bit = [F.sum(F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1)
+                 .otherwise(-1)).alias(f"b{j}") for j in range(bits)]
+    agg = ex.groupBy("doc_id").agg(*bit)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), j)) \
+            .otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6, k: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  blocks: int | None = None) -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash bits, found via the
+    block-pigeonhole trick: split 64 bits into ``max_hamming+1``
+    blocks — any qualifying pair agrees exactly on ≥ 1 block, so the
+    block value is the join (shuffle) key. Exact w.r.t. the SimHash
+    distance; no crossJoin."""
+    nblocks = blocks or (max_hamming + 1)
+    fps = simhash(docs, k, id_col, text_col)
+    width = 64 // nblocks
+    block_cols = [
+        F.struct(F.lit(i).alias("blk"),
+                 # unsigned slice: shift then mask
+                 F.shiftrightunsigned("simhash", i * width)
+                 .bitwiseAND((1 << width) - 1 if i < nblocks - 1
+                             else (1 << (64 - i * width)) - 1)
+                 .alias("bv"))
+        for i in range(nblocks)]
+    blocked = (fps.select("doc_id", "simhash",
+                          F.explode(F.array(*block_cols)).alias("x"))
+               .select("doc_id", "simhash", "x.blk", "x.bv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (a.join(b, ["blk", "bv"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"),
+                    F.bit_count(xor).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("d1", "d2"))

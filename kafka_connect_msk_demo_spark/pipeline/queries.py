@@ -1,0 +1,294 @@
+"""Registered LLM-pipeline queries + DuckDB oracle twins.
+
+Every entry follows the engine-wide contract (queries.py): a
+``(spark, sf_dir) -> DataFrame`` callable and an exact-match oracle SQL
+string (``None`` only where the operator is genuinely not
+SQL-expressible — the approximate ANN and SimHash paths, whose quality
+is instead bounded against their exact twins in
+tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import dedup, multimodal, similarity, text_analysis
+from .text_analysis import LANG_MARKERS, STOPWORDS
+from .textprep import duckdb_shingle_cte
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("canonical_id")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+ORDER BY canonical_id
+"""
+
+
+#: shared oracle for the exact and the LSH near-dup paths — the LSH
+#: variant must find the identical pair set (recall 1.0 at J ≥ 0.8 with
+#: b=16/r=8; verified in tests at sf0.001 and sf0.01).
+_SQL_NEAR_PAIRS = f"""
+WITH {duckdb_shingle_cte(3)},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter::DOUBLE / (sa.n + sb.n - inter) AS jac
+FROM pairs
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+ORDER BY d1, d2
+"""
+
+
+def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, threshold=0.8, k=3)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: SimHash uses xxhash64, which the oracle engine
+    lacks; its agreement with the Jaccard truth set is asserted in
+    tests/test_pipeline.py instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity family
+# ---------------------------------------------------------------------------
+
+
+def q_similar_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_mod(vecs, 50)
+    return similarity.brute_force_topk(vecs, q, k=10)
+
+
+_SQL_SIMILAR_VECTORS = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id % 50 = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q_id, vec_id,
+         list_dot_product(q_vec, v) /
+           (sqrt(list_dot_product(q_vec, q_vec))
+            * sqrt(list_dot_product(v, v))) AS cos
+  FROM q, d WHERE vec_id <> q_id
+), r AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(vecs, threshold=0.45)
+
+
+_SQL_EMBEDDING_DUP_PAIRS = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v))
+          * sqrt(list_dot_product(b.v, b.v))) AS cos
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+ORDER BY d1, d2
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: approximate by design; recall vs the exact
+    brute force is asserted in tests/test_pipeline.py."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_mod(vecs, 50)
+    return similarity.ann_topk(vecs, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.token_stats(docs).orderBy("doc_id")
+
+
+_SQL_TOKEN_STATS = f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS low,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+)
+SELECT doc_id,
+       length(low) AS n_chars,
+       len(t) AS n_tokens,
+       len(regexp_extract_all(low, '{text_analysis.TOKEN_RE}'))
+           AS n_re_tokens,
+       len(regexp_extract_all(low, '{text_analysis.PUNCT_RE}'))
+           AS n_punct,
+       len(regexp_extract_all(low, '{text_analysis.PUNCT_RE}'))::DOUBLE
+           / length(low) AS punct_ratio,
+       length(low)::DOUBLE / len(t) AS mean_token_len
+FROM base
+ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.quality_score(docs).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS low,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(regexp_extract_all(low, '{text_analysis.PUNCT_RE}'))::DOUBLE
+             / length(low) AS punct_ratio,
+         len(list_filter(t, x -> x IN ({_STOP_SQL})))::DOUBLE / len(t)
+             AS stop_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+       0.4 * (least(n_tokens, 64)::DOUBLE / 64.0)
+         + 0.3 * (1.0 - punct_ratio)
+         + 0.3 * least(stop_ratio * 5.0, 1.0) AS quality
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.lang_id(docs)
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws)
+
+_SQL_LANG_ID = f"""
+WITH m(lang, w) AS (VALUES {_MARKER_VALUES}),
+toks AS (
+  SELECT doc_id, lang AS labeled_lang,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+hits AS (
+  SELECT ex.doc_id, m.lang, COUNT(*) AS c
+  FROM ex JOIN m ON ex.w = m.w
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, lang AS pred_lang, c AS marker_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang) AS rn
+  FROM hits
+)
+SELECT t.doc_id, t.labeled_lang,
+       COALESCE(b.pred_lang, 'und') AS pred_lang,
+       COALESCE(b.marker_hits, 0) AS marker_hits
+FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON t.doc_id = b.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.fingerprint(docs)
+
+
+_SQL_DOC_FINGERPRINT = f"""
+WITH {duckdb_shingle_cte(3)},
+t2 AS (SELECT doc_id, lower(trim(text)) AS low FROM documents)
+SELECT t2.doc_id,
+       md5(low) AS exact_fp,
+       (list_sort([md5(x) FOR x IN sh.s]))[1] AS shingle_fp
+FROM t2 JOIN sh ON t2.doc_id = sh.doc_id
+ORDER BY t2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(docs)
+    return multimodal.extract_metadata(payloads).orderBy("doc_id")
+
+
+_SQL_MULTIMODAL_META = """
+WITH p AS (
+  SELECT doc_id,
+         from_hex('4d4d3031'
+                  || '00' || lpad(to_hex(doc_id % 256), 2, '0')
+                  || '00' || lpad(to_hex((doc_id * 7) % 256), 2, '0'))
+           || encode(text) AS payload
+  FROM documents
+)
+SELECT doc_id,
+       octet_length(payload)::INTEGER AS n_bytes,
+       md5(hex(payload)) AS payload_md5,
+       substr(hex(payload), 1, 8) = '4D4D3031' AS magic_ok,
+       (doc_id % 256)::INTEGER AS width,
+       ((doc_id * 7) % 256)::INTEGER AS height
+FROM p
+ORDER BY doc_id
+"""
+
+
+PIPELINE_QUERIES: dict = {
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
+    "dedup_minhash": (q_dedup_minhash, _SQL_NEAR_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "similar_vectors": (q_similar_vectors, _SQL_SIMILAR_VECTORS),
+    "embedding_dup_pairs": (q_embedding_dup_pairs,
+                            _SQL_EMBEDDING_DUP_PAIRS),
+    "ann_topk": (q_ann_topk, None),
+    "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
+    "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, _SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
+    "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
+}

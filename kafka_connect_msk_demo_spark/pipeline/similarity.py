@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine` — pure column expression (``zip_with`` +
+  ``aggregate`` fold, JVM-side, no UDF). Arrays are cast to
+  ``array<double>`` first so the arithmetic matches an oracle working
+  in doubles bit-for-bit.
+* :func:`brute_force_topk` — exact top-k for a (small) query set: the
+  query side is broadcast, so the "crossJoin" is a map-side nested
+  loop over the data partitioning — no shuffle of the big side. This
+  is the baseline/oracle path; cost is |Q|·|N|.
+* :func:`cosine_dup_pairs` — exact all-pairs cosine ≥ threshold
+  (embedding near-dup dedup). Quadratic by definition — documented as
+  the validation-scale variant; the LSH path below is the scale path.
+* :func:`hyperplane_buckets` / :func:`ann_topk` — random-hyperplane
+  LSH: ``nbits`` sign bits of dot(v, plane_j) form the bucket id; the
+  bucket id is the shuffle key. Queries multiprobe their own bucket
+  plus all 1-bit flips, then rerank candidates exactly. At 100 TB the
+  per-bucket candidate lists replace the |Q|·|N| scan with
+  |Q|·(nbits+1)·E[bucket], tunable via ``nbits``.
+
+The hyperplanes are deterministic (SHA-256-derived signs), so results
+are reproducible across sessions and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact cosine
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns:
+    dot/(‖a‖·‖b‖), computed as sequential left-folds (the order an SQL
+    oracle reproduces)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    ``queries`` must carry (q_id, q_vec). The broadcast keeps the big
+    side un-shuffled; ranking is a per-q_id window (shuffle on q_id —
+    |Q|·k rows)."""
+    data = vectors.select(F.col(id_col).alias("vec_id"),
+                          as_double(vec_col).alias("v"))
+    q = queries.select("q_id", "q_vec")
+    scored = (data.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .withColumn("cos", cosine(F.col("q_vec"), F.col("v"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cos", "rank")
+            .orderBy("q_id", "rank"))
+
+
+def queries_by_mod(vectors: DataFrame, mod: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Deterministic query subset: every ``mod``-th vector id."""
+    return vectors.filter(F.col(id_col) % mod == 0).select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"))
+
+
+def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.45,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding near-dup pairs (d1 < d2, cosine ≥ threshold).
+
+    All-pairs — validation-scale only; use :func:`ann_topk`'s bucketing
+    as the candidate generator at scale."""
+    v = vectors.select(F.col(id_col).alias("id"),
+                       as_double(vec_col).alias("v"))
+    a = v.select(F.col("id").alias("d1"), F.col("v").alias("v1"))
+    b = v.select(F.col("id").alias("d2"), F.col("v").alias("v2"))
+    return (a.join(b, F.col("d1") < F.col("d2"))
+            .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
+            .filter(F.col("cos") >= threshold)
+            .select("d1", "d2", "cos")
+            .orderBy("d1", "d2"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _plane_signs(table: int, j: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components (SHA-256 of
+    (table, j, i)) — reproducible across sessions/engines."""
+    return [1.0 if hashlib.sha256(f"{table}:{j}:{i}".encode()).digest()[0]
+            & 1 else -1.0 for i in range(dim)]
+
+
+def _bucket(vec_col: Column, table: int, nbits: int, dim: int) -> Column:
+    """``nbits``-bit hyperplane-sign bucket id of a vector
+    (bit j = [dot(v, plane_{table,j}) > 0])."""
+    bucket = F.lit(0)
+    for j in range(nbits):
+        plane = F.array(*[F.lit(s) for s in _plane_signs(table, j, dim)])
+        bit = F.when(_dot(vec_col, plane) > 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
+def lsh_buckets(df: DataFrame, vec_col: Column, nbits: int, dim: int,
+                tables: int) -> DataFrame:
+    """Explode each vector into its (table, bucket) pairs — one row per
+    hash table. (table, bucket) is the downstream shuffle key."""
+    entries = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket(vec_col, t, nbits, dim).alias("bucket"))
+        for t in range(tables)])
+    return (df.withColumn("x", F.explode(entries))
+            .withColumn("tbl", F.col("x.tbl"))
+            .withColumn("bucket", F.col("x.bucket"))
+            .drop("x"))
+
+
+def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             nbits: int = 6, dim: int = 64, tables: int = 8,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH + 1-bit multiprobe
+    candidate generation, exact cosine rerank inside the candidates.
+
+    ``tables`` independent hash tables of ``nbits`` bits each; each
+    query probes its own bucket plus all single-bit flips in every
+    table. For neighbours at cosine ≈ 0.45 (bit-agreement ≈ 0.65) the
+    per-table hit rate with multiprobe is ≈ 0.3, so 8 tables give
+    ≈ 95% recall — tests/test_pipeline.py asserts the floor. The join
+    key (tbl, bucket) is the shuffle key; nothing quadratic. Tuning
+    nbits up / tables down trades recall for candidate volume at
+    100 TB."""
+    data = lsh_buckets(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       as_double(vec_col).alias("v")),
+        F.col("v"), nbits, dim, tables)
+    q = lsh_buckets(queries, F.col("q_vec"), nbits, dim, tables) \
+        .withColumnRenamed("bucket", "qb")
+    probes = q.select(
+        "q_id", "q_vec", "tbl",
+        F.explode(F.array(
+            F.col("qb"),
+            *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
+        )).alias("bucket"))
+    cand = (data.join(F.broadcast(probes), ["tbl", "bucket"])
+            .select("q_id", "q_vec", "vec_id", "v")
+            # a pair can collide in several tables/probes
+            .dropDuplicates(["q_id", "vec_id"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn("cos", cosine(F.col("q_vec"), F.col("v"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cos", "rank")
+            .orderBy("q_id", "rank"))

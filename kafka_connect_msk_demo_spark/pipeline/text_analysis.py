@@ -1,0 +1,146 @@
+"""Text analysis over the documents table — language ID, quality
+scoring, token statistics, fingerprinting.
+
+Everything is built-in column expressions (whole-stage codegen; no
+UDFs), so at 100 TB these are embarrassingly-parallel narrow maps plus
+one hash-aggregate where noted. Each operator is mirrored by an exact
+DuckDB oracle; arithmetic sticks to int/int → double divisions so both
+engines produce bit-identical values.
+
+* :func:`token_stats` — whitespace token count, regex (BPE-ish) token
+  count, punctuation count/ratio, mean token length.
+* :func:`quality_score` — deterministic [0, 1] quality heuristic from
+  length, punctuation and stopword ratios (the standard cheap filters
+  in front of a training-data pipeline).
+* :func:`lang_id` — marker-word n-gram heuristic: score each candidate
+  language by its marker hit count; best (count desc, lang asc) wins,
+  zero hits → 'und'. One explode + one broadcast join + one aggregate.
+* :func:`fingerprint` — order-independent document fingerprint: the
+  lexicographic minimum of the shingle md5s (a 1-hash MinHash) plus the
+  exact normalized-text md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textprep import shingle_expr, tokens
+
+#: BPE-ish token regex: letter runs, digit runs, single other symbols.
+#: Kept to a dialect-portable subset (same semantics in Java regex and
+#: DuckDB's RE2).
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: punctuation = anything outside [a-z0-9<space>] after lower()
+PUNCT_RE = "[^a-z0-9 ]"
+
+#: marker words per language for the heuristic language ID. English
+#: markers double as generic stopwords for the quality score.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document token statistics — one narrow projection."""
+    low = F.lower(F.trim(F.col(text_col)))
+    ws = tokens(text_col)
+    re_toks = F.regexp_extract_all(low, F.lit(TOKEN_RE), F.lit(0))
+    n_punct = F.size(F.regexp_extract_all(low, F.lit(PUNCT_RE), F.lit(0)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(low).alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+        F.size(re_toks).alias("n_re_tokens"),
+        n_punct.alias("n_punct"),
+        (n_punct.cast("double") / F.length(low)).alias("punct_ratio"),
+        (F.length(low).cast("double") / F.size(ws)).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """[0, 1] quality heuristic:
+
+        0.4·min(n_tokens, 64)/64            (enough content)
+      + 0.3·(1 − punct_ratio)               (not symbol soup)
+      + 0.3·min(stop_ratio·5, 1)            (looks like prose)
+
+    Deterministic double arithmetic, identical on the oracle side."""
+    low = F.lower(F.trim(F.col(text_col)))
+    ws = tokens(text_col)
+    n_tokens = F.size(ws)
+    punct_ratio = (F.size(F.regexp_extract_all(low, F.lit(PUNCT_RE), F.lit(0)))
+                   .cast("double") / F.length(low))
+    stop_hits = F.size(F.filter(ws, _isin_any))
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    length_term = F.least(n_tokens, F.lit(64)).cast("double") / 64.0
+    prose_term = F.least(stop_ratio * 5.0, F.lit(1.0))
+    score = 0.4 * length_term + 0.3 * (1.0 - punct_ratio) \
+        + 0.3 * prose_term
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def _isin_any(t):
+    cond = None
+    for s in STOPWORDS:
+        c = t == F.lit(s)
+        cond = c if cond is None else cond | c
+    return cond
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text",
+            markers: dict[str, list[str]] | None = None) -> DataFrame:
+    """Heuristic language ID: explode tokens, broadcast-join the marker
+    table, count hits per (doc, lang), keep the best (count desc, lang
+    asc); no hits → 'und'. Shuffle keys: token join is broadcast (the
+    marker table is tiny and fixed), then one aggregate on doc_id."""
+    m = markers or LANG_MARKERS
+    spark = docs.sparkSession
+    marker_rows = [(lang, w) for lang, ws in m.items() for w in ws]
+    mdf = spark.createDataFrame(marker_rows, "lang string, w string")
+    ex = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens(text_col)).alias("w"))
+    hits = (ex.join(F.broadcast(mdf), "w")
+            .groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("c")))
+    w_best = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "lang")
+    best = (hits.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("pred_lang"),
+                    F.col("c").alias("marker_hits")))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col("lang").alias("labeled_lang"))
+            .join(best, "doc_id", "left_outer")
+            .na.fill({"pred_lang": "und", "marker_hits": 0})
+            .orderBy("doc_id"))
+
+
+def fingerprint(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact + fuzzy document fingerprints: md5 of the normalized text
+    (exact identity) and min(md5(shingle)) (a 1-hash MinHash — equal
+    for heavily-overlapping documents with high probability)."""
+    low = F.lower(F.trim(F.col(text_col)))
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     F.md5(low).alias("exact_fp"),
+                     F.col(text_col).alias("_t")) \
+        .withColumn("t", tokens("_t")) \
+        .withColumn("s", shingle_expr("t", k))
+    return (sh.select("doc_id", "exact_fp",
+                      F.array_min(F.transform("s", F.md5))
+                      .alias("shingle_fp"))
+            .orderBy("doc_id"))

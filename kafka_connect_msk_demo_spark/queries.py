@@ -458,6 +458,7 @@ WHERE o_orderkey % 10 <> 0
 # Registry
 # ---------------------------------------------------------------------------
 
+from .pipeline.queries import PIPELINE_QUERIES  # noqa: E402
 from .streaming.queries import STREAMING_QUERIES  # noqa: E402
 
 BATCH_QUERIES = {
@@ -482,7 +483,8 @@ BATCH_QUERIES = {
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
 }
 
-ALL_QUERIES: dict = {**BATCH_QUERIES, **STREAMING_QUERIES}
+ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,
+                     **STREAMING_QUERIES}
 
 
 def queries() -> dict:

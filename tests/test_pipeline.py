@@ -1,0 +1,90 @@
+"""Unit tests for the LLM-pipeline operator family — the properties
+the DuckDB-oracle parity harness cannot express:
+
+* MinHash-LSH recall == 1.0 against the exact Jaccard pairs (the
+  banded-LSH guarantee at the configured b/r and the corpus' J≈0.98
+  planted near-dups);
+* prefix-filtered candidate generation is exact (== unfiltered);
+* ANN recall floor against the exact brute-force top-k;
+* SimHash pairs are a subset-quality signal of the Jaccard truth set;
+* exact dedup actually collapses planted duplicates;
+* multimodal: metadata batch path round-trips; decode is stubbed.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.catalog import load_table
+from kafka_connect_msk_demo_spark.pipeline import (dedup, multimodal,
+                                                   similarity)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings").cache()
+
+
+def _pairs(df):
+    return {(r.d1, r.d2) for r in df.collect()}
+
+
+def test_minhash_lsh_full_recall(docs):
+    exact = _pairs(dedup.jaccard_pairs(docs, 0.8))
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs, 0.8))
+    assert exact, "testdata should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_prefix_filter_is_exact(docs):
+    assert _pairs(dedup.jaccard_pairs(docs, 0.8, prefix_filter=True)) \
+        == _pairs(dedup.jaccard_pairs(docs, 0.8, prefix_filter=False))
+
+
+def test_simhash_agrees_with_jaccard(docs):
+    truth = _pairs(dedup.jaccard_pairs(docs, 0.8))
+    sim = _pairs(dedup.simhash_pairs(docs, max_hamming=8))
+    # no false positives and decent recall on the planted near-dups
+    assert sim <= truth
+    assert len(sim) >= 0.7 * len(truth)
+
+
+def test_ann_recall_floor(vecs):
+    q = similarity.queries_by_mod(vecs, 50)
+    bf = {(r.q_id, r.vec_id)
+          for r in similarity.brute_force_topk(vecs, q, 10).collect()}
+    ann = {(r.q_id, r.vec_id)
+           for r in similarity.ann_topk(vecs, q, 10).collect()}
+    assert len(bf & ann) / len(bf) >= 0.75
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    rows = [(1, "Hello World"), (2, "hello world  "), (3, "unrelated"),
+            (4, "HELLO WORLD")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.canonical_id, r.dup_count)
+           for r in dedup.exact_dedup(df).collect()}
+    # trim+lower normalization: 1, 2, 4 collapse (trailing spaces
+    # survive trim only at the ends — "hello world  " trims clean)
+    assert got == {(1, 3), (3, 1)}
+
+
+def test_multimodal_metadata_roundtrip(spark):
+    rows = [(7, "some text"), (300, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in multimodal.extract_metadata(
+        multimodal.with_binary_payload(df)).collect()}
+    assert out[7].magic_ok and out[300].magic_ok
+    assert out[7].width == 7 and out[7].height == 49
+    assert out[300].width == 300 % 256 and out[300].height == (300 * 7) % 256
+    assert out[7].n_bytes == 8 + len("some text")
+
+
+def test_multimodal_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(multimodal.with_binary_payload(df))
