@@ -10,8 +10,8 @@ Reference semantics (SURVEY.md §2.3, §2.4, §2.8):
 * F10 — ``group_concat(DISTINCT ...)`` (``pagila-schema.sql:486-492``)
   → sorted ``collect_set`` + ``array_join``. ``collect_set`` order is
   nondeterministic, so the array is always sorted before joining.
-* O5 — LIMIT / OFFSET+LIMIT (``sales.sql:18,37``) — offset implemented
-  as a ``row_number`` filter so it composes with any ordering.
+* O5 — LIMIT / OFFSET+LIMIT (``sales.sql:18,37``) — native
+  ``DataFrame.offset`` over a distributed sort.
 """
 
 from __future__ import annotations

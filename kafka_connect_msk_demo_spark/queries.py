@@ -414,6 +414,162 @@ FROM orders
 """
 
 
+def q_time_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 (13:74-75, ipynb cells 11-12): ``from_unixtime`` /
+    ``date_format`` display formatting. Instants are first pinned to
+    UTC wall-clock via ``convert_timezone`` so the rendered strings are
+    session-timezone-independent (the reference renders in cluster-local
+    time — a nondeterminism this engine deliberately removes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    utc = F.expr("convert_timezone('UTC', o_orderdate)")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(utc, "yyyy-MM-dd HH:mm").alias("order_minute"),
+        F.date_format(utc, "yyyy-MM-dd").alias("order_day"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )
+
+
+_SQL_TIME_FORMATTED = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M') AS order_minute,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+FROM orders
+"""
+
+
+def q_window_agg_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (02:76-86): the reference's batch aggregation idiom —
+    analytic ``count/sum().over(partitionBy)`` plus a rank filter
+    keeping one row per group (instead of groupBy). Reproduced exactly:
+    the same plan shape (WindowExec after a hash-partition exchange)
+    with a deterministic tiebreaker added."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumnRenamed("n_name", "country"))
+    w = Window.partitionBy("country")
+    w_rank = Window.partitionBy("country").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (joined
+            .withColumn("orders", F.count("o_totalprice").over(w))
+            .withColumn("sales",
+                        F.sum(dec("o_totalprice")).over(w).cast("double"))
+            .withColumn("row", F.row_number().over(w_rank))
+            .filter(F.col("row") == 1)
+            .select("country", "sales", "orders",
+                    F.col("o_orderkey").alias("top_order")))
+
+
+_SQL_WINDOW_AGG_SHAPE = """
+SELECT country, sales, orders, top_order
+FROM (
+  SELECT n_name AS country,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY n_name) AS DOUBLE) AS sales,
+         COUNT(o_totalprice) OVER (PARTITION BY n_name) AS orders,
+         o_orderkey AS top_order,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+) WHERE rn = 1
+"""
+
+
+def q_smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/P10 (jdbc_source_connector_postgresql_01.json:13-23,
+    s3_sink_connector_02.json:17-28): the connector SMT chain as
+    DataFrame ops — ValueToKey, InsertField (static + topic), and
+    ReplaceField rename."""
+    from .transforms import (insert_static_fields, insert_topic_field,
+                             rename_fields, value_to_key)
+
+    orders = load_table(spark, sf_dir, "orders") \
+        .withColumn("topic", F.lit("pagila.orders"))
+    out = value_to_key(orders, "o_orderkey", key_col="key")
+    out = insert_static_fields(out, {"message_source": "pagila"})
+    out = insert_topic_field(out, "topic", out="message_topic")
+    out = rename_fields(out, {"o_orderpriority": "priority"})
+    return out.select("key", "o_orderkey", "priority",
+                      "message_source", "message_topic")
+
+
+_SQL_SMT_CHAIN = """
+SELECT o_orderkey AS key, o_orderkey, o_orderpriority AS priority,
+       'pagila' AS message_source, 'pagila.orders' AS message_topic
+FROM orders
+"""
+
+
+def q_csv_dim_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S9 (01:46-48 seed shape): the region dim written to and
+    re-read from pipe-separated CSV with an explicit schema (never
+    inferred), then used to enrich the sales aggregation — proving the
+    engine can seed from the reference's own CSV data shape."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.files import read_csv, write_csv
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    dim = (t["nation"].join(F.broadcast(t["region"]),
+                            F.col("n_regionkey") == F.col("r_regionkey"))
+           .select(F.col("n_nationkey").cast("long").alias("nationkey"),
+                   F.col("r_name").alias("region")))
+    csv_dir = tempfile.mkdtemp(prefix="csv_dim_")
+    write_csv(dim, csv_dir, sep="|", single_file=True)
+    dim_schema = T.StructType([
+        T.StructField("nationkey", T.LongType(), False),
+        T.StructField("region", T.StringType(), False)])
+    dim_back = read_csv(spark, csv_dir, dim_schema, sep="|")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dim_back),
+              F.col("c_nationkey") == F.col("nationkey")))
+    return sum_count(joined, ["region"], "o_totalprice",
+                     count_alias="orders_cnt")
+
+
+_SQL_CSV_DIM_SALES = _SQL_SALES_BY_REGION
+
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E6/S10 (11:76-77 → 12:70 → deltastreamer AvroDFSSource):
+    orders encoded to Avro binary, written as Object Container Files,
+    re-read through the distributed binaryFile+OCF source, decoded —
+    the identity the Avro plane must preserve. Runs on the pure-Python
+    codec in this container; byte-compatible with spark-avro."""
+    import tempfile
+
+    from .catalog import struct_to_avro_json
+    from .sources.files import read_avro, write_avro
+
+    orders = load_table(spark, sf_dir, "orders")
+    avro_json = struct_to_avro_json("orders", orders.schema)
+    avro_dir = tempfile.mkdtemp(prefix="avro_rt_")
+    write_avro(orders, avro_dir, avro_json)
+    back = read_avro(spark, avro_dir, avro_json, orders.schema)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority")
+
+
+_SQL_AVRO_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+FROM orders
+"""
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 end-to-end: Debezium envelope stream → unwrap (P11) →
     foreachBatch latest-wins MERGE into a partitioned table with delete
@@ -480,6 +636,11 @@ BATCH_QUERIES = {
     "surrogate_key": (q_surrogate_key, _SQL_SURROGATE_KEY),
     "serde_json_roundtrip": (q_serde_json_roundtrip,
                              _SQL_SERDE_JSON_ROUNDTRIP),
+    "time_formatted": (q_time_formatted, _SQL_TIME_FORMATTED),
+    "window_agg_shape": (q_window_agg_shape, _SQL_WINDOW_AGG_SHAPE),
+    "smt_chain": (q_smt_chain, _SQL_SMT_CHAIN),
+    "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
+    "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
 }
 

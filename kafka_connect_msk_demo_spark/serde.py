@@ -19,6 +19,7 @@ is selected automatically.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import struct as _struct
 
@@ -177,7 +178,13 @@ def avro_encode_rows(rows: pd.DataFrame, avro_json: str) -> pd.Series:
                     continue
                 buf += _zigzag_encode(0)
             if typ.startswith("long:timestamp-millis"):
-                val = int(pd.Timestamp(val).value // 1_000_000)
+                # canonical wire form is epoch millis; datetime inputs
+                # are converted, integer inputs pass through (the
+                # tz-robust path: callers pre-convert via unix_millis)
+                if isinstance(val, (pd.Timestamp, _dt.datetime)):
+                    val = int(pd.Timestamp(val).value // 1_000_000)
+                else:
+                    val = int(val)
             buf += _encode_value(val, typ)
         out.append(bytes(buf))
     return pd.Series(out)
@@ -195,10 +202,24 @@ def avro_decode_rows(blobs: pd.Series, avro_json: str) -> pd.DataFrame:
                     cols[name].append(None)
                     continue
             val, pos = _decode_value(blob, pos, typ)
-            if typ.startswith("long:timestamp-millis"):
-                val = pd.Timestamp(val, unit="ms")
+            # timestamp-millis stays an epoch-ms integer here; the
+            # Spark boundary converts with timestamp_millis() — exact
+            # in any session timezone (a wall-clock datetime round-trip
+            # is ambiguous inside DST folds)
             cols[name].append(val)
     return pd.DataFrame(cols)
+
+
+def _ts_fields(schema: T.StructType) -> list[str]:
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, T.TimestampType)]
+
+
+def _as_wire_types(df: DataFrame, use: list[str]) -> list[Column]:
+    """Timestamp columns → epoch-ms longs (tz-exact); others pass."""
+    ts = set(_ts_fields(df.schema))
+    return [F.unix_millis(c).alias(c) if c in ts else F.col(c)
+            for c in use]
 
 
 def to_avro_column(df: DataFrame, avro_json: str,
@@ -215,7 +236,7 @@ def to_avro_column(df: DataFrame, avro_json: str,
     def _enc(*series: pd.Series) -> pd.Series:
         return avro_encode_rows(pd.concat(series, axis=1), avro_json)
 
-    return _enc(*[F.col(c) for c in use])
+    return _enc(*_as_wire_types(df, list(use)))
 
 
 def from_avro_column(df: DataFrame, avro_json: str,
@@ -229,8 +250,17 @@ def from_avro_column(df: DataFrame, avro_json: str,
         return df.withColumn("data", from_avro(F.col(value_col), avro_json)) \
                  .select("data.*")
 
-    @F.pandas_udf(schema)
+    ts = set(_ts_fields(schema))
+    wire_schema = T.StructType([
+        T.StructField(f.name, T.LongType() if f.name in ts else f.dataType,
+                      f.nullable)
+        for f in schema.fields])
+
+    @F.pandas_udf(wire_schema)
     def _dec(blobs: pd.Series) -> pd.DataFrame:
         return avro_decode_rows(blobs, avro_json)
 
-    return df.select(_dec(F.col(value_col)).alias("data")).select("data.*")
+    flat = df.select(_dec(F.col(value_col)).alias("data")).select("data.*")
+    return flat.select(*[
+        F.timestamp_millis(c).alias(c) if c in ts else F.col(c)
+        for c in flat.columns])

@@ -48,6 +48,15 @@ def rename_fields(df: DataFrame, renames: dict[str, str]) -> DataFrame:
     return df
 
 
+def stamp_processing_time(df: DataFrame,
+                          out: str = "payment_date") -> DataFrame:
+    """F4/P5 (04:81): overwrite/add a processing-time column with
+    ``current_timestamp()``. Nondeterministic by nature, so it is
+    exercised by a bounds-checking unit test rather than an oracle
+    query; registered pipelines prefer explicit event times."""
+    return df.withColumn(out, F.current_timestamp())
+
+
 def cdc_unwrap(df: DataFrame, drop_tombstones: bool = True) -> DataFrame:
     """P11: Debezium ExtractNewRecordState.
 
