@@ -592,11 +592,12 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("maxFilesPerTrigger", "1").parquet(env_dir))
     table = UpsertTable(f"{base}/table", key_cols=["o_orderkey"],
                         ordering_col="__source_ts_ms", tiebreak_col="__lsn",
-                        partition_by="o_orderstatus")
+                        partition_by="order_month")
     run_foreach_batch(cdc_unwrap(stream), table.merge_batch,
                       checkpoint_dir=f"{base}/ckpt")
     return table.read(spark).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "order_month")
 
 
 _SQL_CDC_UPSERT = """
@@ -604,7 +605,10 @@ SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
             ELSE o_orderstatus END AS o_orderstatus,
        CASE WHEN o_orderkey % 10 IN (1, 2) THEN o_totalprice * 1.1
-            ELSE o_totalprice END AS o_totalprice
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 10 IN (1, 2)
+            THEN strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m')
+            ELSE strftime(o_orderdate, '%Y-%m') END AS order_month
 FROM orders
 WHERE o_orderkey % 10 <> 0
 """

@@ -11,9 +11,11 @@ the envelope inward (unwrap, upsert, SQL read) is real.
 
 * every order arrives as a snapshot read (``op='r'``),
 * orders with ``o_orderkey % 10 ∈ {0,1,2}`` receive an update
-  (``op='u'``) that raises the price 10% and flips the status — for
-  keys ending in 0 this also MOVES the row across table partitions,
-  exercising the reference's GLOBAL_BLOOM cross-partition concern,
+  (``op='u'``) that raises the price 10%, flips the status, and shifts
+  ``order_month`` — the table's date-like partition column — one month
+  forward, MOVING the row across partitions (the reference's
+  GLOBAL_BLOOM cross-partition concern, exercised at realistic
+  partition cardinality: ~85 months, not a 3-value status column),
 * orders with ``o_orderkey % 10 = 0`` are then deleted (``op='d'``),
 
 with strictly increasing ``ts_ms`` epochs per key (snapshot < update <
@@ -27,7 +29,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
-RECORD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+RECORD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "order_month"]
 
 
 def _envelope(record, before, op, ts_ms, lsn):
@@ -50,13 +53,23 @@ def orders_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Debezium-envelope stream derived from ``orders``.
     Returns envelope rows (unioned snapshot/update/delete phases) with
     a ``__phase`` column so callers can split into micro-batch files."""
-    orders = load_table(spark, sf_dir, "orders").select(*RECORD_COLS)
+    # order_month: UTC-pinned month label (session-tz-independent) —
+    # the date-like partition key a production CDC table would use
+    utc_date = F.expr("convert_timezone('UTC', o_orderdate)")
+    orders = (load_table(spark, sf_dir, "orders")
+              .withColumn("order_month",
+                          F.date_format(utc_date, "yyyy-MM"))
+              .withColumn("order_month_next",
+                          F.date_format(F.add_months(utc_date, 1),
+                                        "yyyy-MM"))
+              .select(*RECORD_COLS, "order_month_next"))
     key = F.col("o_orderkey")
     base_rec = F.struct(*[F.col(c) for c in RECORD_COLS])
     upd_rec = F.struct(
         F.col("o_orderkey"), F.col("o_custkey"),
         F.lit("U").alias("o_orderstatus"),
         (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        F.col("order_month_next").alias("order_month"),
     )
     null_rec = F.lit(None).cast(
         orders.select(base_rec.alias("r")).schema["r"].dataType)

@@ -1,0 +1,90 @@
+"""T1 — prove the watermark actually DROPS late rows in append mode.
+
+The oracle-parity streaming queries run in complete mode (which keeps
+all state), so this is the one streaming semantic only a dedicated test
+can exercise. Three checkpointed runs over a growing file source:
+
+1. run 1 seeds window [00:00, 00:10) and advances the watermark to
+   00:50 (max event 01:00 − 10 min), persisted in the checkpoint;
+2. run 2 delivers a row at 00:02 — 48 minutes behind the persisted
+   watermark. Its window was already finalized and evicted, so the row
+   must be DROPPED (not merged, not re-emitted);
+3. run 3 pushes the watermark past every window so all survivors are
+   flushed to the append sink.
+
+The [00:00, 00:10) window must appear exactly once, containing only the
+run-1 row. (Within a single multi-batch run, state eviction lags one
+micro-batch, so the restart pattern is the precise way to pin the
+documented drop semantics — and it doubles as a checkpoint-recovery
+test, T6.)
+"""
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("v", T.DoubleType(), True),
+])
+
+
+def _write_batch(path: str, name: str, rows: list[tuple[str, float]],
+                 mtime: int) -> None:
+    pdf = pd.DataFrame(rows, columns=["ts", "v"])
+    # micros, not pandas-default nanos: Spark's parquet reader rejects
+    # TIMESTAMP(NANOS) against a TimestampType schema
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    f = os.path.join(path, name)
+    pq.write_table(pa.Table.from_pandas(pdf), f)
+    os.utime(f, (mtime, mtime))  # file-stream orders batches by mtime
+
+
+def _drain(spark, src: str, out: str, ckpt: str) -> str:
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "10 minutes"))
+           .agg(F.sum("v").alias("total"), F.count("v").alias("n"))
+           .select(F.col("window.start").alias("ws"), "total", "n"))
+    q = (agg.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (q.lastProgress or {}).get("eventTime", {}).get("watermark", "")
+
+
+def test_append_mode_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    now = int(time.time())
+
+    _write_batch(src, "b1.parquet",
+                 [("2024-01-01 00:01:00", 1.0),
+                  ("2024-01-01 01:00:00", 5.0)], now - 60)
+    wm1 = _drain(spark, src, out, ckpt)
+    assert wm1 == "2024-01-01T00:50:00.000Z"
+
+    # 48 min behind the persisted watermark → must be dropped
+    _write_batch(src, "b2.parquet",
+                 [("2024-01-01 00:02:00", 100.0),
+                  ("2024-01-01 01:10:00", 7.0)], now - 30)
+    wm2 = _drain(spark, src, out, ckpt)
+    assert wm2 == "2024-01-01T01:00:00.000Z"
+
+    # flush every remaining window past the watermark
+    _write_batch(src, "b3.parquet",
+                 [("2024-01-01 02:00:00", 3.0)], now - 5)
+    _drain(spark, src, out, ckpt)
+
+    got = {r.ws: (r.total, r.n)
+           for r in spark.read.parquet(out).collect()}
+    first = [v for k, v in got.items() if (k.hour, k.minute) == (0, 0)]
+    assert first == [(1.0, 1)], got  # late 100.0 dropped, emitted once
+    assert got[max(got)] != (100.0, 1)  # and never re-emitted later
