@@ -122,3 +122,29 @@ def summary_stats(df: DataFrame, group_cols: list[str],
         )
         .orderBy(*group_cols)
     )
+
+
+def session_agg(df: DataFrame, group_cols: list[str], ts_col: str,
+                amount_col: str, gap: str = "12 hours") -> DataFrame:
+    """Session-window aggregation (capability extension of A2 —
+    SURVEY.md §2.6 notes session windows as the natural extension of
+    the reference's sliding windows; the reference itself has none).
+
+    ``F.session_window`` merges events closer than ``gap`` per group;
+    output carries the session bounds as epoch micros (window end =
+    last event + gap, Spark's convention). Streaming use is identical
+    plus ``withWatermark`` (session windows require watermarked
+    append/update mode).
+
+    Scale: sessionization shuffles once on the group key; state per
+    open session, merged incrementally — no sort of the whole stream.
+    """
+    return (df.groupBy(*group_cols, F.session_window(ts_col, gap))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(dec(amount_col, 25, 8)).cast("double").alias("total"))
+            .select(*group_cols,
+                    F.unix_micros("session_window.start")
+                    .alias("session_start_us"),
+                    F.unix_micros("session_window.end")
+                    .alias("session_end_us"),
+                    "n_events", "total"))

@@ -135,6 +135,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(vecs, q, k=10)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the IVF (inverted-file / coarse-quantizer)
+    variant of approximate top-k; recall floor asserted in
+    tests/test_pipeline.py."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_mod(vecs, 50)
+    return similarity.ivf_topk(vecs, q, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis family
 # ---------------------------------------------------------------------------
@@ -286,6 +295,7 @@ PIPELINE_QUERIES: dict = {
     "embedding_dup_pairs": (q_embedding_dup_pairs,
                             _SQL_EMBEDDING_DUP_PAIRS),
     "ann_topk": (q_ann_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, _SQL_LANG_ID),

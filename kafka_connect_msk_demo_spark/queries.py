@@ -112,6 +112,41 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-extension: session-window aggregation (12 h gap) per user over
+    the events stream table. The oracle reproduces Spark's semantics as
+    a gaps-and-islands computation: a new session starts when the gap to
+    the previous event is ≥ gap; session end = last event + gap."""
+    from .operators.aggregates import session_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return session_agg(events, ["user_id"], "ts", "value", gap="12 hours")
+
+
+_SQL_SESSIONIZED = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), marked AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      >= 43200000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, us, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(us) AS session_start_us,
+       MAX(us) + 43200000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS total
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 (07:65-75): latest-by-timestamp dedup per key, with event_id as
     the deterministic tiebreaker."""
@@ -625,6 +660,7 @@ BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
     "windowed_sales": (q_windowed_sales, _SQL_WINDOWED_SALES),
+    "sessionized": (q_sessionized, _SQL_SESSIONIZED),
     "latest_event_per_user": (q_latest_event_per_user,
                               _SQL_LATEST_EVENT_PER_USER),
     "latest_per_window": (q_latest_per_window, _SQL_LATEST_PER_WINDOW),

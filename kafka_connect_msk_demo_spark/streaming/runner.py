@@ -88,3 +88,33 @@ def kafka_sink(writer_df: DataFrame, bootstrap_servers: str, topic: str,
     else:
         w = w.trigger(availableNow=True)
     return w
+
+
+def console_sink_batch(df: DataFrame, num_rows: int = 25,
+                       truncate: bool = False) -> None:
+    """S7 (02:93-98): batch console sink — debug only; the reference
+    caps output with numRows, which maps to the console format's
+    numRows option."""
+    (df.write.format("console")
+     .option("numRows", str(num_rows))
+     .option("truncate", str(truncate).lower())
+     .save())
+
+
+def console_sink_stream(df: DataFrame, num_rows: int = 25,
+                        truncate: bool = False,
+                        output_mode: str = "complete",
+                        query_name: str = "streaming_to_console",
+                        processing_time: str | None = None):
+    """S8 (03:84-91): streaming console sink; returns the started
+    query (caller owns awaitTermination — T7)."""
+    w = (df.writeStream.format("console")
+         .option("numRows", str(num_rows))
+         .option("truncate", str(truncate).lower())
+         .outputMode(output_mode)
+         .queryName(query_name))
+    if processing_time:
+        w = w.trigger(processingTime=processing_time)
+    else:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -62,6 +62,16 @@ def test_ann_recall_floor(vecs):
     assert len(bf & ann) / len(bf) >= 0.75
 
 
+def test_ivf_recall_floor(vecs):
+    q = similarity.queries_by_mod(vecs, 50)
+    bf = {(r.q_id, r.vec_id)
+          for r in similarity.brute_force_topk(vecs, q, 10).collect()}
+    ivf = {(r.q_id, r.vec_id)
+           for r in similarity.ivf_topk(vecs, q, 10).collect()}
+    # uniform random vectors are IVF's worst case; see ivf_topk docs
+    assert len(bf & ivf) / len(bf) >= 0.55
+
+
 def test_exact_dedup_collapses_duplicates(spark):
     rows = [(1, "Hello World"), (2, "hello world  "), (3, "unrelated"),
             (4, "HELLO WORLD")]

@@ -87,3 +87,22 @@ def test_md5_matches_hashlib(spark):
     df = spark.createDataFrame([(5, "x")], "a int, b string")
     row = surrogate_key(df, ["a", "b"], out="k", algo="md5").first()
     assert row.k == hashlib.md5(b"5x").hexdigest()
+
+
+def test_rotating_sink_stream(spark, sf_small, tmp_path):
+    from kafka_connect_msk_demo_spark.catalog import stream_table
+    from kafka_connect_msk_demo_spark.sources.files import \
+        rotating_sink_stream
+
+    sdf = stream_table(spark, sf_small, "events").coalesce(1)
+    out = str(tmp_path / "rotated")
+    q = rotating_sink_stream(sdf, out, str(tmp_path / "ckpt"),
+                             flush_size=500, available_now=True)
+    q.awaitTermination()
+    files = glob.glob(f"{out}/*.parquet")
+    n = spark.read.parquet(out).count()
+    # size-based rotation: ~n/flush.size objects from the single task
+    assert n > 500 and len(files) >= n // 500
+    assert all(
+        rows <= 500 for rows in
+        [spark.read.parquet(f).count() for f in files])
