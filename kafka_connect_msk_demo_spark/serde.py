@@ -207,7 +207,11 @@ def avro_decode_rows(blobs: pd.Series, avro_json: str) -> pd.DataFrame:
             # in any session timezone (a wall-clock datetime round-trip
             # is ambiguous inside DST folds)
             cols[name].append(val)
-    return pd.DataFrame(cols)
+    # dtype=object: pandas would otherwise coerce an int column that
+    # contains a null to float64, corrupting longs above 2^53; Arrow
+    # converts object columns to the declared Spark types losslessly
+    return pd.DataFrame({k: pd.Series(v, dtype=object)
+                         for k, v in cols.items()})
 
 
 def _ts_fields(schema: T.StructType) -> list[str]:

@@ -127,6 +127,27 @@ GROUP BY 1, 2, 3
 """
 
 
+def stream_running_user_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Arbitrary-state extension (applyInPandasWithState): per-user
+    running count/max/last-event maintained in custom state across
+    micro-batches, reconciled latest-wins. The final state equals the
+    batch answer — which is what the oracle checks."""
+    from .stateful import latest_emission, running_user_stats
+
+    events = stream_table(spark, sf_dir, "events",
+                          max_files_per_trigger=1)
+    drained = run_to_memory(running_user_stats(events), "update")
+    return latest_emission(drained).orderBy("user_id")
+
+
+_SQL_STREAM_RUNNING_USER_STATS = """
+SELECT user_id, COUNT(*) AS n, MAX(value) AS vmax,
+       MAX(epoch_us(ts)) AS last_us
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -134,4 +155,6 @@ STREAMING_QUERIES = {
                                 _SQL_STREAM_WINDOWED_BY_TYPE),
     "stream_enriched_windowed": (stream_enriched_windowed,
                                  _SQL_STREAM_ENRICHED_WINDOWED),
+    "stream_running_user_stats": (stream_running_user_stats,
+                                  _SQL_STREAM_RUNNING_USER_STATS),
 }

