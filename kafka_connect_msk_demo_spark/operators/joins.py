@@ -75,3 +75,14 @@ def semi_join_in(df: DataFrame, keys: DataFrame, left_key: str,
     """J4: ``WHERE k IN (SELECT ...)`` as a left-semi join (Catalyst's
     own rewrite of IN-subqueries)."""
     return df.join(keys, df[left_key] == keys[right_key], "left_semi")
+
+
+def anti_join_not_exists(df: DataFrame, keys: DataFrame, left_key: str,
+                         right_key: str) -> DataFrame:
+    """``WHERE NOT EXISTS (SELECT ...)`` as a left-anti join — the
+    complement of :func:`semi_join_in` (SURVEY.md §2.5 notes semi/anti
+    as the cheap capability extension beyond reference parity). Same
+    scale shape as any equi-join: shuffle (or broadcast) on the key,
+    emit only probe misses — no null-aware fallback needed because the
+    anti condition is a plain equality, not ``NOT IN``."""
+    return df.join(keys, df[left_key] == keys[right_key], "left_anti")

@@ -24,7 +24,8 @@ from .catalog import load_table, load_tables
 from .operators.aggregates import dec, sum_count, summary_stats, windowed_sum_count
 from .operators.dedup_rank import latest_by_key, ranked_keep_first
 from .operators.formatting import format_sales, order_by_deformatted
-from .operators.joins import enrich, semi_join_in, star_join
+from .operators.joins import (anti_join_not_exists, enrich, semi_join_in,
+                              star_join)
 from .operators.relational import (bucket_case, group_concat_distinct,
                                    limit_offset, shift_days, surrogate_key)
 
@@ -337,6 +338,24 @@ _SQL_IN_SUBQUERY = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti extension (SURVEY.md §2.5): customers with no orders,
+    as a left-anti join (Catalyst's NOT EXISTS rewrite)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return anti_join_not_exists(customer, orders,
+                                "c_custkey", "o_custkey") \
+        .select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
 """
 
 
@@ -670,6 +689,7 @@ BATCH_QUERIES = {
     "case_interval": (q_case_interval, _SQL_CASE_INTERVAL),
     "group_concat": (q_group_concat, _SQL_GROUP_CONCAT),
     "in_subquery": (q_in_subquery, _SQL_IN_SUBQUERY),
+    "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
     "correlated_subquery": (q_correlated_subquery, _SQL_CORRELATED_SUBQUERY),
     "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
     "summary_stats": (q_summary_stats, _SQL_SUMMARY_STATS),
