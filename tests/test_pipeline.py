@@ -98,3 +98,17 @@ def test_multimodal_decode_is_stubbed(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload(multimodal.with_binary_payload(df))
+
+
+def test_doc_shingles_matches_jvm_expression(docs):
+    """The Arrow-batched shingle kernel must produce exactly the
+    shingle SETS of the JVM ``with_shingles`` column expression (order
+    may differ; every consumer is order-insensitive)."""
+    from kafka_connect_msk_demo_spark.pipeline.textprep import (
+        doc_shingles, with_shingles)
+    fast = {r.doc_id: set(r.s)
+            for r in doc_shingles(docs.select("doc_id", "text")).collect()}
+    jvm = {r.doc_id: set(r.s)
+           for r in with_shingles(docs.select("doc_id", "text"))
+           .select("doc_id", "s").collect()}
+    assert fast == jvm
