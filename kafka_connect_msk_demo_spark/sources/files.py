@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..serde import avro_decode_rows, avro_encode_rows
+from ..serde import avro_encode_rows
 
 # ---------------------------------------------------------------------------
 # CSV (S1 / S9)
@@ -166,19 +166,23 @@ def write_avro(df: DataFrame, path: str, avro_json: str) -> None:
     # timestamps cross as epoch-ms longs (timestamp-millis wire form) —
     # exact in any session timezone
     wire = df.select(*_as_wire_types(df, df.columns))
-    cols = wire.columns
 
-    def _write_part(it):
-        rows = list(it)
-        if not rows:
-            return
+    def _write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow-batched (a foreachPartition formulation moves the rows
+        # as pickled Row objects — measurably slower); one OCF per task
         from pyspark import TaskContext
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
         pid = TaskContext.get().partitionId()
-        pdf = pd.DataFrame(rows, columns=cols)
-        with open(os.path.join(path, f"part-{pid:05d}.avro"), "wb") as f:
+        pdf = pd.concat(parts, ignore_index=True)
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        with open(fname, "wb") as f:
             f.write(_ocf_bytes(pdf, avro_json))
+        yield pd.DataFrame({"path": [fname], "rows": [len(pdf)]})
 
-    wire.foreachPartition(_write_part)
+    # collect the tiny (path, rows) manifest — one row per written file
+    wire.mapInPandas(_write_part, "path string, rows long").collect()
 
 
 def read_avro(spark: SparkSession, path: str, avro_json: str,
@@ -197,38 +201,19 @@ def read_avro(spark: SparkSession, path: str, avro_json: str,
         for f in schema.fields])
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..serde import avro_decode_block
         for pdf in batches:
             for blob in pdf["content"]:
                 # decode against the file's own embedded schema
                 # (schema-on-read; the caller schema types the output)
                 file_schema, payloads, counts = _ocf_parse(bytes(blob))
-                body = b"".join(payloads)
-                yield avro_decode_rows(
-                    _split_records(body, sum(counts), file_schema),
-                    file_schema)
+                yield avro_decode_block(b"".join(payloads), sum(counts),
+                                        file_schema)
 
     flat = files.mapInPandas(_parse, wire_schema)
     return flat.select(*[
         F.timestamp_millis(c).alias(c) if c in ts else F.col(c)
         for c in flat.columns])
-
-
-def _split_records(body: bytes, n: int, avro_json: str) -> pd.Series:
-    """Split a concatenated Avro block into per-record byte strings by
-    decoding field-by-field (Avro binary is not self-delimiting)."""
-    from ..serde import _decode_value, _parse_schema, _zigzag_decode
-    fields = _parse_schema(avro_json)
-    offsets = [0]
-    pos = 0
-    for _ in range(n):
-        for _, typ, nullable in fields:
-            if nullable:
-                branch, pos = _zigzag_decode(body, pos)
-                if branch == 1:
-                    continue
-            _, pos = _decode_value(body, pos, typ)
-        offsets.append(pos)
-    return pd.Series([body[offsets[i]:offsets[i + 1]] for i in range(n)])
 
 
 # ---------------------------------------------------------------------------
