@@ -203,21 +203,41 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
 def simhash(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 64) -> DataFrame:
     """doc_id, simhash: 64-bit SimHash over shingle hashes — bit ``j``
-    of the fingerprint is the sign of Σ±1 over the corpus shingles'
-    ``j``-th hash bits. One explode + one hash-aggregate (64 sums)."""
+    of the fingerprint is the sign of Σ±1 over the document shingles'
+    ``j``-th hash bits.
+
+    Computed in one Arrow-batched kernel straight off the shingle
+    arrays (md5-prefix base hash, vectorized bit-matrix sum per doc) —
+    the earlier explode + 64-conditional-sum aggregate shuffled
+    |shingles|×64 values and kept the hot loop in interpreted CASE
+    WHEN expressions. The fingerprint family only needs determinism:
+    downstream consumes Hamming distances, and the pair quality is
+    bounded against the exact-Jaccard truth set in tests."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+
     sh = doc_shingles(docs, id_col, text_col, k)
-    ex = (sh.select("doc_id", F.explode("s").alias("sg"))
-          .select("doc_id", F.xxhash64("sg").alias("h")))
-    bit = [F.sum(F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1)
-                 .otherwise(-1)).alias(f"b{j}") for j in range(bits)]
-    agg = ex.groupBy("doc_id").agg(*bit)
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0,
-                      F.shiftleft(F.lit(1).cast("long"), j)) \
-            .otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return agg.select("doc_id", fp.alias("simhash"))
+    jbits = np.arange(bits, dtype=np.uint64)
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            fps = []
+            for s in pdf["s"]:
+                raw = b"".join(_hl.md5(x.encode()).digest()[:8]
+                               for x in s)
+                base = np.frombuffer(raw, dtype=">u8").astype(np.uint64)
+                pm = (((base[:, None] >> jbits[None, :])
+                       & np.uint64(1)).astype(np.int64) * 2 - 1)
+                fp_bits = (pm.sum(axis=0) > 0).astype(np.uint64)
+                fp = int((fp_bits << jbits).sum(dtype=np.uint64))
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "simhash": pd.Series(fps, dtype="int64")})
+
+    return sh.mapInPandas(kernel, "doc_id long, simhash long")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6, k: int = 3,
