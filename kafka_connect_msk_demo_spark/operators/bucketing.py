@@ -1,0 +1,45 @@
+"""Bucketed (co-located) joins — pre-shuffle once, join shuffle-free.
+
+The reference joins its fact feed to dimensions per query (SURVEY.md
+§2.5); at 100 TB a fact⋈fact join (orders ⋈ lineitem) re-shuffles both
+sides every run. Hive-style bucketing amortizes that: both tables are
+written ``bucketBy(N, key)`` into the warehouse, so matching keys land
+in matching bucket files and Spark's scan reports the bucket spec as
+its output partitioning — the sort-merge/hash join then needs NO
+Exchange on either side (asserted in tests/test_bucketing.py by
+walking the physical plan).
+
+Scale contract:
+
+* bucket count is chosen once per table (rule of thumb: target
+  ~128-512 MB per bucket at full scale) and becomes the parallelism of
+  every downstream co-located join;
+* both sides must agree on (key, bucket count) — mismatched counts
+  degrade to a normal shuffle join;
+* ``sortBy`` on the bucket key additionally removes the in-join sort
+  for sort-merge joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   num_buckets: int = 8, sort: bool = True,
+                   fmt: str = "parquet") -> None:
+    """Persist ``df`` as a bucketed managed table (overwriting any
+    previous version). The (column, count) pair is the co-location
+    contract every later join relies on."""
+    w = (df.write.mode("overwrite").format(fmt)
+         .bucketBy(num_buckets, bucket_col))
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: list[str], how: str = "inner") -> DataFrame:
+    """Join two tables bucketed on the join key — executes without a
+    shuffle on either side when their bucket specs match."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -16,6 +16,7 @@ re-plan at runtime:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,11 @@ def get_spark(app_name: str = "kafka_connect_msk_demo_spark",
         # Streaming tests restart from checkpoints; keep state store default
         # (HDFS-backed) locally, RocksDB is a deploy-time override.
         .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        # Managed (e.g. bucketed) tables land in a scratch warehouse,
+        # not ./spark-warehouse inside the repo. Only effective for the
+        # session that creates the metastore; deployments override.
+        .config("spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
     )
     if master:
         builder = builder.master(master)
