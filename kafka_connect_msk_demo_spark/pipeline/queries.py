@@ -144,6 +144,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(vecs, q, k=10)
 
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: IVF top-k over a Lloyd-trained coarse quantizer
+    (3 iterations) — the iterative-algorithm shape (bounded driver loop
+    re-broadcasting a K×dim table per round). Recall/convergence
+    properties asserted in tests/test_pipeline.py."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(vecs, k=16, iters=3)
+    q = similarity.queries_by_mod(vecs, 50)
+    return similarity.ivf_topk(vecs, q, k=10, centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis family
 # ---------------------------------------------------------------------------
@@ -296,6 +307,7 @@ PIPELINE_QUERIES: dict = {
                             _SQL_EMBEDDING_DUP_PAIRS),
     "ann_topk": (q_ann_topk, None),
     "ivf_topk": (q_ivf_topk, None),
+    "ivf_kmeans_topk": (q_ivf_kmeans_topk, None),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, _SQL_LANG_ID),

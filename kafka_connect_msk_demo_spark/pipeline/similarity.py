@@ -310,10 +310,58 @@ def deterministic_centroids(vectors: DataFrame, k: int = 16,
                     as_double(vec_col).alias("c_vec")))
 
 
+def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's iterations refining :func:`deterministic_centroids` —
+    the IVF coarse-quantizer trainer.
+
+    Per iteration: assign every vector to its nearest centroid
+    (broadcast K-way scoring, :func:`ivf_assign`) and recompute each
+    cell's mean via ``posexplode`` + one (cell, dim-index) hash
+    aggregate — map-side partial sums, a shuffle of K·dim rows. The
+    iteration count is a fixed hyperparameter (the classic bounded
+    loop), so the lineage stays a finite DAG; each round materializes
+    only the K×dim centroid table to the driver for re-broadcast —
+    the per-iteration driver traffic is O(K·dim), independent of |N|.
+
+    Deterministic given the data (means use float sums whose order
+    Spark's aggregate fixes per partitioning — stable across runs on
+    the same layout, like any distributed float aggregate). Empty
+    cells keep their previous centroid."""
+    spark = vectors.sparkSession
+    data = (vectors.select(F.col(id_col).alias("vec_id"),
+                           as_double(vec_col).alias("v"))
+            .repartition(spark.sparkContext.defaultParallelism))
+    data = data.persist()
+    try:
+        cents = [(r["c_id"], list(r["c_vec"])) for r in
+                 deterministic_centroids(vectors, k, id_col, vec_col)
+                 .collect()]
+        for _ in range(iters):
+            cdf = spark.createDataFrame(cents, "c_id long, c_vec array<double>")
+            assigned = ivf_assign(data, cdf, vec_col="v")
+            means = (assigned
+                     .select("cell", F.posexplode("v").alias("j", "x"))
+                     .groupBy("cell", "j")
+                     .agg(F.avg("x").alias("m"))
+                     .groupBy("cell")
+                     .agg(F.array_sort(
+                         F.collect_list(F.struct("j", "m"))).alias("jm"))
+                     .select(F.col("cell").alias("c_id"),
+                             F.col("jm.m").alias("c_vec")))
+            updated = {r["c_id"]: list(r["c_vec"]) for r in means.collect()}
+            cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
+        return spark.createDataFrame(cents, "c_id long, c_vec array<double>")
+    finally:
+        data.unpersist()
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 6,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """Approximate top-k via an inverted-file index: vectors are
     bucketed by nearest centroid; each query probes its ``nprobe``
     closest cells and reranks those candidates exactly.
@@ -324,8 +372,12 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     UNIFORM random vectors are IVF's worst case (neighbours spread
     across many cells — ~0.66 recall at nprobe=6); clustered real
     embedding corpora concentrate neighbours in few cells, which is
-    what makes IVF the standard production index."""
-    cents = deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+    what makes IVF the standard production index.
+
+    ``centroids`` plugs in a trained quantizer (e.g.
+    :func:`kmeans_centroids`); default is the deterministic seed."""
+    cents = centroids if centroids is not None else \
+        deterministic_centroids(vectors, n_centroids, id_col, vec_col)
     data = ivf_assign(
         vectors.select(F.col(id_col).alias("vec_id"),
                        as_double(vec_col).alias("v"))

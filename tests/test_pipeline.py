@@ -112,3 +112,39 @@ def test_doc_shingles_matches_jvm_expression(docs):
            for r in with_shingles(docs.select("doc_id", "text"))
            .select("doc_id", "s").collect()}
     assert fast == jvm
+
+
+def test_kmeans_centroids_reduce_distortion(vecs):
+    """Lloyd's iterations must not hurt the quantizer: mean best-cell
+    cosine (higher = tighter cells) after training >= the seeded
+    centroids', and the trainer keeps exactly K centroids of the data
+    dimensionality."""
+    from pyspark.sql import functions as F
+
+    def mean_best_cos(cents):
+        data = vecs.select(F.col("vec_id"),
+                           similarity.as_double("embedding").alias("v"))
+        best = (data.crossJoin(F.broadcast(cents.select("c_id", "c_vec")))
+                .withColumn("sim", similarity.cosine(F.col("v"),
+                                                     F.col("c_vec")))
+                .groupBy("vec_id").agg(F.max("sim").alias("best")))
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    seeded = similarity.deterministic_centroids(vecs, 16)
+    trained = similarity.kmeans_centroids(vecs, k=16, iters=3)
+    rows = trained.collect()
+    assert len(rows) == 16
+    assert all(len(r.c_vec) == 64 for r in rows)
+    assert mean_best_cos(trained) >= mean_best_cos(seeded)
+
+
+def test_ivf_topk_accepts_trained_centroids(vecs):
+    q = similarity.queries_by_mod(vecs, 50)
+    cents = similarity.kmeans_centroids(vecs, k=16, iters=2)
+    out = similarity.ivf_topk(vecs, q, 10, centroids=cents).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(ranks == sorted(ranks) and len(ranks) <= 10
+               for ranks in per_q.values())
