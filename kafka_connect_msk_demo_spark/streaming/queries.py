@@ -148,6 +148,59 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — a capability extension (the
+    reference has no stream-stream joins, SURVEY.md §2.5): each click
+    joined to the same user's purchases within the next 30 minutes.
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    event time on both ends, so the join state is EVICTABLE: a buffered
+    click can be dropped once the purchase-side watermark passes
+    click_ts + 30 min — state size is O(rate × window), not O(stream).
+    Inner joins emit eagerly on match, so the availableNow drain yields
+    the complete pair set (equals the batch interval join, which is
+    what the oracle checks)."""
+    clicks = (stream_table(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
+              .select("user_id",
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("click_ts", "1 hour"))
+    purchases = (stream_table(spark, sf_dir, "events")
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts")
+           + F.expr("INTERVAL 30 MINUTES")),
+        "inner")
+    out = joined.select("user_id",
+                        F.unix_micros("click_ts").alias("click_us"),
+                        F.unix_micros("p_ts").alias("purchase_us"),
+                        "click_id", "purchase_id")
+    return run_to_memory(out, "append") \
+        .orderBy("user_id", "click_us", "purchase_us")
+
+
+_SQL_STREAM_STREAM_JOIN = """
+SELECT a.user_id AS user_id,
+       epoch_us(a.ts) AS click_us,
+       epoch_us(b.ts) AS purchase_us,
+       a.event_id AS click_id,
+       b.event_id AS purchase_id
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ORDER BY 1, 2, 3
+"""
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -157,4 +210,5 @@ STREAMING_QUERIES = {
                                  _SQL_STREAM_ENRICHED_WINDOWED),
     "stream_running_user_stats": (stream_running_user_stats,
                                   _SQL_STREAM_RUNNING_USER_STATS),
+    "stream_stream_join": (stream_stream_join, _SQL_STREAM_STREAM_JOIN),
 }

@@ -62,6 +62,21 @@ def running_user_stats(stream: DataFrame,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def dedup_within_watermark(stream: DataFrame, keys: list[str],
+                           ts_col: str = "ts",
+                           delay: str = "10 minutes") -> DataFrame:
+    """Streaming dedup with bounded state (T8 extension): the first row
+    per key is emitted, subsequent arrivals of the same key are dropped
+    while the key's state lives — and the state is EVICTED once the
+    watermark passes its event time + ``delay``, so a key recurring
+    after the horizon is admitted again (unlike ``dropDuplicates``,
+    whose state grows with the key universe forever — unusable at
+    100 TB). Exactly-once-within-delay semantics are pinned by
+    tests/test_watermark.py across checkpointed restarts."""
+    return (stream.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def latest_emission(df: DataFrame, key: str = "user_id",
                     monotone: str = "n") -> DataFrame:
     """W4 reconciliation for update-mode emissions: keep each key's row

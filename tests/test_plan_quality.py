@@ -22,7 +22,7 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 #: non-equi pair scorers where a nested-loop join IS the algorithm
 #: (documented validation-scale; bucketed variants are the scale path)
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
-                "ivf_topk"}
+                "ivf_topk", "ivf_kmeans_topk"}
 
 #: queries that materialize side state (files/streams) during build —
 #: exercised by the oracle harness instead

@@ -88,3 +88,59 @@ def test_append_mode_drops_late_rows(spark, tmp_path):
     first = [v for k, v in got.items() if (k.hour, k.minute) == (0, 0)]
     assert first == [(1.0, 1)], got  # late 100.0 dropped, emitted once
     assert got[max(got)] != (100.0, 1)  # and never re-emitted later
+
+
+KV_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("k", T.StringType(), True),
+    T.StructField("v", T.DoubleType(), True),
+])
+
+
+def _write_kv(path, name, rows, mtime):
+    pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    f = os.path.join(path, name)
+    pq.write_table(pa.Table.from_pandas(pdf), f)
+    os.utime(f, (mtime, mtime))
+
+
+def _drain_dedup(spark, src, out, ckpt):
+    from kafka_connect_msk_demo_spark.streaming.stateful import (
+        dedup_within_watermark)
+    stream = spark.readStream.schema(KV_SCHEMA).parquet(src)
+    deduped = dedup_within_watermark(stream, ["k"], "ts", "10 minutes")
+    q = (deduped.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the delay are
+    dropped; a key recurring after its state was evicted (watermark
+    passed event time + delay) is admitted again — the bounded-state
+    contract that distinguishes it from dropDuplicates."""
+    src = str(tmp_path / "stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    now = int(time.time())
+
+    # A twice within the delay -> one survivor; B once; watermark -> 00:50
+    _write_kv(src, "b1.parquet",
+              [("2024-01-01 00:01:00", "A", 1.0),
+               ("2024-01-01 00:02:00", "A", 2.0),
+               ("2024-01-01 01:00:00", "B", 5.0)], now - 60)
+    _drain_dedup(spark, src, out, ckpt)
+
+    # B at 01:02: state alive (01:00 + 10min > 00:50) -> dropped.
+    # A at 00:55: state evicted (00:01 + 10min < 00:50) -> re-admitted.
+    _write_kv(src, "b2.parquet",
+              [("2024-01-01 01:02:00", "B", 9.0),
+               ("2024-01-01 00:55:00", "A", 3.0),
+               ("2024-01-01 02:00:00", "C", 7.0)], now - 30)
+    _drain_dedup(spark, src, out, ckpt)
+
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [("A", 1.0), ("A", 3.0), ("B", 5.0), ("C", 7.0)], got
