@@ -96,6 +96,115 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload",
     return cols.mapInPandas(run, META_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_md5", T.StringType(), False),
+    T.StructField("frame_bytes", T.IntegerType(), False),
+])
+
+
+def frame_sample(df: DataFrame, frame_size: int = 64, every_n: int = 4,
+                 payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Video-style frame sampling: the payload body (after the 8-byte
+    header) is treated as consecutive ``frame_size``-byte frames; every
+    ``every_n``-th frame is emitted as its own row — the 1→N row
+    expansion shape every real frame sampler needs (one input batch
+    yields a larger output batch; Arrow sizes both).
+
+    At 100 TB the sampled frames inherit the scan's partitioning —
+    no shuffle is introduced; downstream per-frame work (decode,
+    embed) stays embarrassingly parallel."""
+    cols = df.select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, md5s, sizes = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                body = bytes(payload)[8:]
+                nframes = (len(body) + frame_size - 1) // frame_size
+                for j in range(0, nframes, every_n):
+                    frame = body[j * frame_size:(j + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    md5s.append(hashlib.md5(frame).hexdigest())
+                    sizes.append(len(frame))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_md5": pd.Series(md5s, dtype=object),
+                "frame_bytes": pd.Series(sizes, dtype="int32")})
+
+    return cols.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_payload(df: DataFrame, out_w: int = 8, out_h: int = 8,
+                   payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Resize template: payload → payload with updated header dims.
+
+    The deterministic stand-in samples ``out_w × out_h`` body bytes at
+    evenly-spaced offsets (nearest-neighbor over the byte plane) — a
+    real image resize swaps only the inner function; the payload→
+    payload' signature, header rewrite, and batch contract are what
+    production code reuses."""
+    cols = df.select(id_col, payload_col)
+    target = out_w * out_h
+    header = MAGIC + out_w.to_bytes(2, "big") + out_h.to_bytes(2, "big")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                body = bytes(payload)[8:]
+                if body:
+                    step = max(len(body) // target, 1)
+                    sampled = body[::step][:target]
+                else:
+                    sampled = b""
+                out.append(header + sampled)
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": pd.Series(out, dtype=object)})
+
+    return cols.mapInPandas(run, schema)
+
+
+def embed_payload(df: DataFrame, dim: int = 64,
+                  payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction template: payload → ``array<float>`` embedding
+    of fixed ``dim``, here a deterministic md5-expansion pseudo-encoder
+    (each float from one digest byte, scaled to [-1, 1]).
+
+    The output column type matches the ``embeddings`` table exactly, so
+    the result feeds straight into the similarity family (ann_topk /
+    cosine_dup_pairs) — the payload → embedding → ANN composition a
+    production multimodal pipeline runs, with the encoder swapped."""
+    cols = df.select(id_col, payload_col)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf[payload_col]:
+                raw = b""
+                seed = bytes(payload)
+                while len(raw) < dim:
+                    seed = hashlib.md5(seed).digest()
+                    raw += seed
+                vecs.append([b / 127.5 - 1.0 for b in raw[:dim]])
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "embedding": pd.Series(vecs, dtype=object)})
+
+    return cols.mapInPandas(run, schema)
+
+
 def decode_payload(df: DataFrame, payload_col: str = "payload",
                    codec: str = "image") -> DataFrame:
     """Decode payloads into pixel/sample arrays.

@@ -148,3 +148,55 @@ def test_ivf_topk_accepts_trained_centroids(vecs):
         per_q.setdefault(r.q_id, []).append(r.rank)
     assert all(ranks == sorted(ranks) and len(ranks) <= 10
                for ranks in per_q.values())
+
+
+def test_frame_sample_row_expansion(docs):
+    """1->N frame sampling: every 4th 64-byte frame of each payload,
+    indices multiple of 4, md5s match a local reimplementation."""
+    import hashlib
+    payloads = multimodal.with_binary_payload(docs.select("doc_id", "text"))
+    got = multimodal.frame_sample(payloads, 64, 4).collect()
+    assert got
+    rows = {(r.doc_id, r.frame_idx): (r.frame_md5, r.frame_bytes)
+            for r in got}
+    local = {r.doc_id: bytes(r.payload)[8:]
+             for r in payloads.select("doc_id", "payload").collect()}
+    assert all(idx % 4 == 0 for _, idx in rows)
+    for (doc_id, idx), (md5, nb) in rows.items():
+        frame = local[doc_id][idx * 64:(idx + 1) * 64]
+        assert hashlib.md5(frame).hexdigest() == md5
+        assert len(frame) == nb
+    # every doc with >4 frames contributes >1 row
+    big = [d for d, b in local.items() if len(b) > 64 * 4]
+    from collections import Counter
+    per_doc = Counter(d for d, _ in rows)
+    assert all(per_doc[d] > 1 for d in big)
+
+
+def test_resize_payload_header_and_size(docs):
+    payloads = multimodal.with_binary_payload(docs.select("doc_id", "text"))
+    resized = multimodal.resize_payload(payloads, 8, 8)
+    meta = multimodal.extract_metadata(resized).collect()
+    assert all(r.magic_ok and r.width == 8 and r.height == 8
+               and r.n_bytes <= 8 + 64 for r in meta)
+
+
+def test_embed_payload_feeds_similarity(docs):
+    """payload -> embedding -> brute-force top-k composition: the
+    pseudo-encoder's output drops into the similarity operators
+    unchanged."""
+    payloads = multimodal.with_binary_payload(
+        docs.select("doc_id", "text").limit(50))
+    emb = multimodal.embed_payload(payloads)
+    rows = emb.collect()
+    assert all(len(r.embedding) == 64 for r in rows)
+    assert all(-1.0 <= x <= 1.0 for r in rows for x in r.embedding)
+    q = (emb.filter(F.col("doc_id") % 10 == 0)
+         .select(F.col("doc_id").alias("q_id"),
+                 similarity.as_double("embedding").alias("q_vec")))
+    topk = similarity.brute_force_topk(emb, q, k=5, id_col="doc_id",
+                                      vec_col="embedding")
+    per_q = {}
+    for r in topk.collect():
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert per_q and all(ranks == sorted(ranks) for ranks in per_q.values())
