@@ -67,8 +67,14 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
     index → self-equi-join on shingle → distinct candidate pairs →
     verify by intersecting full shingle arrays. The only shuffles are
     on the shingle string and on the pair key.
+
+    The shingle table and the prefix index are persisted: each feeds
+    ≥ 2 branches (self-join sides, verification legs), and without a
+    cache every branch re-runs the shingle kernel. Both are corpus- or
+    prefix-sized (PPJoin implementations cache the same structures);
+    MEMORY_AND_DISK, evicted LRU.
     """
-    sh = doc_shingles(docs, id_col, text_col, k)
+    sh = doc_shingles(docs, id_col, text_col, k).persist()
     ex = sh.select("doc_id", F.size("s").alias("n"),
                    F.explode("s").alias("sg"))
 
@@ -82,7 +88,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
                  .withColumn("rk", F.row_number().over(w))
                  .filter(F.col("rk") <=
                          F.floor((1.0 - threshold) * F.col("n")) + 1)
-                 .select("doc_id", "sg"))
+                 .select("doc_id", "sg")).persist()
     else:
         index = ex.select("doc_id", "sg")
 
@@ -182,8 +188,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
     (1-0.8⁸)¹⁶ ≈ 4%, and ≈ 10⁻¹³ at the J ≈ 0.98 of true near-dups;
     tests/test_pipeline.py checks recall==1.0 against the exact pairs
     on the testdata."""
-    sh = doc_shingles(docs, id_col, text_col, k)
-    buckets = minhash_band_buckets(sh, num_hashes, bands)
+    # sh feeds the bucket kernel + both verification legs; buckets feed
+    # both self-join sides — persist each (LRU-evicted) so the shingle
+    # and signature kernels run once, not per branch
+    sh = doc_shingles(docs, id_col, text_col, k).persist()
+    buckets = minhash_band_buckets(sh, num_hashes, bands).persist()
 
     cand = (buckets.alias("a")
             .join(buckets.alias("b"),
@@ -249,7 +258,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6, k: int = 3,
     block value is the join (shuffle) key. Exact w.r.t. the SimHash
     distance; no crossJoin."""
     nblocks = blocks or (max_hamming + 1)
-    fps = simhash(docs, k, id_col, text_col)
+    # both self-join sides re-run the fingerprint kernel without this
+    fps = simhash(docs, k, id_col, text_col).persist()
     width = 64 // nblocks
     block_cols = [
         F.struct(F.lit(i).alias("blk"),
