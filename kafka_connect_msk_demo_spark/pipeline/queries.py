@@ -18,6 +18,8 @@ from . import dedup, multimodal, similarity, text_analysis
 from .text_analysis import LANG_MARKERS, STOPWORDS
 from .textprep import duckdb_shingle_cte
 
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -155,6 +157,75 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(vecs, q, k=10, centroids=cents)
 
 
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the composition a real
+    data pipeline runs, as ONE oracle-checked query:
+
+    1. quality gate (quality_score >= 0.45);
+    2. exact dedup (lowest doc_id per normalized text survives);
+    3. near-dup removal (drop the d2 side of every exact-Jaccard >= 0.8
+       pair among survivors — lowest id in a pair wins).
+
+    Each stage reuses the registered operators unchanged; the oracle
+    composes their SQL twins, so the full pipeline, not just the
+    stages, is hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_analysis.quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(q.filter(F.col("quality") >= 0.45).select("doc_id"),
+                     "doc_id", "left_semi")
+    canon = dedup.exact_dedup(kept) \
+        .select(F.col("canonical_id").alias("doc_id"))
+    kept = kept.join(canon, "doc_id", "left_semi")
+    losers = dedup.jaccard_pairs(kept, 0.8) \
+        .select(F.col("d2").alias("doc_id")).distinct()
+    return (kept.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id"))
+
+
+_SQL_CORPUS_CLEAN = f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS low,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         0.4 * (least(len(t), 64)::DOUBLE / 64.0)
+           + 0.3 * (1.0 - len(regexp_extract_all(low,
+                 '{text_analysis.PUNCT_RE}'))::DOUBLE / length(low))
+           + 0.3 * least(len(list_filter(t, x -> x IN ({_STOP_SQL})))::DOUBLE
+                         / len(t) * 5.0, 1.0) AS quality
+  FROM base
+), kept1 AS (
+  SELECT d.* FROM documents d
+  JOIN m ON d.doc_id = m.doc_id AND m.quality >= 0.45
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept1
+  GROUP BY md5(lower(trim(text)))
+), kept2 AS (
+  SELECT k.* FROM kept1 k JOIN canon c ON k.doc_id = c.doc_id
+), {duckdb_shingle_cte(3, rel="kept2")},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT d2 AS doc_id
+  FROM pairs
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+)
+SELECT doc_id, lang, source, n_chars
+FROM kept2
+WHERE doc_id NOT IN (SELECT doc_id FROM near)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis family
 # ---------------------------------------------------------------------------
@@ -190,8 +261,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.quality_score(docs).orderBy("doc_id")
 
-
-_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 _SQL_TEXT_QUALITY = f"""
 WITH base AS (
@@ -301,6 +370,7 @@ PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
     "dedup_minhash": (q_dedup_minhash, _SQL_NEAR_PAIRS),
+    "corpus_clean": (q_corpus_clean, _SQL_CORPUS_CLEAN),
     "dedup_simhash": (q_dedup_simhash, None),
     "similar_vectors": (q_similar_vectors, _SQL_SIMILAR_VECTORS),
     "embedding_dup_pairs": (q_embedding_dup_pairs,
