@@ -277,6 +277,44 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .orderBy("q_id", "rank"))
 
 
+def cosine_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
+                         nbits: int = 6, dim: int = 64, tables: int = 8,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs at SCALE: LSH buckets generate the
+    candidates, exact cosine verifies them — the bucketed replacement
+    for :func:`cosine_dup_pairs`' all-pairs scan.
+
+    Two vectors collide when they share a (table, bucket); candidate
+    volume is Σ bucket² per table, never |N|². At the true-near-dup
+    cosines this targets (≥ 0.9, bit-agreement ≥ 0.85) the default
+    6-bit × 8-table config misses a pair with probability
+    (1 − 0.85⁶)⁸ ≈ 2 %, and ≈ 10⁻⁵ at cos 0.99 — recall 1.0 on planted
+    duplicates is asserted in tests/test_pipeline.py. NOT for mining
+    weak correlations (cos ≈ 0.45 ⇒ per-table collision ≈ 0.08): use
+    the exact scorer at validation scale for that."""
+    spark = vectors.sparkSession
+    v = (vectors.select(F.col(id_col).alias("id"),
+                        as_double(vec_col).alias("v"))
+         .repartition(spark.sparkContext.defaultParallelism)
+         .withColumn("nrm", _norm(F.col("v"), dim)))
+    # one (tbl, bucket) row per table per vector; persisted — both
+    # self-join sides would otherwise re-run the bucket kernel
+    bucketed = lsh_buckets(v, "v", nbits, dim, tables).persist()
+    a = bucketed.select("tbl", "bucket", F.col("id").alias("d1"),
+                        F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = bucketed.select("tbl", "bucket", F.col("id").alias("d2"),
+                        F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    cand = (a.join(b, ["tbl", "bucket"])
+            .filter(F.col("d1") < F.col("d2"))
+            .dropDuplicates(["d1", "d2"]))
+    cos = _dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2"))
+    return (cand.withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("d1", "d2", "cos")
+            .orderBy("d1", "d2"))
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (inverted-file index — the coarse-quantizer scale path)
 # ---------------------------------------------------------------------------

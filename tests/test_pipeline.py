@@ -200,3 +200,24 @@ def test_embed_payload_feeds_similarity(docs):
     for r in topk.collect():
         per_q.setdefault(r.q_id, []).append(r.rank)
     assert per_q and all(ranks == sorted(ranks) for ranks in per_q.values())
+
+
+def test_lsh_dup_pairs_full_recall_on_planted_dups(spark, vecs):
+    """The bucketed near-dup path must find every planted true
+    near-duplicate (cos >= 0.9): copies of real vectors with one
+    coordinate nudged. Verified against the exact all-pairs scorer."""
+    base = vecs.limit(20).collect()
+    planted = [(10_000 + r.vec_id,
+                [x + (0.01 if j == 0 else 0.0)
+                 for j, x in enumerate(r.embedding)], "dup")
+               for r in base]
+    extra = spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label string")
+    allv = vecs.select("vec_id", "embedding", "label").unionByName(extra)
+    exact = {(r.d1, r.d2)
+             for r in similarity.cosine_dup_pairs(allv, 0.9).collect()}
+    lsh = {(r.d1, r.d2)
+           for r in similarity.cosine_dup_pairs_lsh(allv, 0.9).collect()}
+    assert exact, "planted duplicates must appear in the truth set"
+    # full recall AND no false positives (exact verification inside)
+    assert lsh == exact
