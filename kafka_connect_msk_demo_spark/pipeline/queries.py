@@ -3,9 +3,9 @@
 Every entry follows the engine-wide contract (queries.py): a
 ``(spark, sf_dir) -> DataFrame`` callable and an exact-match oracle SQL
 string (``None`` only where the operator is genuinely not
-SQL-expressible — the approximate ANN and SimHash paths, whose quality
-is instead bounded against their exact twins in
-tests/test_pipeline.py).
+SQL-expressible — the approximate paths (LSH/IVF ANN, SimHash) and the
+iterative k-means trainer, whose quality is instead bounded against
+their exact twins in tests/test_pipeline.py).
 """
 
 from __future__ import annotations
