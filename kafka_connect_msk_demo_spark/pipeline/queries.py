@@ -148,11 +148,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: IVF top-k over a Lloyd-trained coarse quantizer
-    (3 iterations) — the iterative-algorithm shape (bounded driver loop
+    (2 iterations) — the iterative-algorithm shape (bounded driver loop
     re-broadcasting a K×dim table per round). Recall/convergence
     properties asserted in tests/test_pipeline.py."""
     vecs = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(vecs, k=16, iters=3)
+    cents = similarity.kmeans_centroids(vecs, k=16, iters=2)
     q = similarity.queries_by_mod(vecs, 50)
     return similarity.ivf_topk(vecs, q, k=10, centroids=cents)
 

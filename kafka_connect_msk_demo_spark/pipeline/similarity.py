@@ -321,7 +321,8 @@ def cosine_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
-               vec_col: str = "v", out: str = "cell") -> DataFrame:
+               vec_col: str = "v", out: str = "cell",
+               dim: int | None = 64) -> DataFrame:
     """Assign each vector to its nearest centroid (highest cosine).
 
     Centroids are broadcast (K rows); the assignment is a map-side
@@ -330,7 +331,8 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     / shuffle key for every downstream search."""
     c = centroids.select(F.col("c_id"), F.col("c_vec"))
     scored = (vectors.crossJoin(F.broadcast(c))
-              .withColumn("sim", cosine(F.col(vec_col), F.col("c_vec"))))
+              .withColumn("sim",
+                          cosine(F.col(vec_col), F.col("c_vec"), dim)))
     keys = [f.name for f in vectors.schema.fields]
     return (scored.groupBy(*keys)
             .agg(F.max_by("c_id", F.struct(F.col("sim"), -F.col("c_id")))
@@ -423,7 +425,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         cents, vec_col="v")
     # query side: nprobe nearest cells each
     qscored = (queries.crossJoin(F.broadcast(cents))
-               .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec"))))
+               .withColumn("sim",
+                           cosine(F.col("q_vec"), F.col("c_vec"), 64)))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
     probes = (qscored.withColumn("rk", F.row_number().over(w))
               .filter(F.col("rk") <= nprobe)
