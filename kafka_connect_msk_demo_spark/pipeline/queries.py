@@ -319,6 +319,47 @@ ORDER BY t.doc_id
 """
 
 
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.top_ngrams(docs, k=2, top=100)
+
+
+_SQL_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT string_split(lower(trim(text)), ' ') AS t FROM documents
+), g AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 FOR i IN generate_series(1, len(t) - 1)]) AS gram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT gram, COUNT(*) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT 100
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.lang_stats(docs)
+
+
+_SQL_LANG_STATS = """
+WITH m AS (
+  SELECT lang, length(lower(trim(text))) AS nc,
+         len(string_split(lower(trim(text)), ' ')) AS nt
+  FROM documents
+)
+SELECT lang, COUNT(*) AS docs,
+       SUM(nc) AS total_chars, SUM(nt) AS total_tokens,
+       SUM(nc)::DOUBLE / COUNT(*) AS mean_chars,
+       SUM(nt)::DOUBLE / COUNT(*) AS mean_tokens
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.fingerprint(docs)
@@ -381,6 +422,8 @@ PIPELINE_QUERIES: dict = {
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, _SQL_LANG_ID),
+    "top_ngrams": (q_top_ngrams, _SQL_TOP_NGRAMS),
+    "lang_stats": (q_lang_stats, _SQL_LANG_STATS),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
 }

@@ -144,3 +144,49 @@ def fingerprint(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                       F.array_min(F.transform("s", F.md5))
                       .alias("shingle_fp"))
             .orderBy("doc_id"))
+
+
+def top_ngrams(docs: DataFrame, k: int = 2, top: int = 100,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-N ``k``-gram frequencies — the word-count shape
+    at corpus scale: explode k-grams, one hash-aggregate on the gram
+    string (map-side partial counts carry one row per distinct gram per
+    partition), top-N via `limit` after sort. Duplicate k-grams within
+    a document count every occurrence (no distinct), so the numbers are
+    true corpus frequencies."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    joined = ", ".join(f"t[i + {j}]" for j in range(k))
+    grams = toks.select(F.explode(F.expr(
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(0, size(t) - {k}), "
+        f"i -> concat_ws(' ', {joined})) "
+        f"ELSE array() END")).alias("gram"))
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "gram")
+            .limit(top))
+
+
+def lang_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               lang_col: str = "lang") -> DataFrame:
+    """Per-language corpus statistics — one hash-aggregate over the
+    labeled language: document count, char/token totals and means.
+    int/int → double divisions only, so the oracle reproduces values
+    bit-for-bit."""
+    low = F.lower(F.trim(F.col(text_col)))
+    n_tokens = F.size(tokens(text_col))
+    return (docs.select(F.col(lang_col).alias("lang"),
+                        F.length(low).alias("nc"),
+                        n_tokens.alias("nt"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("nc").alias("total_chars"),
+                 F.sum("nt").alias("total_tokens"),
+                 (F.sum("nc").cast("double")
+                  / F.count(F.lit(1))).alias("mean_chars"),
+                 (F.sum("nt").cast("double")
+                  / F.count(F.lit(1))).alias("mean_tokens"))
+            .orderBy("lang"))
