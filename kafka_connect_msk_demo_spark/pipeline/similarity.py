@@ -365,10 +365,16 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
     only the K×dim centroid table to the driver for re-broadcast —
     the per-iteration driver traffic is O(K·dim), independent of |N|.
 
-    Deterministic given the data (means use float sums whose order
-    Spark's aggregate fixes per partitioning — stable across runs on
-    the same layout, like any distributed float aggregate). Empty
-    cells keep their previous centroid."""
+    Per iteration the executors run ONE Arrow-batched kernel that
+    assigns each batch to cells (vectorized cosine against the
+    broadcast centroid matrix, ties to the lowest centroid id) and
+    emits per-cell partial (count, Σvec) rows — at most K rows per
+    batch; the driver combines the K×partitions partials. No per-row
+    shuffle at all, which is also the 1000-executor plan. Deterministic
+    given the data; empty cells keep their previous centroid."""
+    import numpy as np
+    import pandas as pd
+
     spark = vectors.sparkSession
     data = (vectors.select(F.col(id_col).alias("vec_id"),
                            as_double(vec_col).alias("v"))
@@ -379,19 +385,41 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
                  deterministic_centroids(vectors, k, id_col, vec_col)
                  .collect()]
         for _ in range(iters):
-            cdf = spark.createDataFrame(cents, "c_id long, c_vec array<double>")
-            assigned = ivf_assign(data, cdf, vec_col="v")
-            means = (assigned
-                     .select("cell", F.posexplode("v").alias("j", "x"))
-                     .groupBy("cell", "j")
-                     .agg(F.avg("x").alias("m"))
-                     .groupBy("cell")
-                     .agg(F.array_sort(
-                         F.collect_list(F.struct("j", "m"))).alias("jm"))
-                     .select(F.col("cell").alias("c_id"),
-                             F.col("jm.m").alias("c_vec")))
-            updated = {r["c_id"]: list(r["c_vec"]) for r in means.collect()}
-            cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
+            # centroids ordered by c_id so argmax ties pick the lowest id
+            order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+            ids = [cents[i][0] for i in order]
+            C = np.stack([np.asarray(cents[i][1]) for i in order])
+            Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]
+            bc = spark.sparkContext.broadcast((ids, Cn))
+
+            def partials(batches):
+                cids, CnT = bc.value[0], bc.value[1].T
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    A = _np_stack(pdf["v"])
+                    An = A / np.sqrt((A * A).sum(axis=1))[:, None]
+                    cell = (An @ CnT).argmax(axis=1)
+                    rows = []
+                    for ci in np.unique(cell):
+                        sel = A[cell == ci]
+                        rows.append((int(cids[ci]), len(sel),
+                                     sel.sum(axis=0).tolist()))
+                    yield pd.DataFrame(rows,
+                                       columns=["c_id", "n", "vsum"])
+
+            agg = data.mapInPandas(
+                partials,
+                "c_id long, n long, vsum array<double>").collect()
+            totals: dict[int, tuple[int, np.ndarray]] = {}
+            for r in agg:
+                n0, s0 = totals.get(r["c_id"], (0, 0.0))
+                totals[r["c_id"]] = (n0 + r["n"],
+                                     s0 + np.asarray(r["vsum"]))
+            cents = [(cid,
+                      (totals[cid][1] / totals[cid][0]).tolist()
+                      if cid in totals else vec)
+                     for cid, vec in cents]
         return spark.createDataFrame(cents, "c_id long, c_vec array<double>")
     finally:
         data.unpersist()
