@@ -322,13 +322,19 @@ def cosine_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                vec_col: str = "v", out: str = "cell",
-               dim: int | None = 64) -> DataFrame:
+               dim: int | None = None) -> DataFrame:
     """Assign each vector to its nearest centroid (highest cosine).
 
     Centroids are broadcast (K rows); the assignment is a map-side
     K-way scoring + ``max_by`` — one shuffle on the vector id. At scale
     this is the IVF coarse quantizer: the cell id becomes the partition
-    / shuffle key for every downstream search."""
+    / shuffle key for every downstream search.
+
+    ``dim`` defaults to the interpreted fold on purpose: the K-way
+    cross join evaluates the cosine K times per row, and unrolling a
+    64-term dot into each copy explodes the generated code (measured
+    2× slower than the fold here — the opposite of the pair scorers,
+    where one unrolled copy per row wins)."""
     c = centroids.select(F.col("c_id"), F.col("c_vec"))
     scored = (vectors.crossJoin(F.broadcast(c))
               .withColumn("sim",
@@ -453,8 +459,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         cents, vec_col="v")
     # query side: nprobe nearest cells each
     qscored = (queries.crossJoin(F.broadcast(cents))
-               .withColumn("sim",
-                           cosine(F.col("q_vec"), F.col("c_vec"), 64)))
+               .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec"))))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
     probes = (qscored.withColumn("rk", F.row_number().over(w))
               .filter(F.col("rk") <= nprobe)
