@@ -148,3 +148,23 @@ def session_agg(df: DataFrame, group_cols: list[str], ts_col: str,
                     F.unix_micros("session_window.end")
                     .alias("session_end_us"),
                     "n_events", "total"))
+
+
+def distinct_counts(df: DataFrame, group_cols: list[str],
+                    key_col: str, approx: bool = False,
+                    rsd: float = 0.05) -> DataFrame:
+    """Per-group row count + distinct-key count.
+
+    Exact mode plans as Spark's two-phase distinct aggregate (partial
+    count + expand on the distinct key); ``approx`` swaps in the
+    HyperLogLog++ sketch (``approx_count_distinct``), whose state is a
+    fixed-size sketch instead of the key set — at 100 TB the exact
+    distinct shuffles every distinct key once, the sketch shuffles
+    O(1/rsd²) bytes per group. Sketch error is bounded in
+    tests/test_plan_quality.py::test_hll_error_bound."""
+    counter = (F.approx_count_distinct(key_col, rsd) if approx
+               else F.countDistinct(key_col))
+    return (df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 counter.alias("distinct_keys"))
+            .orderBy(*group_cols))

@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table, load_tables
-from .operators.aggregates import dec, sum_count, summary_stats, windowed_sum_count
+from .operators.aggregates import (dec, distinct_counts, sum_count,
+                                   summary_stats, windowed_sum_count)
 from .operators.dedup_rank import latest_by_key, ranked_keep_first
 from .operators.formatting import format_sales, order_by_deformatted
 from .operators.joins import (anti_join_not_exists, enrich, semi_join_in,
@@ -357,6 +358,22 @@ _SQL_IN_SUBQUERY = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (extension beyond the reference's
+    collect_set-only distinct surface): per event type, row count and
+    exact distinct users. The approx (HyperLogLog++) variant of the
+    same operator is bounded-error-tested instead of oracle-checked."""
+    events = load_table(spark, sf_dir, "events")
+    return distinct_counts(events, ["event_type"], "user_id")
+
+
+_SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS distinct_keys
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -709,6 +726,7 @@ BATCH_QUERIES = {
     "group_concat": (q_group_concat, _SQL_GROUP_CONCAT),
     "in_subquery": (q_in_subquery, _SQL_IN_SUBQUERY),
     "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
+    "distinct_users": (q_distinct_users, _SQL_DISTINCT_USERS),
     "correlated_subquery": (q_correlated_subquery, _SQL_CORRELATED_SUBQUERY),
     "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
     "summary_stats": (q_summary_stats, _SQL_SUMMARY_STATS),

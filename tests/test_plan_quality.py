@@ -47,3 +47,20 @@ def test_no_scale_antipatterns(spark, sf_small, name):
             f"{name}: undeclared nested-loop join"
     assert "BatchEvalPython" not in plan, \
         f"{name}: row-at-a-time Python UDF in plan"
+
+
+def test_hll_error_bound(spark, sf_small):
+    """approx_count_distinct (HyperLogLog++) stays within ~3x the
+    requested rsd of the exact distinct count on every group."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.operators.aggregates import (
+        distinct_counts)
+    events = load_table(spark, sf_small, "events")
+    exact = {r.event_type: r.distinct_keys for r in
+             distinct_counts(events, ["event_type"], "user_id").collect()}
+    approx = {r.event_type: r.distinct_keys for r in
+              distinct_counts(events, ["event_type"], "user_id",
+                              approx=True, rsd=0.05).collect()}
+    assert exact.keys() == approx.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.15 * n, 2), (k, n, approx[k])
