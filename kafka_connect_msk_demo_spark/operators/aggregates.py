@@ -168,3 +168,21 @@ def distinct_counts(df: DataFrame, group_cols: list[str],
             .agg(F.count(F.lit(1)).alias("n"),
                  counter.alias("distinct_keys"))
             .orderBy(*group_cols))
+
+
+def group_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
+                    probs: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Per-group exact quantiles (linear interpolation — the
+    ``quantile_cont`` semantics) plus min/max.
+
+    Exact percentile state is the sorted group; at 100 TB prefer
+    ``F.approx_percentile`` (t-digest sketch, fixed-size state) when
+    the groups are huge and ±ε is acceptable — same call shape, swap
+    the aggregate."""
+    aggs = [F.percentile(value_col, F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in probs]
+    return (df.groupBy(*group_cols)
+            .agg(*aggs,
+                 F.min(value_col).alias("lo"),
+                 F.max(value_col).alias("hi"))
+            .orderBy(*group_cols))

@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table, load_tables
-from .operators.aggregates import (dec, distinct_counts, sum_count,
+from .operators.aggregates import (dec, distinct_counts,
+                                   group_quantiles, sum_count,
                                    summary_stats, windowed_sum_count)
 from .operators.dedup_rank import latest_by_key, ranked_keep_first
 from .operators.formatting import format_sales, order_by_deformatted
@@ -377,6 +378,23 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (quantile_cont interpolation) — the
+    summary-statistics extension beyond df.summary() (A4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return group_quantiles(orders, ["o_orderstatus"], "o_totalprice")
+
+
+_SQL_PRICE_QUANTILES = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti extension (SURVEY.md §2.5): customers with no orders,
     as a left-anti join (Catalyst's NOT EXISTS rewrite)."""
@@ -727,6 +745,7 @@ BATCH_QUERIES = {
     "in_subquery": (q_in_subquery, _SQL_IN_SUBQUERY),
     "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
     "distinct_users": (q_distinct_users, _SQL_DISTINCT_USERS),
+    "price_quantiles": (q_price_quantiles, _SQL_PRICE_QUANTILES),
     "correlated_subquery": (q_correlated_subquery, _SQL_CORRELATED_SUBQUERY),
     "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
     "summary_stats": (q_summary_stats, _SQL_SUMMARY_STATS),
