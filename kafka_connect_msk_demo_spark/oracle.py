@@ -49,7 +49,21 @@ def compare(spark_df, oracle_df: pd.DataFrame,
         return issues
     for c in left.columns:
         lv, rv = left[c], right[c]
-        if pd.api.types.is_float_dtype(lv) or pd.api.types.is_float_dtype(rv):
+        # The driver's value hash is dtype-sensitive: an int64 19525 and a
+        # float64 19525.0 hash differently even though they compare equal
+        # here. Flag the drift so it is caught locally (this is exactly how
+        # lang_stats escaped the round-2 local gate: DuckDB SUM(BIGINT)
+        # returns HUGEINT -> float64 while Spark emits int64).
+        l_float = pd.api.types.is_float_dtype(lv)
+        r_float = pd.api.types.is_float_dtype(rv)
+        l_int = pd.api.types.is_integer_dtype(lv)
+        r_int = pd.api.types.is_integer_dtype(rv)
+        if (l_float and r_int) or (l_int and r_float):
+            issues.append(
+                f"column {c}: dtype drift {lv.dtype} vs {rv.dtype} "
+                f"(driver hash would mismatch even on equal values)")
+            continue
+        if l_float or r_float:
             lf = lv.astype(float).to_numpy()
             rf = rv.astype(float).to_numpy()
             bad = 0

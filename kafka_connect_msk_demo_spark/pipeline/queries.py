@@ -353,7 +353,7 @@ WITH m AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS docs,
-       SUM(nc) AS total_chars, SUM(nt) AS total_tokens,
+       SUM(nc)::BIGINT AS total_chars, SUM(nt)::BIGINT AS total_tokens,
        SUM(nc)::DOUBLE / COUNT(*) AS mean_chars,
        SUM(nt)::DOUBLE / COUNT(*) AS mean_tokens
 FROM m GROUP BY lang ORDER BY lang
