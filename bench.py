@@ -15,13 +15,19 @@ Methodology:
 * each query executes via the ``noop`` sink — unlike ``count()`` it
   preserves the full plan (a count aggregate lets Catalyst eliminate
   the final sort and prune projection work, under-measuring sorted/
-  projected queries).
+  projected queries);
+* every HEADLINE query runs ``SPARK_GRAFT_REPEATS`` times (default 3)
+  and reports the MEDIAN — a single sequential sweep accumulates
+  GC/codegen/broadcast pressure that lands on arbitrary queries, which
+  made the round-2 recorded outliers 4-6x worse than clean-session
+  re-runs. Non-headline queries run once (they are informational).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -32,6 +38,7 @@ from kafka_connect_msk_demo_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 
 #: headline set — one per major operator family; FIXED across rounds so
 #: the total stays comparable (new operators are timed but not totaled).
@@ -73,9 +80,13 @@ def run() -> None:
     for name, fn in registry.items():
         if name in SKIP:
             continue
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = REPEATS if name in HEADLINE else 1
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -71,11 +71,53 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: SimHash uses xxhash64, which the oracle engine
-    lacks; its agreement with the Jaccard truth set is asserted in
-    tests/test_pipeline.py instead."""
+    """Fully oracle-checked: the fingerprint is deterministic md5-prefix
+    arithmetic, so the DuckDB twin recomputes every 64-bit SimHash from
+    hex-digit arithmetic and brute-forces the pair set. The pigeonhole
+    block join is EXACT w.r.t. Hamming distance (a pair within d bits
+    agrees on >= 1 of d+1 blocks), so the brute-force oracle and the
+    blocked Spark plan must produce the identical pair set."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=8)
+
+
+#: DuckDB twin of the SimHash fingerprint + pair search. Bit ``j`` of a
+#: shingle's base hash (first 8 md5 bytes, big-endian) lives in hex char
+#: ``16 - j//4`` at in-char bit ``j%4``; the fingerprint bit is the sign
+#: of the per-bit +/-1 sum over the document's shingles; pairs are brute
+#: forced (the Spark side's block pigeonhole is exact, so the sets agree).
+_SQL_DEDUP_SIMHASH_TEMPLATE = """
+WITH {shingle_cte},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+h AS (SELECT doc_id, md5(sg) AS hx FROM ex),
+bits AS (
+  SELECT doc_id, gs.j,
+         ((strpos('0123456789abcdef',
+                  substr(hx, 16 - (gs.j // 4), 1)) - 1)
+          >> (gs.j % 4)) & 1 AS bit
+  FROM h, generate_series(0, 63) gs(j)
+), sums AS (
+  SELECT doc_id, j, SUM(2 * bit - 1) AS ssum FROM bits GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN ssum > 0 THEN 1::HUGEINT << j ELSE 0 END) AS ufp
+  FROM sums GROUP BY 1
+), fps AS (
+  SELECT doc_id,
+         (CASE WHEN ufp >= 9223372036854775808::HUGEINT
+               THEN ufp - 18446744073709551616::HUGEINT
+               ELSE ufp END)::BIGINT AS simhash
+  FROM fp
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY d1, d2
+"""
+
+_SQL_DEDUP_SIMHASH = _SQL_DEDUP_SIMHASH_TEMPLATE.format(
+    shingle_cte=duckdb_shingle_cte(3), max_hamming=8)
 
 
 # ---------------------------------------------------------------------------
@@ -130,11 +172,73 @@ ORDER BY d1, d2
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: approximate by design; recall vs the exact
-    brute force is asserted in tests/test_pipeline.py."""
+    """Fully oracle-checked despite being an ANN index: the hyperplanes
+    are deterministic SHA-derived +/-1 constants, so the DuckDB twin
+    inlines every plane as a signed-sum expression (same left-fold
+    summation order as the Arrow kernel -> identical sign bits),
+    replays the 1-bit multiprobe, and reranks exactly."""
     vecs = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_mod(vecs, 50)
     return similarity.ann_topk(vecs, q, k=10)
+
+
+def _ann_dot_expr(t: int, j: int, dim: int = 64) -> str:
+    """Signed-sum SQL for dot(v, plane(t, j)) in the numpy kernel's
+    left-fold order — +/-1 multiplies and left-assoc adds are IEEE-exact,
+    so the DuckDB sign bit equals the Spark sign bit."""
+    parts = [("+ " if s > 0 else "- ") + f"v[{i + 1}]"
+             for i, s in enumerate(similarity._plane_signs(t, j, dim))]
+    e = " ".join(parts)
+    return e[2:] if e.startswith("+ ") else "-" + e[2:]
+
+
+def _sql_ann_topk(nbits: int = 6, tables: int = 8, k: int = 10,
+                  mod: int = 50) -> str:
+    """Generated DuckDB twin of :func:`similarity.ann_topk` — the
+    deterministic planes are inlined as literals; queries are the
+    vec_id % mod == 0 subset of the data, so buckets are computed once."""
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(((({_ann_dot_expr(t, j)}) > 0)::BIGINT) << {j})"
+            for j in range(nbits))
+
+    bexprs = ",\n       ".join(f"{bucket(t)} AS b{t}" for t in range(tables))
+    union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM bk"
+        for t in range(tables))
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(nbits)])
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, {bexprs} FROM d),
+db AS ({union}),
+qp AS (
+  SELECT vec_id AS q_id, tbl, unnest([{probe_list}]) AS bucket
+  FROM db WHERE vec_id % {mod} = 0
+), cand AS (
+  SELECT DISTINCT qp.q_id, db.vec_id
+  FROM qp JOIN db USING (tbl, bucket)
+  WHERE db.vec_id <> qp.q_id
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(qv.v, dv.v) /
+           (sqrt(list_dot_product(qv.v, qv.v))
+            * sqrt(list_dot_product(dv.v, dv.v))) AS cos
+  FROM cand c
+  JOIN d qv ON qv.vec_id = c.q_id
+  JOIN d dv ON dv.vec_id = c.vec_id
+), r AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+_SQL_ANN_TOPK = _sql_ann_topk()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,11 +516,11 @@ PIPELINE_QUERIES: dict = {
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
     "dedup_minhash": (q_dedup_minhash, _SQL_NEAR_PAIRS),
     "corpus_clean": (q_corpus_clean, _SQL_CORPUS_CLEAN),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     "similar_vectors": (q_similar_vectors, _SQL_SIMILAR_VECTORS),
     "embedding_dup_pairs": (q_embedding_dup_pairs,
                             _SQL_EMBEDDING_DUP_PAIRS),
-    "ann_topk": (q_ann_topk, None),
+    "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
     "ivf_topk": (q_ivf_topk, None),
     "ivf_kmeans_topk": (q_ivf_kmeans_topk, None),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
