@@ -76,20 +76,39 @@ class JdbcPoller:
 
     def advance(self, batch: DataFrame) -> int:
         """Advance offsets past a delivered batch; returns batch size.
-        One tiny aggregate job — the only driver-side action per poll."""
+        One tiny aggregate job — the only driver-side action per poll.
+
+        In timestamp+incrementing mode the offset MUST come from the
+        single last row in (ts, id) order — column-wise independent
+        maxes would fabricate a state like (ts=2, inc=100) from rows
+        (ts=1,id=100) and (ts=2,id=5), and a later (ts=2,id=6) would
+        fail the tuple predicate and be silently lost. ``max(struct)``
+        orders lexicographically by field, exactly the tuple order the
+        predicate checks."""
         from pyspark.sql import functions as F
         aggs = [F.count(F.lit(1)).alias("n")]
-        if "incrementing" in self.mode:
+        if self.mode == "timestamp+incrementing":
+            aggs.append(F.max(F.struct(
+                F.col(self.timestamp_column).cast("string").alias("ts"),
+                F.col(self.incrementing_column).alias("inc"),
+            )).alias("last"))
+        elif "incrementing" in self.mode:
             aggs.append(F.max(self.incrementing_column).alias("max_inc"))
-        if "timestamp" in self.mode:
+        elif "timestamp" in self.mode:
             aggs.append(F.max(self.timestamp_column).cast("string")
                         .alias("max_ts"))
         row = batch.agg(*aggs).first()
         if row.n:
-            if "incrementing" in self.mode and row.max_inc is not None:
-                self.state.last_incrementing = row.max_inc
-            if "timestamp" in self.mode and row.max_ts is not None:
-                self.state.last_timestamp = row.max_ts
+            if self.mode == "timestamp+incrementing":
+                if row.last is not None and row.last.ts is not None:
+                    self.state.last_timestamp = row.last.ts
+                    self.state.last_incrementing = row.last.inc
+            elif "incrementing" in self.mode:
+                if row.max_inc is not None:
+                    self.state.last_incrementing = row.max_inc
+            elif "timestamp" in self.mode:
+                if row.max_ts is not None:
+                    self.state.last_timestamp = row.max_ts
         return row.n
 
     # -- polling -----------------------------------------------------------

@@ -110,6 +110,33 @@ def test_jdbc_timestamp_incrementing_tuple_order(spark):
     assert [r.id for r in late.collect()] == [4]
 
 
+def test_jdbc_advance_tracks_last_row_tuple_not_columnwise_max(spark):
+    """Regression: a batch with a HIGH id at an EARLIER timestamp must
+    not poison the offset. Column-wise maxes would record (ts=2,
+    inc=100) from rows (ts=1,id=100),(ts=2,id=5) and silently drop a
+    later (ts=2,id=6); the offset must be the (ts,id) of the last row
+    in tuple order: (ts=2, inc=5)."""
+    rows = [(100, "2024-01-01 00:00:00"), (5, "2024-01-02 00:00:00")]
+    df = spark.createDataFrame(rows, "id int, ts string")
+    poller = JdbcPoller(table="t", mode="timestamp+incrementing",
+                        incrementing_column="id", timestamp_column="ts")
+
+    def fetch(predicate):
+        return df.filter(F.expr(predicate))
+
+    first = poller.poll(fetch)
+    assert {r.id for r in first.collect()} == {100, 5}
+    assert poller.state.last_timestamp == "2024-01-02 00:00:00"
+    assert poller.state.last_incrementing == 5
+
+    # a later same-timestamp row with id between 5 and 100 still arrives
+    df2 = df.union(spark.createDataFrame(
+        [(6, "2024-01-02 00:00:00")], "id int, ts string"))
+    late = poller.poll(lambda p: df2.filter(F.expr(p)))
+    assert [r.id for r in late.collect()] == [6]
+    assert poller.state.last_incrementing == 6
+
+
 def test_jdbc_mode_validation():
     with pytest.raises(ValueError):
         JdbcPoller(table="t", mode="incrementing")
