@@ -259,30 +259,67 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return finalize_timestamps(df, name)
 
 
-def _stream_dir(sf_dir: str, name: str) -> str:
+#: how many file chunks a staged stream table is split into; with
+#: ``maxFilesPerTrigger=1`` this is the number of genuine micro-batches
+#: an availableNow drain executes (state restore/save per batch).
+STREAM_CHUNKS = int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "4"))
+
+
+def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     """The file-stream source requires a directory; testdata tables are
-    single files. Stage a per-table directory of symlinks under /tmp
-    (testdata itself is read-only)."""
+    single files. Stage a per-table directory of N parquet chunks under
+    /tmp (testdata itself is read-only) so every streaming query runs
+    genuinely incremental — a single-file stage would collapse any
+    ``maxFilesPerTrigger`` into one micro-batch, never exercising state
+    across batches.
+
+    Tables with an event-time column are chunked in ascending event
+    time (the realistic arrival order: watermarks advance monotonically
+    across batches, so append-mode results stay equal to the batch
+    answer — late-data DROPPING is exercised separately by the
+    watermark tests with explicit out-of-order fixtures). A staleness
+    stamp (source mtime+size+chunk count) makes restaging idempotent
+    and safe across testdata regeneration."""
+    chunks = chunks or STREAM_CHUNKS
     safe = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_streams", safe, name)
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_streams", safe,
+                     f"{name}-c{chunks}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{name}.parquet")
     target = f"{sf_dir}/{name}.parquet"
-    # lexists: a dangling symlink (testdata moved/recreated) fails the
-    # exists() check but still breaks os.symlink with FileExistsError.
-    if os.path.lexists(link):
-        if os.path.realpath(link) == os.path.realpath(target) \
-                and os.path.exists(link):
-            return d
-        os.remove(link)
-    os.symlink(target, link)
+    st = os.stat(target)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}:{chunks}"
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return d
+    import pyarrow.parquet as pq
+    for f in os.listdir(d):
+        os.remove(os.path.join(d, f))
+    t = pq.read_table(target)
+    order_col = next(iter(_TS_COLUMNS.get(name, {})), None)
+    if order_col is not None:
+        t = t.sort_by(order_col)
+    n = max(1, min(chunks, t.num_rows or 1))
+    step = -(-max(t.num_rows, 1) // n)
+    for i in range(n):
+        pq.write_table(t.slice(i * step, step),
+                       os.path.join(d, f"part-{i:05d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(stamp)
     return d
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str,
-                 max_files_per_trigger: int | None = None) -> DataFrame:
+                 max_files_per_trigger: int | None = 1) -> DataFrame:
     """The same table as an unbounded stream (file-stream source standing
-    in for a Kafka topic, SURVEY.md §2.1 S3 test mapping)."""
+    in for a Kafka topic, SURVEY.md §2.1 S3 test mapping).
+
+    Defaults to one staged chunk per micro-batch (``maxFilesPerTrigger=1``
+    over :data:`STREAM_CHUNKS` chunks) so an availableNow drain executes
+    multiple real IncrementalExecution rounds — state restore/save and
+    watermark advancement across batches, not a single-batch simulation.
+    Pass ``max_files_per_trigger=None`` for a one-batch read."""
     path = _stream_dir(sf_dir, name)
     if name in _RAW_FIELDS:
         schema = raw_schema(name)

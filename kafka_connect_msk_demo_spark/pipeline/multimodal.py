@@ -180,6 +180,14 @@ def embed_payload(df: DataFrame, dim: int = 64,
     of fixed ``dim``, here a deterministic md5-expansion pseudo-encoder
     (each float from one digest byte, scaled to [-1, 1]).
 
+    The hash chain runs over HEX STRINGS, not raw digest bytes:
+    ``h0 = md5(hex_upper(payload)); h_i = md5(h_{i-1})`` with the
+    digests' hex chars concatenated and decoded to bytes. That choice
+    makes the encoder expressible in any SQL engine whose ``md5`` takes
+    VARCHAR only (same portability rule as :func:`extract_metadata`'s
+    payload_md5), so the full payload → embedding stage has an exact
+    DuckDB twin (``pipeline/queries.py::_sql_multimodal_embed_ann``).
+
     The output column type matches the ``embeddings`` table exactly, so
     the result feeds straight into the similarity family (ann_topk /
     cosine_dup_pairs) — the payload → embedding → ANN composition a
@@ -193,12 +201,13 @@ def embed_payload(df: DataFrame, dim: int = 64,
         for pdf in batches:
             vecs = []
             for payload in pdf[payload_col]:
-                raw = b""
-                seed = bytes(payload)
-                while len(raw) < dim:
-                    seed = hashlib.md5(seed).digest()
-                    raw += seed
-                vecs.append([b / 127.5 - 1.0 for b in raw[:dim]])
+                h = bytes(payload).hex().upper()
+                hexes = []
+                while sum(map(len, hexes)) < dim * 2:
+                    h = hashlib.md5(h.encode()).hexdigest()
+                    hexes.append(h)
+                raw = bytes.fromhex("".join(hexes))[:dim]
+                vecs.append([b / 127.5 - 1.0 for b in raw])
             yield pd.DataFrame({"doc_id": pdf[id_col],
                                 "embedding": pd.Series(vecs, dtype=object)})
 

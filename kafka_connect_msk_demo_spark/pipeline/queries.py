@@ -252,9 +252,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: IVF top-k over a Lloyd-trained coarse quantizer
-    (2 iterations) — the iterative-algorithm shape (bounded driver loop
+    — the iterative-algorithm shape (bounded driver loop
     re-broadcasting a K×dim table per round). Recall/convergence
-    properties asserted in tests/test_pipeline.py."""
+    properties asserted in tests/test_pipeline.py.
+
+    iters=2 is a BENCH-TIME choice, not a quality recommendation: each
+    Lloyd pass is a full scan of the embeddings table, and two passes
+    already satisfy the distortion-non-increase test on this data. A
+    production index build would run iters=10-25 (or until centroid
+    movement < epsilon) on a sampled subset — ``iters`` is a caller
+    parameter precisely so that choice stays with the caller."""
     vecs = load_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(vecs, k=16, iters=2)
     q = similarity.queries_by_mod(vecs, 50)

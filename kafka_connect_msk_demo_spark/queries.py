@@ -396,10 +396,16 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi/anti extension (SURVEY.md §2.5): customers with no orders,
-    as a left-anti join (Catalyst's NOT EXISTS rewrite)."""
+    """Semi/anti extension (SURVEY.md §2.5): customers with no
+    HIGH-VALUE (>350k) order, as a left-anti join (Catalyst's NOT
+    EXISTS rewrite). The orders side is restricted so the anti set is
+    non-empty at every SF — an unrestricted version returns 0 rows on
+    this testdata (every customer has orders), which would make the
+    oracle row vacuous (0=0 proves nothing)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice") > 350000)
+              .select("o_custkey"))
     return anti_join_not_exists(customer, orders,
                                 "c_custkey", "o_custkey") \
         .select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
@@ -408,7 +414,9 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000)
 ORDER BY c_custkey
 """
 
@@ -654,7 +662,8 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders encoded to Avro binary, written as Object Container Files,
     re-read through the distributed binaryFile+OCF source, decoded —
     the identity the Avro plane must preserve. Runs on the pure-Python
-    codec in this container; byte-compatible with spark-avro."""
+    codec in this container; the null-codec OCFs it writes are readable
+    by any Avro implementation (spark-avro included)."""
     import tempfile
 
     from .catalog import struct_to_avro_json

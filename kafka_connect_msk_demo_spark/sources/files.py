@@ -132,13 +132,24 @@ def _ocf_parse(blob: bytes) -> tuple[str, list[bytes], list[int]]:
         n, pos = _zz(pos)
         if n == 0:
             break
-        for _ in range(abs(n)):
+        if n < 0:
+            # Avro spec: a negative map-block count is followed by a
+            # long byte-size of the block; the item count is abs(n).
+            _, pos = _zz(pos)
+            n = -n
+        for _ in range(n):
             kl, pos = _zz(pos)
             k = blob[pos:pos + kl].decode()
             pos += kl
             vl, pos = _zz(pos)
             meta[k] = blob[pos:pos + vl]
             pos += vl
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise ValueError(
+            f"unsupported Avro codec {codec!r}: this pure-Python OCF "
+            "reader handles uncompressed (null-codec) files only — "
+            "read deflate/snappy files with spark-avro instead")
     sync = blob[pos:pos + 16]
     pos += 16
     payloads = []
@@ -158,8 +169,11 @@ def write_avro(df: DataFrame, path: str, avro_json: str) -> None:
     """S10 sink: one OCF per partition, written from the executors.
 
     Local/NFS paths only in this container (executor-side ``open``);
-    with spark-avro deployed use ``df.write.format("avro")`` instead —
-    the on-disk bytes are interchangeable."""
+    with spark-avro deployed use ``df.write.format("avro")`` instead.
+    Files written here are null-codec (uncompressed) OCFs, readable by
+    any Avro implementation; the reader below accepts null-codec files
+    only (spark-avro's default output is snappy — re-encode or read
+    those with spark-avro itself)."""
     from ..serde import _as_wire_types
 
     os.makedirs(path, exist_ok=True)

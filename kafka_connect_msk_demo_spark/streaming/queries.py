@@ -31,7 +31,7 @@ def stream_sales_by_type(spark: SparkSession, sf_dir: str,
     """03/06/09 shape: all-time agg in complete mode over the events
     stream; returns the final complete emission."""
     events = stream_table(spark, sf_dir, "events",
-                          max_files_per_trigger=batches)
+                          max_files_per_trigger=batches or 1)
     agg = (events.groupBy("event_type")
            .agg(F.sum(dec("value", 25, 8)).cast("double").alias("sales"),
                 F.count("value").alias("orders"))
@@ -131,7 +131,10 @@ def stream_running_user_stats(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Arbitrary-state extension (applyInPandasWithState): per-user
     running count/max/last-event maintained in custom state across
-    micro-batches, reconciled latest-wins. The final state equals the
+    micro-batches, reconciled latest-wins. The staged stream dir is
+    chunked (catalog.STREAM_CHUNKS), so with maxFilesPerTrigger=1 this
+    really executes N state-carrying micro-batches per drain
+    (tests/test_multibatch.py asserts >=3). The final state equals the
     batch answer — which is what the oracle checks."""
     from .stateful import latest_emission, running_user_stats
 

@@ -33,13 +33,18 @@ def file_stream(spark: SparkSession, path: str, schema: T.StructType,
 
 
 def run_to_memory(df: DataFrame, output_mode: str = "complete",
-                  query_name: str | None = None) -> DataFrame:
+                  query_name: str | None = None,
+                  collect_progress: list | None = None) -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table and return
     the final result as a batch DataFrame.
 
     This is the reference's console-sink shape (``03:84-91``) with the
     sink swapped for the inspectable memory sink; complete mode permits
     the reference's ``orderBy`` before the sink (§2.9 T3).
+
+    Pass a list as ``collect_progress`` to receive the query's
+    per-micro-batch progress dicts after termination (used by tests to
+    assert genuinely incremental execution).
     """
     spark = df.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
@@ -50,6 +55,8 @@ def run_to_memory(df: DataFrame, output_mode: str = "complete",
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    if collect_progress is not None:
+        collect_progress.extend(q.recentProgress)
     return spark.table(name)
 
 

@@ -57,3 +57,78 @@ def test_console_sinks_smoke(spark, sf_small):
         stream_table(spark, sf_small, "region"),
         num_rows=5, output_mode="append", query_name="t_console")
     q.awaitTermination()
+
+
+# -- OCF parser edge cases (Avro spec compliance) ---------------------------
+
+def test_ocf_parse_rejects_compressed_codec():
+    """A deflate/snappy-coded OCF must fail loudly, not feed compressed
+    bytes to the record decoder."""
+    import io
+
+    import pandas as pd
+    import pytest
+
+    from kafka_connect_msk_demo_spark.sources import files as fmod
+
+    pdf = pd.DataFrame({"id": [1]})
+    aj = '{"type":"record","name":"r","fields":[{"name":"id","type":"int"}]}'
+    blob = bytearray(fmod._ocf_bytes(pdf, aj))
+    # rewrite the codec metadata value in place: "null" -> "zzzz" then
+    # patch to a realistic codec name of equal length is impossible
+    # ("deflate" is longer), so rebuild the header with codec=deflate
+    buf = io.BytesIO()
+    buf.write(fmod._OCF_MAGIC)
+    meta = {"avro.schema": aj, "avro.codec": "deflate"}
+    buf.write(fmod._zigzag(len(meta)))
+    for k, v in meta.items():
+        kb, vb = k.encode(), v.encode()
+        buf.write(fmod._zigzag(len(kb)) + kb)
+        buf.write(fmod._zigzag(len(vb)) + vb)
+    buf.write(fmod._zigzag(0))
+    buf.write(blob[-16:])  # reuse a sync marker
+    with pytest.raises(ValueError, match="deflate"):
+        fmod._ocf_parse(buf.getvalue())
+
+
+def test_ocf_parse_negative_map_block_count():
+    """Avro spec: a negative map-block count is followed by a byte-size
+    long, with abs(n) entries — writers may emit this form."""
+    import io
+
+    import pandas as pd
+
+    from kafka_connect_msk_demo_spark.sources import files as fmod
+
+    pdf = pd.DataFrame({"id": [7]})
+    aj = '{"type":"record","name":"r","fields":[{"name":"id","type":"int"}]}'
+    normal = fmod._ocf_bytes(pdf, aj)
+    schema_json, payloads, counts = fmod._ocf_parse(normal)
+
+    # rebuild the same file with the metadata map in negative-count form
+    buf = io.BytesIO()
+    buf.write(fmod._OCF_MAGIC)
+    meta = {"avro.schema": aj, "avro.codec": "null"}
+    entries = io.BytesIO()
+    for k, v in meta.items():
+        kb, vb = k.encode(), v.encode()
+        entries.write(fmod._zigzag(len(kb)) + kb)
+        entries.write(fmod._zigzag(len(vb)) + vb)
+    eb = entries.getvalue()
+    buf.write(fmod._zigzag(-len(meta)))  # negative count ...
+    buf.write(fmod._zigzag(len(eb)))     # ... then byte size
+    buf.write(eb)
+    buf.write(fmod._zigzag(0))
+    # tail = sync + blocks: everything after the original header, whose
+    # length we recover by re-serializing it
+    hdr = io.BytesIO()
+    hdr.write(fmod._OCF_MAGIC)
+    hdr.write(fmod._zigzag(len(meta)))
+    for k, v in meta.items():
+        kb, vb = k.encode(), v.encode()
+        hdr.write(fmod._zigzag(len(kb)) + kb)
+        hdr.write(fmod._zigzag(len(vb)) + vb)
+    hdr.write(fmod._zigzag(0))
+    buf.write(normal[len(hdr.getvalue()):])
+    schema_json2, payloads2, counts2 = fmod._ocf_parse(buf.getvalue())
+    assert (schema_json2, payloads2, counts2) == (schema_json, payloads, counts)
