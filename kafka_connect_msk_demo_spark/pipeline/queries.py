@@ -192,11 +192,21 @@ def _ann_dot_expr(t: int, j: int, dim: int = 64) -> str:
     return e[2:] if e.startswith("+ ") else "-" + e[2:]
 
 
+#: DuckDB CTE producing (vec_id, v DOUBLE[]) from the embeddings table —
+#: the default vector source for the generated ANN twin.
+_ANN_SOURCE_EMBEDDINGS = \
+    "d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
 def _sql_ann_topk(nbits: int = 6, tables: int = 8, k: int = 10,
-                  mod: int = 50) -> str:
+                  mod: int = 50,
+                  source: str = _ANN_SOURCE_EMBEDDINGS) -> str:
     """Generated DuckDB twin of :func:`similarity.ann_topk` — the
     deterministic planes are inlined as literals; queries are the
-    vec_id % mod == 0 subset of the data, so buckets are computed once."""
+    vec_id % mod == 0 subset of the data, so buckets are computed once.
+    ``source`` is a WITH-clause fragment whose final CTE must be
+    ``d(vec_id, v DOUBLE[])`` — the embeddings table by default, or the
+    multimodal embed stage for the composition query."""
     def bucket(t: int) -> str:
         return " + ".join(
             f"(((({_ann_dot_expr(t, j)}) > 0)::BIGINT) << {j})"
@@ -209,7 +219,7 @@ def _sql_ann_topk(nbits: int = 6, tables: int = 8, k: int = 10,
     probe_list = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(nbits)])
     return f"""
-WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH {source},
 bk AS (SELECT vec_id, {bexprs} FROM d),
 db AS ({union}),
 qp AS (
@@ -518,6 +528,54 @@ ORDER BY doc_id
 """
 
 
+def q_multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal composition a production pipeline runs, as ONE
+    fully oracle-checked query: documents → binary payload →
+    deterministic pseudo-encoder embedding → hyperplane-LSH ANN top-k.
+
+    Every stage is deterministic and SQL-expressible: the payload is a
+    column expression, the encoder is an md5-hex chain (DuckDB ``md5``
+    takes VARCHAR — the chain runs over hex strings by design, see
+    ``multimodal.embed_payload``), and the ANN twin inlines the ±1
+    planes exactly as ``ann_topk``'s oracle does. The ANN leg's recall
+    is additionally bounded in tests/test_pipeline.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(docs)
+    emb = (multimodal.embed_payload(payloads)
+           .withColumnRenamed("doc_id", "vec_id"))
+    q = similarity.queries_by_mod(emb, 50)
+    return similarity.ann_topk(emb, q, k=10)
+
+
+#: (vec_id, v DOUBLE[]) source CTE for the generated ANN twin: the
+#: payload → md5-hex-chain embedding stage of multimodal.embed_payload,
+#: with each element rounded through FLOAT exactly like the Arrow
+#: kernel's array<float> output.
+_ANN_SOURCE_MULTIMODAL_EMBED = """p AS (
+  SELECT doc_id,
+         from_hex('4d4d3031'
+                  || '00' || lpad(to_hex(doc_id % 256), 2, '0')
+                  || '00' || lpad(to_hex((doc_id * 7) % 256), 2, '0'))
+           || encode(text) AS payload
+  FROM documents
+), hc AS (
+  SELECT doc_id, md5(hex(payload)) AS h0 FROM p
+), hc2 AS (SELECT doc_id, h0, md5(h0) AS h1 FROM hc),
+hc3 AS (SELECT doc_id, h0, h1, md5(h1) AS h2 FROM hc2),
+hh AS (SELECT doc_id, h0 || h1 || h2 || md5(h2) AS hx FROM hc3),
+d AS (
+  SELECT doc_id AS vec_id,
+         [CAST(CAST(
+            ((strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)
+            / 127.5 - 1.0 AS FLOAT) AS DOUBLE) FOR i IN range(1, 65)] AS v
+  FROM hh
+)"""
+
+_SQL_MULTIMODAL_EMBED_ANN = _sql_ann_topk(
+    source=_ANN_SOURCE_MULTIMODAL_EMBED)
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -537,4 +595,6 @@ PIPELINE_QUERIES: dict = {
     "lang_stats": (q_lang_stats, _SQL_LANG_STATS),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
+    "multimodal_embed_ann": (q_multimodal_embed_ann,
+                             _SQL_MULTIMODAL_EMBED_ANN),
 }
