@@ -38,6 +38,22 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     w.saveAsTable(table)
 
 
+def ensure_bucketed(spark: SparkSession, df: DataFrame, table: str,
+                    bucket_col: str, num_buckets: int = 8,
+                    sort: bool = True) -> str:
+    """Idempotent staging: (re)write ``df`` as a bucketed managed table
+    unless one with the same row count already exists. At scale the
+    bucketed write is a ONE-TIME ETL step amortized over every later
+    co-located join; the row-count guard exists for local runs where
+    the input may have been regenerated under the same path."""
+    if spark.catalog.tableExists(table):
+        if spark.table(table).count() == df.count():
+            return table
+        spark.sql(f"DROP TABLE {table}")
+    write_bucketed(df, table, bucket_col, num_buckets, sort)
+    return table
+
+
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
                   on: list[str], how: str = "inner") -> DataFrame:
     """Join two tables bucketed on the join key — executes without a

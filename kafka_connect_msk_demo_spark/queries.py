@@ -269,6 +269,57 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order lineitem revenue joined to orders over CO-LOCATED
+    bucketed tables — the fact⋈fact leg of the star with ZERO Exchange
+    (asserted in tests/test_bucketing.py): the per-order groupBy runs
+    on the bucket key, so partial+final aggregation needs no shuffle,
+    and the sort-merge join consumes both bucket specs directly."""
+    import re
+
+    from .operators.bucketing import ensure_bucketed
+
+    tag = re.sub(r"[^0-9A-Za-z]", "_",
+                 sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = (load_table(spark, sf_dir, "lineitem")
+                .withColumnRenamed("l_orderkey", "o_orderkey"))
+    bo = ensure_bucketed(spark, orders, f"bkt_orders_{tag}",
+                         "o_orderkey", 8)
+    bl = ensure_bucketed(spark, lineitem, f"bkt_lineitem_{tag}",
+                         "o_orderkey", 8)
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) \
+        .cast("decimal(25,8)")
+    per_order = (spark.table(bl)
+                 .groupBy("o_orderkey")
+                 .agg(F.sum(revenue).alias("rev"),
+                      F.count(F.lit(1)).alias("nl")))
+    return per_order.join(spark.table(bo), "o_orderkey")
+
+
+def q_revenue_by_region_bucketed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """J2 at fact⋈fact scale: the same answer as ``revenue_by_region``
+    computed through Hive-style BUCKETED orders/lineitem (bucketBy 8 on
+    the order key). Staging the buckets is a one-time ETL cost; every
+    later run joins the two fact tables with no Exchange on either side
+    — at 100 TB that removes the dominant shuffle from each query that
+    reuses the layout. Same DuckDB oracle as ``revenue_by_region``
+    (bucketing must not change the answer)."""
+    joined = _bucketed_order_revenue(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    full = (joined
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t["region"]),
+                  F.col("n_regionkey") == F.col("r_regionkey")))
+    return (full.groupBy(F.col("r_name").alias("region"))
+            .agg(F.sum("rev").cast("double").alias("revenue"),
+                 F.sum("nl").alias("line_count"))
+            .orderBy(F.col("revenue").desc()))
+
+
 _SQL_REVENUE_BY_REGION = """
 SELECT r_name AS region,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
@@ -748,6 +799,8 @@ BATCH_QUERIES = {
     "latest_per_window": (q_latest_per_window, _SQL_LATEST_PER_WINDOW),
     "top25_formatted": (q_top25_formatted, _SQL_TOP25_FORMATTED),
     "revenue_by_region": (q_revenue_by_region, _SQL_REVENUE_BY_REGION),
+    "revenue_by_region_bucketed": (q_revenue_by_region_bucketed,
+                                   _SQL_REVENUE_BY_REGION),
     "enrich_nullfill": (q_enrich_nullfill, _SQL_ENRICH_NULLFILL),
     "case_interval": (q_case_interval, _SQL_CASE_INTERVAL),
     "group_concat": (q_group_concat, _SQL_GROUP_CONCAT),

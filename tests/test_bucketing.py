@@ -64,3 +64,21 @@ def test_mismatched_buckets_still_correct(spark, sf_small, bucketed_tables):
         assert n == load_table(spark, sf_small, "lineitem").count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem_16")
+
+
+def test_registered_bucketed_query_fact_join_has_no_shuffle(spark, sf_small):
+    """The registered revenue_by_region_bucketed query's fact⋈fact leg
+    (per-order groupBy + orders join over the staged bucket tables)
+    plans with ZERO Exchange: the aggregation runs on the bucket key
+    and the sort-merge join consumes both bucket specs."""
+    from kafka_connect_msk_demo_spark.queries import _bucketed_order_revenue
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _bucketed_order_revenue(spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
