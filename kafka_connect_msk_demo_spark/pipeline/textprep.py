@@ -53,7 +53,13 @@ def doc_shingles(df, id_col: str = "doc_id", text_col: str = "text",
     whole-stage-codegen-able and measured ~60% of every dedup query's
     runtime. Short documents (< k tokens) contribute their single
     partial shingle, matching the null-skipping ``concat_ws`` edge
-    case."""
+    case.
+
+    A numpy batch-axis rewrite was evaluated and does NOT apply here:
+    the work is string slicing/joining (object dtype end to end), which
+    numpy cannot vectorize — unlike the numeric signature kernels in
+    ``dedup.py``, where the md5 phase is batch-memoized (round-3
+    measurements in those kernels' comments)."""
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
