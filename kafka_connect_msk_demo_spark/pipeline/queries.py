@@ -2,10 +2,13 @@
 
 Every entry follows the engine-wide contract (queries.py): a
 ``(spark, sf_dir) -> DataFrame`` callable and an exact-match oracle SQL
-string (``None`` only where the operator is genuinely not
-SQL-expressible — the approximate paths (LSH/IVF ANN, SimHash) and the
-iterative k-means trainer, whose quality is instead bounded against
-their exact twins in tests/test_pipeline.py).
+string. Even the approximate indexes (SimHash, hyperplane-LSH ANN,
+seed-quantizer IVF, the multimodal embed→ANN composition) carry exact
+twins — their hash functions/planes/centroids are deterministic, so the
+oracle replays them. ``None`` remains only for ``ivf_kmeans_topk``: the
+Lloyd trainer's centroid means accumulate floating point in partition
+order, which no cross-engine oracle can replay; its quality is bounded
+against exact twins in tests/test_pipeline.py instead.
 """
 
 from __future__ import annotations
@@ -252,12 +255,69 @@ _SQL_ANN_TOPK = _sql_ann_topk()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: the IVF (inverted-file / coarse-quantizer)
-    variant of approximate top-k; recall floor asserted in
-    tests/test_pipeline.py."""
+    """Fully oracle-checked: with the deterministic seed quantizer (the
+    K=16 lowest-id vectors as centroids) every stage is replayable in
+    SQL — centroid selection, nearest-cell assignment (same
+    sim-desc/c_id-asc tie-break as ``max_by(struct(sim, -c_id))``),
+    nprobe=6 probe ranking, and exact rerank. Only the Lloyd-TRAINED
+    variant (``ivf_kmeans_topk``) stays test-bounded: its centroid
+    means accumulate floating point in partition order, which no
+    cross-engine oracle can replay. Recall floor additionally asserted
+    in tests/test_pipeline.py."""
     vecs = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_mod(vecs, 50)
     return similarity.ivf_topk(vecs, q, k=10)
+
+
+def _sql_ivf_topk(n_centroids: int = 16, nprobe: int = 6, k: int = 10,
+                  mod: int = 50) -> str:
+    """DuckDB twin of :func:`similarity.ivf_topk` over the
+    deterministic seed centroids."""
+    cos = ("list_dot_product({a}.v, {b}.c_vec) /"
+           " (sqrt(list_dot_product({a}.v, {a}.v))"
+           " * sqrt(list_dot_product({b}.c_vec, {b}.c_vec)))")
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS c_vec FROM d
+  ORDER BY vec_id LIMIT {n_centroids}
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, c.c_id AS cell,
+           row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY {cos.format(a='d', b='c')} DESC, c.c_id) AS rn
+    FROM d CROSS JOIN cents c) WHERE rn = 1
+), q AS (SELECT vec_id AS q_id, v FROM d WHERE vec_id % {mod} = 0),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.c_id AS cell,
+           row_number() OVER (PARTITION BY q.q_id
+               ORDER BY {cos.format(a='q', b='c')} DESC, c.c_id) AS rk
+    FROM q CROSS JOIN cents c) WHERE rk <= {nprobe}
+), cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN asg a USING (cell)
+  WHERE a.vec_id <> p.q_id
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(qv.v, dv.v) /
+           (sqrt(list_dot_product(qv.v, qv.v))
+            * sqrt(list_dot_product(dv.v, dv.v))) AS cos
+  FROM cand c
+  JOIN d qv ON qv.vec_id = c.q_id
+  JOIN d dv ON dv.vec_id = c.vec_id
+), r AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+_SQL_IVF_TOPK = _sql_ivf_topk()
 
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,7 +646,7 @@ PIPELINE_QUERIES: dict = {
     "embedding_dup_pairs": (q_embedding_dup_pairs,
                             _SQL_EMBEDDING_DUP_PAIRS),
     "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
-    "ivf_topk": (q_ivf_topk, None),
+    "ivf_topk": (q_ivf_topk, _SQL_IVF_TOPK),
     "ivf_kmeans_topk": (q_ivf_kmeans_topk, None),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
