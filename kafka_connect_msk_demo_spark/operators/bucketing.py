@@ -22,7 +22,24 @@ Scale contract:
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_stale_location(spark: SparkSession, table: str) -> None:
+    """With the in-memory catalog, table METADATA dies with the session
+    but the managed-table DIRECTORY in the warehouse survives — a
+    fresh session then fails saveAsTable with LOCATION_ALREADY_EXISTS.
+    Remove the orphaned location (local filesystems only; a real
+    deployment uses a persistent metastore and never hits this)."""
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file"):
+        loc = os.path.join(wh.path, table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
@@ -31,6 +48,9 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     """Persist ``df`` as a bucketed managed table (overwriting any
     previous version). The (column, count) pair is the co-location
     contract every later join relies on."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        _drop_stale_location(spark, table)
     w = (df.write.mode("overwrite").format(fmt)
          .bucketBy(num_buckets, bucket_col))
     if sort:

@@ -429,6 +429,28 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE twin of ``distinct_users``: exact COUNT(DISTINCT)
+    via two-stage salted aggregation. The salt is a deterministic hash
+    of the DISTINCT column itself, so every user lands in exactly one
+    (event_type, salt) cell — stage 1 computes per-cell exact distincts
+    across ``buckets`` reducers (a hot event_type spreads instead of
+    funneling its whole distinct state through one task), stage 2 sums
+    the disjoint partials. Same answer as the unsalted query by
+    construction; same oracle proves it."""
+    from .operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events, ["event_type"], salt_on="user_id",
+        aggs={"n": F.count(F.lit(1)),
+              "distinct_keys": F.count_distinct("user_id")},
+        merges={"n": F.sum("n"),
+                "distinct_keys": F.sum("distinct_keys")},
+        buckets=16)
+    return out.orderBy("event_type")
+
+
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (quantile_cont interpolation) — the
     summary-statistics extension beyond df.summary() (A4)."""
@@ -807,6 +829,8 @@ BATCH_QUERIES = {
     "in_subquery": (q_in_subquery, _SQL_IN_SUBQUERY),
     "anti_join": (q_anti_join, _SQL_ANTI_JOIN),
     "distinct_users": (q_distinct_users, _SQL_DISTINCT_USERS),
+    "distinct_users_salted": (q_distinct_users_salted,
+                              _SQL_DISTINCT_USERS),
     "price_quantiles": (q_price_quantiles, _SQL_PRICE_QUANTILES),
     "correlated_subquery": (q_correlated_subquery, _SQL_CORRELATED_SUBQUERY),
     "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
