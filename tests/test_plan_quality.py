@@ -66,3 +66,32 @@ def test_hll_error_bound(spark, sf_small):
     assert exact.keys() == approx.keys()
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.15 * n, 2), (k, n, approx[k])
+
+
+def test_partition_pruning_reaches_scan(spark, sf_small, tmp_path):
+    """A filter on a partition column must prune at the METADATA level
+    (PartitionFilters on the scan + fewer files listed), not scan every
+    partition and filter rows after — at 100 TB that is the difference
+    between reading one partition and reading the lake."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_msk_demo_spark.catalog import load_table
+
+    events = load_table(spark, sf_small, "events")
+    out = str(tmp_path / "part")
+    (events.withColumn("etype", F.col("event_type"))
+     .write.partitionBy("etype").parquet(out))
+
+    unfiltered = spark.read.parquet(out)
+    df = unfiltered.filter(F.col("etype") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # the equality predicate itself must be a partition filter (file
+    # listing prunes on it); inputFiles() reflects the pre-pruning
+    # relation, so the plan entry is the authoritative evidence
+    assert m and "etype" in m.group(1) and "click" in m.group(1), plan
+    assert df.count() == \
+        events.filter(F.col("event_type") == "click").count()
+    assert unfiltered.count() == events.count()
