@@ -1,0 +1,69 @@
+"""Deterministic (content-stable) sampling for training-data pipelines.
+
+``df.sample()`` draws from a per-partition RNG: membership changes with
+partitioning, retries, and engine — unusable for reproducible corpus
+construction or train/eval splits. The samplers here decide membership
+as a PURE FUNCTION of a key column: hash the (salt, key) pair and keep
+the row when the hash falls below ``fraction`` of the hash space.
+
+Properties that matter at 100 TB:
+
+* membership is stable across runs, partition layouts, and engines —
+  the same row set comes back after a cluster resize or a backfill;
+* no shuffle and no RNG state: the predicate is a scalar expression
+  evaluated inside the scan's whole-stage-codegen pipeline, and it
+  pushes down like any other filter;
+* disjoint salts give independent samples (e.g. ``salt="train"`` vs
+  ``salt="eval"`` for leak-free splits);
+* SQL-expressible: the md5-hex comparison replays in any engine, so
+  sampled queries stay oracle-checkable (lowercase-hex string order ==
+  numeric order of the 128-bit hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _threshold_hex(fraction: float) -> str:
+    """32-hex-char threshold such that P(md5_hex < threshold) ==
+    fraction under a uniform hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        # any hex digest sorts below 'g'; the naive formula would emit
+        # a 33-char string that '7...' digests sort ABOVE, dropping rows
+        return "g"
+    return format(int(fraction * (16 ** 32)), "032x")
+
+
+def sample_hash(key_col: str | Column, fraction: float,
+                salt: str = "sample") -> Column:
+    """Boolean membership predicate: md5(salt:key) below ``fraction``
+    of the hash space."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return digest < F.lit(_threshold_hex(fraction))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, keyed on ``key_col``."""
+    return df.filter(sample_hash(key_col, fraction, salt))
+
+
+def stratified_hash_sample(df: DataFrame, strata_col: str,
+                           fractions: dict[str, float], key_col: str,
+                           salt: str = "sample",
+                           default: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. downsample the dominant
+    language while keeping the long tail, the standard corpus-balancing
+    move. Strata not named in ``fractions`` get ``default``."""
+    c = F.col(key_col)
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    thr: Column = F.lit(_threshold_hex(default))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(_threshold_hex(frac))).otherwise(thr)
+    return df.filter(digest < thr)

@@ -636,6 +636,71 @@ _SQL_MULTIMODAL_EMBED_ANN = _sql_ann_topk(
     source=_ANN_SOURCE_MULTIMODAL_EMBED)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: downsample the
+    dominant language, keep the tail — membership is a pure function of
+    (salt, doc_id), so the same rows come back on every run, partition
+    layout, and engine (see operators/sampling.py). The md5-hex
+    comparison replays verbatim in the oracle."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "lang",
+        {"en": 0.3, "zh": 0.9}, key_col="doc_id",
+        salt="corpus-v1", default=0.6)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from ..operators.sampling import _threshold_hex
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE md5('corpus-v1:' || CAST(doc_id AS VARCHAR)) <
+      CASE WHEN lang = 'zh' THEN '{_threshold_hex(0.9)}'
+           WHEN lang = 'en' THEN '{_threshold_hex(0.3)}'
+           ELSE '{_threshold_hex(0.6)}' END
+ORDER BY doc_id
+"""
+
+
+_SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document. Uses the rational-idf
+    scoring so the DOUBLE scores are bit-identical cross-engine
+    (multiply/divide are correctly rounded everywhere; ln is not —
+    see tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.tfidf_top_terms(docs, k=5)
+
+
+_SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dft AS (
+  SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term, tf, dft,
+         CAST(tf * (n_docs + 1) AS DOUBLE) / (dft + 1) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, tf, dft, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, dft, score, rank FROM r WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -657,4 +722,6 @@ PIPELINE_QUERIES: dict = {
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     "multimodal_embed_ann": (q_multimodal_embed_ann,
                              _SQL_MULTIMODAL_EMBED_ANN),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
 }

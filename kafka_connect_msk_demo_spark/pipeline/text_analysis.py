@@ -190,3 +190,43 @@ def lang_stats(docs: DataFrame, id_col: str = "doc_id",
                  (F.sum("nt").cast("double")
                   / F.count(F.lit(1))).alias("mean_tokens"))
             .orderBy("lang"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    log_idf: bool = False) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by tf-idf.
+
+    Shape at scale: one explode + two hash aggregates (term counts per
+    doc, then document frequency per term — both shuffle on the term)
+    + a broadcast of the small (term, dft) side + one window top-k per
+    doc. Nothing quadratic; the dft table is ≤ |vocabulary| rows.
+
+    ``log_idf=False`` (default) scores with the RATIONAL idf
+    ``(N+1)/(dft+1)``: multiplication and division are IEEE-correctly
+    rounded in every engine, so scores and ranks are bit-identical
+    cross-engine and the query stays hash-checkable. ``log_idf=True``
+    is the textbook ``ln((N+1)/(dft+1))`` — monotone-identical per
+    fixed tf, but ``ln`` is only faithfully (not correctly) rounded in
+    some runtimes, so cross-engine rank stability cannot be guaranteed;
+    use it in production, not under an exact oracle."""
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens(text_col)).alias("term"))
+    tf = (tok.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(n))
+    if log_idf:
+        score = F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0))
+                                    / (F.col("dft") + F.lit(1.0)))
+    else:
+        score = (F.col("tf") * (F.col("n_docs") + F.lit(1))) \
+            .cast("double") / (F.col("dft") + F.lit(1))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "dft", "score", "rank")
+            .orderBy("doc_id", "rank"))

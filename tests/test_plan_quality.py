@@ -20,9 +20,11 @@ from kafka_connect_msk_demo_spark.queries import BATCH_QUERIES
 from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 
 #: non-equi pair scorers where a nested-loop join IS the algorithm
-#: (documented validation-scale; bucketed variants are the scale path)
+#: (documented validation-scale; bucketed variants are the scale path),
+#: plus tfidf's ONE-ROW broadcast of the corpus size — the canonical
+#: scalar-subquery plan (cost O(N), no pairing blowup)
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
-                "ivf_topk", "ivf_kmeans_topk"}
+                "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

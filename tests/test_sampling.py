@@ -1,0 +1,55 @@
+"""Deterministic hash sampling: stability, rate accuracy, split
+independence — the properties ``df.sample()`` cannot give."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.catalog import load_table
+from kafka_connect_msk_demo_spark.operators.sampling import (
+    hash_sample, stratified_hash_sample)
+
+
+def test_membership_is_stable_across_runs_and_partitionings(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    a = {r.doc_id for r in
+         hash_sample(docs, "doc_id", 0.4).select("doc_id").collect()}
+    b = {r.doc_id for r in
+         hash_sample(docs.repartition(17), "doc_id", 0.4)
+         .select("doc_id").collect()}
+    assert a == b and a
+
+
+def test_fraction_accuracy(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    kept = hash_sample(docs, "doc_id", 0.5).count()
+    # binomial(n, 0.5): allow 4 sigma
+    assert abs(kept - 0.5 * n) <= 4 * (0.25 * n) ** 0.5
+
+
+def test_disjoint_salts_give_independent_leak_free_splits(spark, sf_small):
+    """train/eval splits from complementary predicates on ONE salt are
+    exactly disjoint and exhaustive; a different salt draws an
+    independent sample."""
+    docs = load_table(spark, sf_small, "documents")
+    from kafka_connect_msk_demo_spark.operators.sampling import sample_hash
+    train = docs.filter(sample_hash("doc_id", 0.8, salt="split"))
+    evl = docs.filter(~sample_hash("doc_id", 0.8, salt="split"))
+    assert train.join(evl, "doc_id", "inner").count() == 0
+    assert train.count() + evl.count() == docs.count()
+
+
+def test_stratified_rates(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    out = stratified_hash_sample(docs, "lang", {"en": 0.1, "zh": 1.0},
+                                 key_col="doc_id", default=0.5)
+    by_lang = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    src = {r.lang: r.n for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    assert by_lang["zh"] == src["zh"]          # fraction 1.0 keeps all
+    assert by_lang.get("en", 0) < 0.3 * src["en"]  # heavy downsample
+    for lang in ("de", "es", "fr"):            # default 0.5 within 4σ
+        n = src[lang]
+        assert abs(by_lang.get(lang, 0) - 0.5 * n) <= 4 * (0.25 * n) ** 0.5
