@@ -701,6 +701,53 @@ ORDER BY doc_id, rank
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup/top n-gram occurrence
+    fractions + distinct-token ratio). int/int → double divisions only,
+    so every value replays bit-for-bit in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.repetition_stats(docs, ns=(2, 3))
+
+
+_SQL_REPETITION_STATS = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, 2 AS n, t,
+         unnest(range(GREATEST(len(t) - 1, 0))) AS i FROM tok
+  UNION ALL
+  SELECT doc_id, 3 AS n, t,
+         unnest(range(GREATEST(len(t) - 2, 0))) AS i FROM tok
+), gr AS (
+  SELECT doc_id, n, array_to_string(t[i+1:i+n], ' ') AS gram FROM ex
+), cnt AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3
+), per_n AS (
+  SELECT doc_id, n, SUM(c) AS total, MAX(c) AS top,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup
+  FROM cnt GROUP BY 1, 2
+), wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN dup::DOUBLE / total END)
+           AS dup_2gram_frac,
+         MAX(CASE WHEN n = 2 THEN top::DOUBLE / total END)
+           AS top_2gram_frac,
+         MAX(CASE WHEN n = 3 THEN dup::DOUBLE / total END)
+           AS dup_3gram_frac,
+         MAX(CASE WHEN n = 3 THEN top::DOUBLE / total END)
+           AS top_3gram_frac
+  FROM per_n GROUP BY 1
+)
+SELECT doc_id, len(tk.t) AS n_tokens,
+       len(list_distinct(tk.t))::DOUBLE / len(tk.t)
+         AS distinct_token_ratio,
+       dup_2gram_frac, top_2gram_frac, dup_3gram_frac, top_3gram_frac
+FROM tok tk LEFT JOIN wide USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -724,4 +771,5 @@ PIPELINE_QUERIES: dict = {
                              _SQL_MULTIMODAL_EMBED_ANN),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
+    "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
 }

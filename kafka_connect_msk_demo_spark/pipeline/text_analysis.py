@@ -230,3 +230,67 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "dft", "score", "rank")
             .orderBy("doc_id", "rank"))
+
+
+def _sliding_grams(tok_sql: str, n: int):
+    """Sliding ``n``-token windows of the token array named by
+    ``tok_sql`` (full windows only; docs shorter than ``n`` contribute
+    none). Pure higher-order expression — a narrow map."""
+    joined = ", ".join(f"{tok_sql}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tok_sql}) >= {n} THEN "
+        f"transform(sequence(0, size({tok_sql}) - {n}), "
+        f"i -> concat_ws(' ', {joined})) "
+        f"ELSE array() END")
+
+
+def repetition_stats(docs: DataFrame, ns: tuple = (2, 3),
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 — the repetition filters): for each
+    n in ``ns`` the fraction of n-gram occurrences belonging to n-grams
+    that repeat within the document (``dup_{n}gram_frac``) and the
+    occurrence share of the single most frequent n-gram
+    (``top_{n}gram_frac``), plus the distinct-token ratio.
+
+    Shape at scale: one explode per n unioned into ONE (doc_id, n,
+    gram) hash-aggregate (shuffle key = doc+n+gram), one (doc_id, n)
+    roll-up, one final pivot-free conditional agg on doc_id, joined
+    back to a NARROW per-doc projection (distinct-token ratio is
+    computed with array_distinct inside the row — no extra shuffle).
+    All fractions are bigint/bigint → double, so cross-engine
+    bit-identical."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    grams = None
+    for n in ns:
+        g = toks.select("doc_id", F.lit(n).alias("n"),
+                        F.explode(_sliding_grams("t", n)).alias("gram"))
+        grams = g if grams is None else grams.unionByName(g)
+    cnt = (grams.groupBy("doc_id", "n", "gram")
+           .agg(F.count(F.lit(1)).alias("c")))
+    per_n = (cnt.groupBy("doc_id", "n")
+             .agg(F.sum("c").alias("total"),
+                  F.max("c").alias("top"),
+                  F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))),
+                             F.lit(0)).alias("dup")))
+    aggs = []
+    for n in ns:
+        is_n = F.col("n") == n
+        aggs.append(F.max(F.when(is_n, F.col("dup").cast("double")
+                                 / F.col("total")))
+                    .alias(f"dup_{n}gram_frac"))
+        aggs.append(F.max(F.when(is_n, F.col("top").cast("double")
+                                 / F.col("total")))
+                    .alias(f"top_{n}gram_frac"))
+    wide = per_n.groupBy("doc_id").agg(*aggs)
+    narrow = toks.select(
+        "doc_id", F.size("t").alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double")
+         / F.size("t")).alias("distinct_token_ratio"))
+    return (narrow.join(wide, "doc_id", "left")
+            .select("doc_id", "n_tokens", "distinct_token_ratio",
+                    *[c for n in ns for c in
+                      (f"dup_{n}gram_frac", f"top_{n}gram_frac")])
+            .orderBy("doc_id"))

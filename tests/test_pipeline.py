@@ -221,3 +221,30 @@ def test_lsh_dup_pairs_full_recall_on_planted_dups(spark, vecs):
     assert exact, "planted duplicates must appear in the truth set"
     # full recall AND no false positives (exact verification inside)
     assert lsh == exact
+
+
+def test_repetition_stats_handcrafted(spark):
+    """'a b a b c' → 2-grams [ab, ba, ab, bc]: 'a b' repeats, so dup
+    frac 2/4 and top frac 2/4; 3-grams [aba, bab, abc] are unique → dup
+    0, top 1/3; distinct-token ratio 3/5."""
+    from kafka_connect_msk_demo_spark.pipeline import text_analysis
+
+    d = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    r = text_analysis.repetition_stats(d).collect()[0]
+    assert r.n_tokens == 5
+    assert r.distinct_token_ratio == 3 / 5
+    assert r.dup_2gram_frac == 2 / 4
+    assert r.top_2gram_frac == 2 / 4
+    assert r.dup_3gram_frac == 0.0
+    assert r.top_3gram_frac == 1 / 3
+
+
+def test_repetition_stats_short_doc_null_gram_cols(spark):
+    """A 1-token doc has no 2/3-grams: the left join keeps the row with
+    NULL fractions (no silent drop), and the distinct ratio is 1."""
+    from kafka_connect_msk_demo_spark.pipeline import text_analysis
+
+    d = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = text_analysis.repetition_stats(d).collect()[0]
+    assert r.n_tokens == 1 and r.distinct_token_ratio == 1.0
+    assert r.dup_2gram_frac is None and r.top_3gram_frac is None
