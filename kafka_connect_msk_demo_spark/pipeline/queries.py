@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from . import dedup, multimodal, similarity, text_analysis
+from . import clean, dedup, multimodal, similarity, text_analysis
 from .text_analysis import LANG_MARKERS, STOPWORDS
 from .textprep import duckdb_shingle_cte
 
@@ -748,6 +748,42 @@ ORDER BY doc_id
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-passage removal: 5-token chunks occurring in
+    ≥2 distinct documents are deleted everywhere and each doc is
+    re-assembled from its surviving chunks (see pipeline/clean.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean.chunk_dedup(docs, chunk_tokens=5, min_docs=2)
+
+
+_SQL_CHUNK_DEDUP = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, t,
+         unnest(range(CAST(ceil(len(t) / 5.0) AS BIGINT))) AS i
+  FROM tok
+), ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i*5+1:i*5+5], ' ') AS chunk
+  FROM ex
+), dup AS (
+  SELECT chunk FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), fl AS (
+  SELECT c.doc_id, c.pos, c.chunk, d.chunk IS NOT NULL AS is_dup
+  FROM ch c LEFT JOIN dup d USING (chunk)
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (WHERE is_dup) AS n_removed,
+       COALESCE(array_to_string(
+         list(chunk ORDER BY pos) FILTER (WHERE NOT is_dup), ' '),
+         '') AS clean_text
+FROM fl GROUP BY 1
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -772,4 +808,5 @@ PIPELINE_QUERIES: dict = {
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
+    "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
 }

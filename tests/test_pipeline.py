@@ -248,3 +248,21 @@ def test_repetition_stats_short_doc_null_gram_cols(spark):
     r = text_analysis.repetition_stats(d).collect()[0]
     assert r.n_tokens == 1 and r.distinct_token_ratio == 1.0
     assert r.dup_2gram_frac is None and r.top_3gram_frac is None
+
+
+def test_chunk_dedup_removes_cross_doc_passages(spark):
+    """A 5-token chunk shared by two docs is removed from BOTH; unique
+    chunks survive in position order; a doc whose every chunk is shared
+    collapses to the empty string (row kept, not dropped)."""
+    from kafka_connect_msk_demo_spark.pipeline import clean
+
+    shared = "v w x y z"
+    d = spark.createDataFrame(
+        [(1, f"{shared} a b c d e"), (2, f"f g h i j {shared}"),
+         (3, shared)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in clean.chunk_dedup(d).collect()}
+    assert rows[1].clean_text == "a b c d e"
+    assert rows[2].clean_text == "f g h i j"
+    assert rows[3].clean_text == "" and rows[3].n_removed == 1
+    assert all(rows[i].n_chunks == 2 for i in (1, 2))
