@@ -784,6 +784,56 @@ ORDER BY doc_id
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction. The synthetic corpus contains no PII
+    by construction, so (to keep the check non-vacuous) the query first
+    PLANTS deterministic doc_id-derived PII — an email, a hyphenated
+    phone and a dotted-quad IP per document — then proves the scrubber
+    finds and redacts all of it. The oracle plants the identical
+    strings, so detection counts and redacted text are exact-matched."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lower(F.trim(F.col("text"))),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com call +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(" from 10."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".0.1")).alias("text"))
+    return (clean.pii_scrub(planted)
+            .select("doc_id", "n_email", "n_phone", "n_ip", "clean_text")
+            .orderBy("doc_id"))
+
+
+def _sql_pii_scrub() -> str:
+    from .clean import EMAIL_RE, IP_RE, PHONE_RE
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         lower(trim(text)) || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com call +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone,
+       len(regexp_extract_all(text, '{IP_RE}')) AS n_ip,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g'),
+         '{IP_RE}', '<IP>', 'g') AS clean_text
+FROM planted
+ORDER BY doc_id
+"""
+
+
+_SQL_PII_SCRUB = _sql_pii_scrub()
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -809,4 +859,5 @@ PIPELINE_QUERIES: dict = {
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
+    "pii_scrub": (q_pii_scrub, _SQL_PII_SCRUB),
 }

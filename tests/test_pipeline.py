@@ -266,3 +266,22 @@ def test_chunk_dedup_removes_cross_doc_passages(spark):
     assert rows[2].clean_text == "f g h i j"
     assert rows[3].clean_text == "" and rows[3].n_removed == 1
     assert all(rows[i].n_chunks == 2 for i in (1, 2))
+
+
+def test_pii_scrub_edges(spark):
+    """Multiple hits per doc, no-PII passthrough, and order-dependence:
+    an email whose local part is digit-heavy must be redacted as an
+    email, not half-eaten by the phone rule."""
+    from kafka_connect_msk_demo_spark.pipeline import clean
+
+    rows = [(1, "mail a@b.io and c.d@e-f.org ip 1.2.3.4 ip 10.0.0.255"),
+            (2, "no pii here at all"),
+            (3, "digits 123-456-7890@mail.com and +44-20-7946-0958")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean.pii_scrub(df).collect()}
+    assert out[1].n_email == 2 and out[1].n_ip == 2
+    assert out[1].clean_text == "mail <EMAIL> and <EMAIL> ip <IP> ip <IP>"
+    assert out[2].clean_text == "no pii here at all"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
+    assert out[3].n_email == 1
+    assert out[3].clean_text == "digits <EMAIL> and <PHONE>"
