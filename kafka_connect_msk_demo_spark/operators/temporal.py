@@ -1,0 +1,95 @@
+"""Temporal join operators Spark lacks as built-ins: the as-of join
+and the bucketed range (interval) join.
+
+Both are compositions of existing DataFrame ops — no UDFs, no
+nested-loop joins — chosen for their 100 TB shuffle story:
+
+* :func:`asof_join` is the union+window formulation: ONE shuffle of
+  left ∪ right on the key, then a running ``last(..., ignorenulls)``
+  per key in (ts, side) order. No pairing step ever materializes —
+  state per key is a single row, vs the naive
+  join-then-max-per-left-row which shuffles |L|·avg-matches rows.
+* :func:`bucketed_range_join` turns a value-in-interval predicate
+  into an equi-join: intervals are exploded to the fixed-width
+  buckets they cover, points map to exactly ONE bucket, and the
+  bucket id becomes the shuffle key, followed by the exact BETWEEN
+  filter. Candidate volume is |points| + Σ interval-widths/bucket —
+  linear, never |points|·|intervals| (the broadcast-BNLJ fallback is
+  only sane while the interval side stays tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_prefix: str = "r_") -> DataFrame:
+    """Backward as-of join: for every left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (inclusive at equality), or NULLs if no such row — left-join
+    semantics, |output| == |left|.
+
+    DETERMINISM CONTRACT: the right side must be unique per
+    (``on``, ``right_ts``) — pre-aggregate ties (e.g. ``max_by``)
+    before calling, as the registered query does; otherwise which tied
+    row wins depends on partition order.
+
+    All right columns except the key come back prefixed with
+    ``right_prefix``.
+    """
+    rcols = [c for c in right.columns if c != on]
+    rpay = F.struct(*[F.col(c) for c in rcols])
+    l = left.select(
+        F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_l"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"))
+    r = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_l"),
+        rpay.alias("_rpay"))
+    u = (l.withColumn("_rpay", F.lit(None).cast(
+            r.schema["_rpay"].dataType))
+         .unionByName(r.withColumn("_lpay", F.lit(None).cast(
+             l.schema["_lpay"].dataType))))
+    # right rows sort BEFORE left rows at equal ts => inclusive (>=)
+    w = (Window.partitionBy(on).orderBy("_ts", "_is_l")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+               .filter(F.col("_is_l") == 1))
+    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_m.{c}").alias(f"{right_prefix}{c}")
+                 for c in rcols]
+    return matched.select(*out_cols)
+
+
+def bucketed_range_join(points: DataFrame, intervals: DataFrame,
+                        point_col: Column | str,
+                        start_col: str, end_col: str,
+                        bucket_width: int) -> DataFrame:
+    """Equi-join plan for ``start <= point <= end`` (inclusive ends).
+
+    ``points``/``intervals`` columns must be disjoint. Both sides'
+    range dimension must be integral (cast dates to epoch-days, or
+    timestamps to epoch-seconds, before calling). Each interval row is
+    exploded to ``sequence(floor(start/w), floor(end/w))`` bucket ids —
+    one row per covered bucket — while each point maps to exactly one
+    bucket, so every qualifying (point, interval) pair meets exactly
+    once and no dedup pass is needed. Pick ``bucket_width`` near the
+    median interval width: candidate blow-up is then ~2 rows per
+    interval and the exact filter discards ~half.
+    """
+    p = points.withColumn(
+        "_b", (F.col(point_col) if isinstance(point_col, str)
+               else point_col).cast("long") / F.lit(bucket_width))
+    p = p.withColumn("_b", F.floor("_b").cast("long"))
+    iv = intervals.withColumn(
+        "_b", F.explode(F.sequence(
+            F.floor(F.col(start_col).cast("long") / bucket_width),
+            F.floor(F.col(end_col).cast("long") / bucket_width))))
+    pc = point_col if isinstance(point_col, str) else "_point"
+    joined = p.join(iv, "_b")
+    return (joined
+            .filter((F.col(pc) >= F.col(start_col))
+                    & (F.col(pc) <= F.col(end_col)))
+            .drop("_b"))

@@ -811,6 +811,99 @@ WHERE o_orderkey % 10 <> 0
 from .pipeline.queries import PIPELINE_QUERIES  # noqa: E402
 from .streaming.queries import STREAMING_QUERIES  # noqa: E402
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (click→purchase attribution): for every
+    purchase event, the same user's most recent click at-or-before it,
+    plus the exact microsecond gap. Clicks are pre-deduped to one per
+    (user, ts) — max event_id wins — per asof_join's determinism
+    contract; the oracle is a genuine DuckDB ASOF LEFT JOIN, so the
+    two engines implement the operator independently."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", F.col("ts").alias("p_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", F.col("ts").alias("c_ts"))
+              .agg(F.max("event_id").alias("click_id"))
+              .select("user_id", "click_id", "c_ts"))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="p_ts", right_ts="c_ts", right_prefix="")
+    return (out.select(
+        "purchase_id", "user_id",
+        F.unix_micros("p_ts").alias("p_us"),
+        "click_id",
+        F.unix_micros("c_ts").alias("c_us"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"))
+        .orderBy("purchase_id"))
+
+
+_SQL_ASOF_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.purchase_id, p.user_id, epoch_us(p.p_ts) AS p_us,
+       c.click_id, epoch_us(c.c_ts) AS c_us,
+       epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+ORDER BY purchase_id
+"""
+
+
+def q_range_join_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via the bucketed equi-join plan: orders
+    landing inside per-nation promo windows — 25 deliberately
+    OVERLAPPING 131-day intervals spaced 90 days apart, derived
+    arithmetically from the nation key so both engines build them from
+    scratch. Dates cross the engines as epoch days; revenue aggregates
+    on exact decimal (see dec()). The oracle is the plain BETWEEN
+    theta-join, so the bucket decomposition's exactness is what's
+    being checked."""
+    from .operators.temporal import bucketed_range_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.floor(F.unix_micros("o_orderdate")
+                / F.lit(86_400_000_000)).alias("day"))
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.lit(9131) + F.col("n_nationkey") * 90).alias("lo"))
+    intervals = nation.withColumn("hi", F.col("lo") + 130)
+    j = bucketed_range_join(orders, intervals, "day", "lo", "hi",
+                            bucket_width=90)
+    return (j.groupBy("n_nationkey")
+            .agg(F.count(F.lit(1)).alias("promo_orders"),
+                 F.sum(dec("o_totalprice", 25, 8)).cast("double")
+                 .alias("promo_revenue"))
+            .orderBy("n_nationkey"))
+
+
+_SQL_RANGE_JOIN_PROMO = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+           AS day
+  FROM orders
+), iv AS (
+  SELECT n_nationkey, 9131 + n_nationkey * 90 AS lo,
+         9131 + n_nationkey * 90 + 130 AS hi
+  FROM nation
+)
+SELECT n_nationkey, COUNT(*) AS promo_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+         AS promo_revenue
+FROM o JOIN iv ON o.day BETWEEN iv.lo AND iv.hi
+GROUP BY 1
+ORDER BY n_nationkey
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -844,6 +937,8 @@ BATCH_QUERIES = {
     "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
+    "asof_attribution": (q_asof_attribution, _SQL_ASOF_ATTRIBUTION),
+    "range_join_promo": (q_range_join_promo, _SQL_RANGE_JOIN_PROMO),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,

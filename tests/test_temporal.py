@@ -1,0 +1,76 @@
+"""Unit tests for the temporal operators (as-of join, bucketed range
+join) — semantics the oracle-parity harness states but doesn't dissect:
+inclusive equality, no-match nulls, bucket-boundary exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.operators.temporal import (
+    asof_join, bucketed_range_join)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 300), (4, "v", 50)],
+        "lid long, k string, lts long")
+    right = spark.createDataFrame(
+        [(10, "u", 100), (11, "u", 200), (12, "u", 301), (13, "w", 1)],
+        "rid long, k string, rts long")
+    return left, right
+
+
+def test_asof_inclusive_backward(sides):
+    left, right = sides
+    out = {r.lid: r for r in asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts").collect()}
+    assert len(out) == 4                       # |output| == |left|
+    assert out[1].r_rid == 10                  # equality is inclusive
+    assert out[2].r_rid == 11                  # latest at-or-before 205
+    assert out[3].r_rid == 11                  # 301 is in the future
+    assert out[4].r_rid is None                # no right rows for v
+
+
+def test_asof_single_shuffle_no_join_node(sides):
+    """The union+window formulation must plan ZERO join operators and
+    exactly one exchange on the key — that's the whole point."""
+    left, right = sides
+    plan = asof_join(left, right, on="k", left_ts="lts",
+                     right_ts="rts")._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_range_join_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, 9), (2, 10), (3, 25), (4, 40), (5, 41)],
+        "pid long, v long")
+    ivs = spark.createDataFrame(
+        [(100, 10, 40), (101, 30, 50)], "iid long, lo long, hi long")
+    got = {(r.pid, r.iid) for r in bucketed_range_join(
+        pts, ivs, "v", "lo", "hi", bucket_width=7).collect()}
+    assert got == {(2, 100), (3, 100), (4, 100), (4, 101), (5, 101)}
+
+
+def test_bucketed_range_join_matches_bnlj(spark):
+    """Property check vs the naive theta-join on random data — every
+    bucket width must produce the identical pair set."""
+    import random
+
+    rnd = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, rnd.randrange(0, 1000)) for i in range(300)],
+        "pid long, v long")
+    iv_rows = []
+    for i in range(40):
+        lo = rnd.randrange(0, 950)
+        iv_rows.append((i, lo, lo + rnd.randrange(0, 120)))
+    ivs = spark.createDataFrame(iv_rows, "iid long, lo long, hi long")
+    naive = {(r.pid, r.iid)
+             for r in pts.join(ivs, (F.col("v") >= F.col("lo"))
+                               & (F.col("v") <= F.col("hi"))).collect()}
+    for w in (1, 13, 64, 1000):
+        got = {(r.pid, r.iid) for r in bucketed_range_join(
+            pts, ivs, "v", "lo", "hi", bucket_width=w).collect()}
+        assert got == naive, f"width={w}"
