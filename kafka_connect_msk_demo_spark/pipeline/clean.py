@@ -103,3 +103,44 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
                                         F.lit(0))))
         red = F.regexp_replace(red, pat, token)
     return out.withColumn(out_col, red)
+
+
+def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
+                            n: int = 5, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Per-document n-gram overlap against a benchmark/eval set — the
+    standard train-test contamination check (GPT-3 appendix C measures
+    13-gram overlap; here ``n`` defaults to 5 to suit the short
+    synthetic docs).
+
+    For every corpus document: the number of its DISTINCT n-grams, how
+    many also occur anywhere in the benchmark, and the contaminated
+    fraction (bigint/bigint → double, hash-stable cross-engine).
+
+    Shape at scale: the benchmark side (an eval suite — thousands of
+    docs, not billions) collapses to a distinct-gram set and is
+    BROADCAST, so the corpus side never shuffles at all: explode →
+    broadcast-hash left join → one doc_id hash-agg, i.e. scan-bound.
+    If the benchmark ever outgrows broadcast size, drop the hint and
+    the same plan shuffles both sides on the gram.
+    """
+    from .text_analysis import _sliding_grams
+
+    def grams(df):
+        t = df.select(F.col(id_col).alias("doc_id"),
+                      tokens(text_col).alias("t"))
+        return t.select(
+            "doc_id",
+            F.explode(F.array_distinct(_sliding_grams("t", n)))
+            .alias("gram"))
+
+    bench = (grams(benchmark).select("gram").distinct()
+             .withColumn("hit", F.lit(True)))
+    return (grams(corpus)
+            .join(F.broadcast(bench), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count("hit").alias("n_contaminated"),
+                 (F.count("hit").cast("double")
+                  / F.count(F.lit(1))).alias("contamination_frac"))
+            .orderBy("doc_id"))

@@ -834,6 +834,40 @@ ORDER BY doc_id
 _SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination: docs with doc_id % 23 == 0 stand in
+    for the held-out benchmark; every other document is scored by its
+    distinct-5-gram overlap with that set. Planted near-dups in the
+    corpus make the contaminated tail non-trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return clean.benchmark_contamination(corpus, bench, n=5)
+
+
+_SQL_BENCHMARK_CONTAMINATION = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, t, unnest(range(GREATEST(len(t) - 4, 0))) AS i
+  FROM tok
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS gram
+  FROM ex
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       COUNT(b.gram) AS n_contaminated,
+       COUNT(b.gram)::DOUBLE / COUNT(*) AS contamination_frac
+FROM g LEFT JOIN bench b USING (gram)
+WHERE g.doc_id % 23 <> 0
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -860,4 +894,6 @@ PIPELINE_QUERIES: dict = {
     "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),
     "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
     "pii_scrub": (q_pii_scrub, _SQL_PII_SCRUB),
+    "benchmark_contamination": (q_benchmark_contamination,
+                                _SQL_BENCHMARK_CONTAMINATION),
 }

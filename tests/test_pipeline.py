@@ -285,3 +285,24 @@ def test_pii_scrub_edges(spark):
     assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
     assert out[3].n_email == 1
     assert out[3].clean_text == "digits <EMAIL> and <PHONE>"
+
+
+def test_benchmark_contamination_handcrafted(spark):
+    """A verbatim copy of a benchmark doc scores 1.0; a doc sharing one
+    5-gram scores 1/n_grams; a disjoint doc scores 0. Benchmark docs
+    themselves are not scored."""
+    from kafka_connect_msk_demo_spark.pipeline import clean
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"),            # exact copy -> 1.0
+         (2, "x a b c d e y z w v u"),  # one shared 5-gram of 7
+         (3, "p q r s t u v")],         # disjoint -> 0.0
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           clean.benchmark_contamination(corpus, bench, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contamination_frac == 1.0
+    assert out[2].n_grams == 7 and out[2].n_contaminated == 1
+    assert out[3].contamination_frac == 0.0
