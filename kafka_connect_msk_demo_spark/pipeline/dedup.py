@@ -341,3 +341,72 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6, k: int = 3,
             .distinct()
             .filter(F.col("hamming") <= max_hamming)
             .orderBy("d1", "d2"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment — pairs → canonical document per component
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, src: str = "d1",
+                         dst: str = "d2",
+                         max_iters: int = 25) -> DataFrame:
+    """(node, component) for every node in ``edges``, where component
+    is the MINIMUM node id reachable over the undirected edge set —
+    min-label propagation to a fixpoint.
+
+    Each iteration is one co-partitioned join (labels ⋈ edges on the
+    node) + one min-aggregate — no driver data beyond a single changed
+    count per round (the documented O(1)-per-iteration action class,
+    like the Lloyd trainer). Converges in O(component diameter) rounds;
+    near-dup clusters are shallow (a dup of a dup of a dup...), so 2-3
+    rounds in practice, with ``max_iters`` as the lineage bound. For
+    adversarial long-chain graphs prefer the large-star/small-star
+    O(log n) variant (Kiveris et al. 2014) — not needed for dedup
+    workloads, where this formulation does strictly fewer shuffles per
+    round.
+    """
+    both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"),
+                                F.col(src).alias("b"))))
+    both = both.distinct().persist()
+    labels = (both.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))).persist()
+    try:
+        for _ in range(max_iters):
+            msgs = (both.join(labels, both.a == labels.node)
+                    .select(F.col("b").alias("node"), "label"))
+            new = (labels.unionByName(msgs)
+                   .groupBy("node").agg(F.min("label").alias("label"))
+                   ).persist()
+            changed = (new.join(labels.withColumnRenamed("label", "old"),
+                                "node")
+                       .filter(F.col("label") < F.col("old")).count())
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels.select("node", F.col("label").alias("component"))
+    finally:
+        both.unpersist()
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Full dedup resolution: near-dup ``pairs`` → one canonical doc
+    per connected component. Every document gets a row: singletons are
+    their own canonical; ``keep`` marks the component minimum (the
+    retention policy a training pipeline applies before tokenizing).
+    """
+    comp = connected_components(pairs)
+    out = (docs.select(F.col(id_col).alias("doc_id"))
+           .join(comp, F.col("doc_id") == F.col("node"), "left")
+           .select("doc_id",
+                   F.coalesce("component", "doc_id").alias("cluster_id")))
+    sizes = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (out.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("keep"))
+            .orderBy("doc_id"))

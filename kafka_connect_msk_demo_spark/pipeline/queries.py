@@ -868,6 +868,56 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one canonical doc per
+    cluster (the retention decision a dedup pipeline actually ships).
+    The oracle recomputes the same components with a recursive CTE —
+    an independent fixpoint formulation of the same closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {duckdb_shingle_cte(3)},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2
+  FROM cand
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM jac
+  UNION
+  SELECT d2 AS a, d1 AS b FROM jac
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY 1),
+base AS (
+  SELECT doc_id, COALESCE(comp.c, doc_id) AS cluster_id
+  FROM documents LEFT JOIN comp ON documents.doc_id = comp.n
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM base GROUP BY 1
+)
+SELECT doc_id, cluster_id, cluster_size,
+       doc_id = cluster_id AS keep
+FROM base JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -896,4 +946,5 @@ PIPELINE_QUERIES: dict = {
     "pii_scrub": (q_pii_scrub, _SQL_PII_SCRUB),
     "benchmark_contamination": (q_benchmark_contamination,
                                 _SQL_BENCHMARK_CONTAMINATION),
+    "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
 }

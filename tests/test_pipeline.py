@@ -306,3 +306,23 @@ def test_benchmark_contamination_handcrafted(spark):
     assert out[1].contamination_frac == 1.0
     assert out[2].n_grams == 7 and out[2].n_contaminated == 1
     assert out[3].contamination_frac == 0.0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-chain collapses to its minimum via transitive closure (the
+    pair set alone never links 1-4); disjoint pairs stay separate;
+    docs without edges become their own singleton canonical."""
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "d1 long, d2 long")
+    comp = {r.node: r.component
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                 "doc_id long")
+    out = {r.doc_id: r for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert out[99].cluster_id == 99 and out[99].cluster_size == 1
+    assert out[4].cluster_id == 1 and out[4].cluster_size == 4
+    assert [d for d in out if out[d].keep] == [1, 10, 99]
