@@ -904,6 +904,85 @@ ORDER BY n_nationkey
 """
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue: per-nation rows, per-region
+    subtotals, and the grand total in one pass — Spark's rollup()
+    plans a single Expand + hash-agg (one shuffle for all three
+    grouping sets), vs three scans if issued as separate queries.
+    gid = grouping_id() (region bit high), identical bit order to the
+    oracle's GROUPING() arithmetic. Revenue aggregates on exact
+    decimal, cast to double last."""
+    t = load_tables(spark, sf_dir)
+    joined = (t["orders"]
+              .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(t["region"]),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    return (joined
+            .rollup(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+            .agg(F.grouping_id().alias("gid"),
+                 F.sum(dec("o_totalprice", 25, 8)).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("orders_cnt"))
+            .orderBy("gid", "region", "nation"))
+
+
+_SQL_REVENUE_ROLLUP = """
+SELECT r_name AS region, n_name AS nation,
+       GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS orders_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY gid, region, nation
+"""
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (long → wide): counts and exact value
+    sums per type as columns. The pivot values are EXPLICIT literals —
+    Spark then plans one hash-agg with conditional aggregates (no
+    distinct-values pre-query, no second shuffle), exactly the
+    conditional-aggregation SQL the oracle states."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(dec("value", 25, 8)).cast("double").alias("val"))
+            .orderBy("user_id"))
+
+
+_SQL_EVENT_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(25,8)))
+            FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_val,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(25,8)))
+            FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_val,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(25,8)))
+            FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+         AS purchase_val,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(25,8)))
+            FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_val,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(25,8)))
+            FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_val
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -939,6 +1018,8 @@ BATCH_QUERIES = {
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
     "asof_attribution": (q_asof_attribution, _SQL_ASOF_ATTRIBUTION),
     "range_join_promo": (q_range_join_promo, _SQL_RANGE_JOIN_PROMO),
+    "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
+    "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,
