@@ -204,6 +204,67 @@ ORDER BY 1, 2, 3
 """
 
 
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows (T2 capability extension): per-user
+    gap-based sessions via ``session_window`` — 30-minute inactivity
+    gap, 10-minute watermark, APPEND mode (Spark does not support
+    complete mode for session windows: state must be evictable).
+
+    Append mode only emits sessions the watermark has finalized, so
+    the ORACLE ENCODES THE WATERMARK CONTRACT: it rebuilds the same
+    sessions with a lag/sum-over island construction (a new session
+    starts when the gap to the previous event is >= 30 min — Spark
+    merges only strictly-overlapping [ts, ts+gap) intervals) and then
+    keeps exactly the sessions with
+    ``session_end <= max(event_time) - 10 min``, which is the final
+    watermark an availableNow drain reaches (the trailing no-data
+    micro-batch flushes state up to it). Sessions newer than that are
+    legitimately still in state when the drain stops — asserting their
+    absence is asserting the append contract."""
+    events = stream_table(spark, sf_dir, "events")
+    sess = (events.withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(dec("value", 25, 8)).cast("double")
+                 .alias("value_sum"))
+            .select("user_id",
+                    F.unix_micros("session_window.start")
+                    .alias("session_start_us"),
+                    F.unix_micros("session_window.end")
+                    .alias("session_end_us"),
+                    "n_events", "value_sum"))
+    return (run_to_memory(sess, "append")
+            .orderBy("user_id", "session_start_us"))
+
+
+_SQL_STREAM_SESSION_AGG = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), m AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), s AS (
+  SELECT user_id, us, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), agg AS (
+  SELECT user_id,
+         MIN(us) AS session_start_us,
+         MAX(us) + 1800000000 AS session_end_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS value_sum
+  FROM s GROUP BY user_id, sid
+)
+SELECT * FROM agg
+WHERE session_end_us <= (SELECT MAX(us) - 600000000 FROM e)
+ORDER BY user_id, session_start_us
+"""
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -214,4 +275,5 @@ STREAMING_QUERIES = {
     "stream_running_user_stats": (stream_running_user_stats,
                                   _SQL_STREAM_RUNNING_USER_STATS),
     "stream_stream_join": (stream_stream_join, _SQL_STREAM_STREAM_JOIN),
+    "stream_session_agg": (stream_session_agg, _SQL_STREAM_SESSION_AGG),
 }

@@ -3,6 +3,7 @@
 restore/save and watermark advancement across several real micro-batches
 within one availableNow drain (not a single-batch simulation)."""
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_connect_msk_demo_spark.catalog import (STREAM_CHUNKS, load_table,
@@ -59,3 +60,49 @@ def test_complete_mode_agg_spans_batches(spark, sf_small):
                   F.count("value").alias("orders")))
     assert sorted(map(tuple, result.collect())) == \
         sorted(map(tuple, truth.collect()))
+
+
+def test_session_windows_merge_across_batches(spark, sf_small):
+    """Session windows must MERGE state across micro-batches: a session
+    whose events straddle a chunk boundary emits ONCE with the combined
+    count. Proven by comparing the drained append output (finalized
+    sessions only) against a batch-computed island sessionization under
+    the same watermark cutoff — any double-emission or split session
+    would break the row-for-row equality."""
+    progress: list = []
+    # re-run the registered query's internals with progress capture
+    events = stream_table(spark, sf_small, "events",
+                          max_files_per_trigger=1)
+    sess = (events.withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("session_window.start").alias("s_us"),
+                    F.unix_micros("session_window.end").alias("e_us"),
+                    "n_events"))
+    out = run_to_memory(sess, "append", collect_progress=progress)
+    data_batches = [p for p in progress if _input_rows(p) > 0]
+    assert len(data_batches) >= min(3, STREAM_CHUNKS)
+
+    ev = load_table(spark, sf_small, "events")
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = 30 * 60 * 1_000_000
+    isl = (ev.select("user_id", F.unix_micros("ts").alias("us"))
+           .withColumn("prev", F.lag("us").over(w))
+           .withColumn("brk", F.when(F.col("prev").isNull()
+                                     | (F.col("us") - F.col("prev") >= gap),
+                                     1).otherwise(0))
+           .withColumn("sid", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    cutoff = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] \
+        - 10 * 60 * 1_000_000
+    truth = (isl.groupBy("user_id", "sid")
+             .agg(F.min("us").alias("s_us"),
+                  (F.max("us") + gap).alias("e_us"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .filter(F.col("e_us") <= cutoff)
+             .drop("sid"))
+    assert sorted(map(tuple, out.select("user_id", "s_us", "e_us",
+                                        "n_events").collect())) == \
+        sorted(map(tuple, truth.select("user_id", "s_us", "e_us",
+                                       "n_events").collect()))
