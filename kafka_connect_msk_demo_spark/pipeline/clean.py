@@ -144,3 +144,31 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
                  (F.count("hit").cast("double")
                   / F.count(F.lit(1))).alias("contamination_frac"))
             .orderBy("doc_id"))
+
+
+def fuzzy_match(candidates: DataFrame, probes: DataFrame,
+                cand_col: str, probe_col: str,
+                max_dist: int = 2) -> DataFrame:
+    """Entity resolution against a reference list: every candidate row
+    within ``max_dist`` Levenshtein edits of a probe, with the exact
+    distance.
+
+    The probe side is a REFERENCE LIST (banned entities, benchmark
+    titles, canonical names) — small by use-case definition — so the
+    right 100 TB plan is a broadcast nested-loop over k probes: O(N·k)
+    work with N scanned once, the same declared-BNLJ class as the
+    brute-force cosine scorer. A cheap length-band guard
+    (``abs(len_c - len_p) <= max_dist``, a necessary condition for edit
+    distance) runs before the O(len²) levenshtein so most of the N·k
+    pairs short-circuit on an integer compare. For probe lists too big
+    to broadcast, PassJoin-style segment blocking is the upgrade path —
+    not implemented because it changes the contract (requires exploding
+    positional substrings of every candidate).
+    """
+    p = F.broadcast(probes)
+    lc, lp = F.length(F.col(cand_col)), F.length(F.col(probe_col))
+    guard = F.abs(lc - lp) <= max_dist
+    dist = F.levenshtein(F.col(cand_col), F.col(probe_col))
+    return (candidates.join(p, guard, "inner")
+            .withColumn("dist", dist)
+            .filter(F.col("dist") <= max_dist))

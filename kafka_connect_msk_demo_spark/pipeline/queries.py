@@ -918,6 +918,40 @@ ORDER BY doc_id
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity match: a deterministic probe list (every 100th
+    customer's name with 'Customer#' misspelled as 'Custmer#' — one
+    deletion) resolved against all customer names within 2 edits. Each
+    probe hits its source (distance 1) plus the customers one digit
+    apart (distance 2), so the output exercises true multi-match
+    resolution, not a disguised equi-join."""
+    cust = load_table(spark, sf_dir, "customer")
+    probes = (cust.filter(F.col("c_custkey") % 100 == 0)
+              .select(F.col("c_custkey").alias("probe_id"),
+                      F.regexp_replace("c_name", "Customer#", "Custmer#")
+                      .alias("probe_name")))
+    cand = cust.select("c_custkey", "c_name")
+    return (clean.fuzzy_match(cand, probes, "c_name", "probe_name",
+                              max_dist=2)
+            .select("probe_id", "c_custkey", "c_name", "dist")
+            .orderBy("probe_id", "c_custkey"))
+
+
+_SQL_FUZZY_MATCH = """
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+         replace(c_name, 'Customer#', 'Custmer#') AS probe_name
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT probe_id, c_custkey, c_name,
+       levenshtein(c_name, probe_name) AS dist
+FROM customer CROSS JOIN probes
+WHERE abs(length(c_name) - length(probe_name)) <= 2
+  AND levenshtein(c_name, probe_name) <= 2
+ORDER BY probe_id, c_custkey
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -947,4 +981,5 @@ PIPELINE_QUERIES: dict = {
     "benchmark_contamination": (q_benchmark_contamination,
                                 _SQL_BENCHMARK_CONTAMINATION),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "fuzzy_match": (q_fuzzy_match, _SQL_FUZZY_MATCH),
 }

@@ -983,6 +983,39 @@ ORDER BY user_id
 """
 
 
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function battery over each customer's order
+    history: ntile quartile, percent_rank, cume_dist, lag/lead of the
+    order total in (date, key) order. One WindowExec pass (all five
+    functions share the frame, so a single shuffle+sort on the
+    customer). percent_rank/cume_dist are single correctly-rounded
+    divisions of exact integers — bit-identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.filter(F.col("o_custkey") % 10 == 0)
+            .select("o_custkey", "o_orderkey",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.percent_rank().over(w).alias("pct_rank"),
+                    F.cume_dist().over(w).alias("cume"),
+                    F.lag("o_totalprice").over(w).alias("prev_price"),
+                    F.lead("o_totalprice").over(w).alias("next_price"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+_SQL_WINDOW_BATTERY = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -1020,6 +1053,7 @@ BATCH_QUERIES = {
     "range_join_promo": (q_range_join_promo, _SQL_RANGE_JOIN_PROMO),
     "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
     "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
+    "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,

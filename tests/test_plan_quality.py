@@ -23,8 +23,12 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 #: (documented validation-scale; bucketed variants are the scale path),
 #: plus tfidf's ONE-ROW broadcast of the corpus size — the canonical
 #: scalar-subquery plan (cost O(N), no pairing blowup)
+#: fuzzy_match broadcasts a REFERENCE LIST (k probes) — O(N·k) with a
+#: length-band guard before the levenshtein; the declared small-side
+#: non-equi class, like the brute-force cosine scorer
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
-                "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms"}
+                "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
+                "fuzzy_match"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
