@@ -373,6 +373,10 @@ def connected_components(edges: DataFrame, src: str = "d1",
     labels = (both.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))).persist()
+    # Convergence probe: labels only ever DECREASE, so the label sum
+    # strictly decreases on any change — one tiny aggregate per round
+    # replaces a join+filter+count convergence job.
+    prev_sum = None
     try:
         for _ in range(max_iters):
             msgs = (both.join(labels, both.a == labels.node)
@@ -380,13 +384,12 @@ def connected_components(edges: DataFrame, src: str = "d1",
             new = (labels.unionByName(msgs)
                    .groupBy("node").agg(F.min("label").alias("label"))
                    ).persist()
-            changed = (new.join(labels.withColumnRenamed("label", "old"),
-                                "node")
-                       .filter(F.col("label") < F.col("old")).count())
+            cur_sum = new.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
             labels = new
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels.select("node", F.col("label").alias("component"))
     finally:
         both.unpersist()

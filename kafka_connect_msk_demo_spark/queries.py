@@ -1016,6 +1016,78 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one result: row count, orphan-FK count
+    (left-anti semantics), and null-key count per fact table — the
+    profiling pass a pipeline runs before trusting new data. Each
+    check is a broadcast-or-shuffle left join + conditional count; the
+    three audits stay independent scans (they read different tables)
+    unioned into one tiny frame."""
+    t = load_tables(spark, sf_dir)
+
+    def audit(name, fact, key, dim, dim_key):
+        hit = dim.select(F.col(dim_key).alias(key)).distinct() \
+            .withColumn("_ok", F.lit(True))
+        j = fact.select(key).join(hit, key, "left")
+        return j.agg(
+            F.lit(name).alias("fact_table"),
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when(F.col("_ok").isNull()
+                           & F.col(key).isNotNull(), 1))
+            .alias("orphans"),
+            F.count(F.when(F.col(key).isNull(), 1)).alias("null_keys"))
+
+    # the in-good-standing leg (acctbal >= 0) has REAL violations in
+    # the testdata (1249 orders at sf0.01), so nonzero orphan counts —
+    # not just 0 == 0 — are what the oracle certifies; planted-orphan
+    # detection is additionally unit-tested in tests/test_sources.py
+    good = t["customer"].filter(F.col("c_acctbal") >= 0)
+    return (audit("orders", t["orders"], "o_custkey",
+                  t["customer"], "c_custkey")
+            .unionByName(audit("orders_vs_good_standing", t["orders"],
+                               "o_custkey", good, "c_custkey"))
+            .unionByName(audit("lineitem", t["lineitem"], "l_orderkey",
+                               t["orders"], "o_orderkey"))
+            .unionByName(audit("customer", t["customer"], "c_nationkey",
+                               t["nation"], "n_nationkey"))
+            .orderBy("fact_table"))
+
+
+_SQL_INTEGRITY_AUDIT = """
+SELECT * FROM (
+  SELECT 'orders' AS fact_table, COUNT(*) AS rows,
+         COUNT(CASE WHEN c_custkey IS NULL
+                     AND o_custkey IS NOT NULL THEN 1 END) AS orphans,
+         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_keys
+  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'orders_vs_good_standing', COUNT(*),
+         COUNT(CASE WHEN c_custkey IS NULL
+                     AND o_custkey IS NOT NULL THEN 1 END),
+         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                         WHERE c_acctbal >= 0) c
+    ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'lineitem', COUNT(*),
+         COUNT(CASE WHEN o_orderkey IS NULL
+                     AND l_orderkey IS NOT NULL THEN 1 END),
+         COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END)
+  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'customer', COUNT(*),
+         COUNT(CASE WHEN n_nationkey IS NULL
+                     AND c_nationkey IS NOT NULL THEN 1 END),
+         COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END)
+  FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON c_nationkey = n_nationkey
+)
+ORDER BY fact_table
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -1054,6 +1126,7 @@ BATCH_QUERIES = {
     "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
     "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
     "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
+    "integrity_audit": (q_integrity_audit, _SQL_INTEGRITY_AUDIT),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,
