@@ -1088,6 +1088,52 @@ ORDER BY fact_table
 """
 
 
+def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer 7-day trailing order revenue —
+    a VALUE-based frame (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over
+    epoch days), not a row count, so gaps in order history shrink the
+    frame. The trailing sum stays exact DECIMAL inside the frame and
+    casts to double at the end; per-day totals are pre-aggregated
+    before the window so frame re-evaluation touches one row per
+    (customer, day), not one per order."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0)
+    per_day = (o.select("o_custkey",
+                        F.floor(F.unix_micros("o_orderdate")
+                                / F.lit(86_400_000_000)).alias("day"),
+                        dec("o_totalprice", 25, 8).alias("p"))
+               .groupBy("o_custkey", "day")
+               .agg(F.sum("p").alias("day_rev")))
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-6, 0))
+    return (per_day
+            .select("o_custkey", "day",
+                    F.col("day_rev").cast("double").alias("day_rev"),
+                    F.sum("day_rev").over(w).cast("double")
+                    .alias("trailing_7d"))
+            .orderBy("o_custkey", "day"))
+
+
+_SQL_TRAILING_REVENUE = """
+WITH per_day AS (
+  SELECT o_custkey,
+         CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+           AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS day_rev
+  FROM orders WHERE o_custkey % 10 = 0
+  GROUP BY 1, 2
+)
+SELECT o_custkey, day,
+       CAST(day_rev AS DOUBLE) AS day_rev,
+       CAST(SUM(day_rev) OVER (PARTITION BY o_custkey ORDER BY day
+                               RANGE BETWEEN 6 PRECEDING
+                                         AND CURRENT ROW) AS DOUBLE)
+         AS trailing_7d
+FROM per_day
+ORDER BY o_custkey, day
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -1127,6 +1173,7 @@ BATCH_QUERIES = {
     "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
     "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
     "integrity_audit": (q_integrity_audit, _SQL_INTEGRITY_AUDIT),
+    "trailing_revenue": (q_trailing_revenue, _SQL_TRAILING_REVENUE),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,
