@@ -952,6 +952,95 @@ ORDER BY probe_id, c_custkey
 """
 
 
+def q_pretraining_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep/drop decision a pretraining pipeline ships:
+    Gopher repetition gates + contamination gate + length gate, with
+    machine-readable failure reasons (comma-joined, '' = keep). All
+    component frames join on doc_id (co-partitioned); thresholds are
+    chosen so the repetition/diversity/contamination rules each have
+    real failures in the corpus (asserted in tests/test_pipeline.py;
+    the length gate is shape-only here — every synthetic doc is 20-90
+    tokens)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 23 != 0)
+    rep = text_analysis.repetition_stats(docs, ns=(2,))
+    bench = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 23 == 0))
+    cont = clean.benchmark_contamination(docs, bench, n=5) \
+        .select("doc_id", "contamination_frac")
+    j = rep.join(cont, "doc_id")
+    failed = F.concat_ws(
+        ",",
+        F.when(F.col("dup_2gram_frac") > 0.2, "repetition"),
+        F.when(F.col("distinct_token_ratio") < 0.45, "low_diversity"),
+        F.when(F.col("contamination_frac") >= 0.5, "contaminated"),
+        F.when((F.col("n_tokens") < 10) | (F.col("n_tokens") > 1000),
+               "length"))
+    return (j.select("doc_id", "n_tokens", "distinct_token_ratio",
+                     "dup_2gram_frac", "contamination_frac",
+                     failed.alias("failed_rules"),
+                     (failed == "").alias("keep"))
+            .orderBy("doc_id"))
+
+
+_SQL_PRETRAINING_FILTER = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), ex2 AS (
+  SELECT doc_id, t, unnest(range(GREATEST(len(t) - 1, 0))) AS i
+  FROM tok WHERE doc_id % 23 <> 0
+), g2 AS (
+  SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS gram FROM ex2
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0)::DOUBLE / SUM(c)
+           AS dup_2gram_frac
+  FROM c2 GROUP BY 1
+), ex5 AS (
+  SELECT doc_id, t, unnest(range(GREATEST(len(t) - 4, 0))) AS i
+  FROM tok
+), g5 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS gram
+  FROM ex5
+), bench AS (
+  SELECT DISTINCT gram FROM g5 WHERE doc_id % 23 = 0
+), cont AS (
+  SELECT g5.doc_id,
+         COUNT(b.gram)::DOUBLE / COUNT(*) AS contamination_frac
+  FROM g5 LEFT JOIN bench b USING (gram)
+  WHERE g5.doc_id % 23 <> 0
+  GROUP BY 1
+), base AS (
+  SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         len(list_distinct(tk.t))::DOUBLE / len(tk.t)
+           AS distinct_token_ratio,
+         rep.dup_2gram_frac, cont.contamination_frac
+  FROM tok tk
+  JOIN rep ON tk.doc_id = rep.doc_id
+  JOIN cont ON tk.doc_id = cont.doc_id
+)
+SELECT doc_id, n_tokens, distinct_token_ratio, dup_2gram_frac,
+       contamination_frac,
+       concat_ws(',',
+         CASE WHEN dup_2gram_frac > 0.2 THEN 'repetition' END,
+         CASE WHEN distinct_token_ratio < 0.45 THEN 'low_diversity' END,
+         CASE WHEN contamination_frac >= 0.5 THEN 'contaminated' END,
+         CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length' END)
+         AS failed_rules,
+       (concat_ws(',',
+         CASE WHEN dup_2gram_frac > 0.2 THEN 'repetition' END,
+         CASE WHEN distinct_token_ratio < 0.45 THEN 'low_diversity' END,
+         CASE WHEN contamination_frac >= 0.5 THEN 'contaminated' END,
+         CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length' END)
+        = '') AS keep
+FROM base
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -982,4 +1071,5 @@ PIPELINE_QUERIES: dict = {
                                 _SQL_BENCHMARK_CONTAMINATION),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "fuzzy_match": (q_fuzzy_match, _SQL_FUZZY_MATCH),
+    "pretraining_filter": (q_pretraining_filter, _SQL_PRETRAINING_FILTER),
 }

@@ -1134,6 +1134,73 @@ ORDER BY o_custkey, day
 """
 
 
+def q_json_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction from the raw props payload (E-family
+    extension beyond whole-schema from_json): get_json_object pulls a
+    single path without binding the full document schema — the right
+    tool when the payload is open-ended and only one field matters.
+    The extraction is a narrow codegen projection; stats aggregate the
+    extracted BIGINT exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("k").alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 (F.sum("k").cast("double") / F.count("k"))
+                 .alias("k_mean"))
+            .orderBy("event_type"))
+
+
+_SQL_JSON_PATH_STATS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(k) AS n, SUM(k)::BIGINT AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max,
+       SUM(k)::DOUBLE / COUNT(k) AS k_mean
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two independently-derived per-user
+    aggregates (clicks vs purchases): users appearing on either side
+    survive with NULLs on the missing side — the join shape batch
+    reconciliation jobs use to diff two systems' outputs."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(tp, alias):
+        return (ev.filter(F.col("event_type") == tp)
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    clicks = side("click", "n_clicks")
+    purchases = side("purchase", "n_purchases")
+    return (clicks.join(purchases, "user_id", "full_outer")
+            .select("user_id", "n_clicks", "n_purchases")
+            .orderBy("user_id"))
+
+
+_SQL_FULL_OUTER_RECONCILE = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT user_id, COUNT(*) AS n_purchases FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       n_clicks, n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -1174,6 +1241,9 @@ BATCH_QUERIES = {
     "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
     "integrity_audit": (q_integrity_audit, _SQL_INTEGRITY_AUDIT),
     "trailing_revenue": (q_trailing_revenue, _SQL_TRAILING_REVENUE),
+    "json_path_stats": (q_json_path_stats, _SQL_JSON_PATH_STATS),
+    "full_outer_reconcile": (q_full_outer_reconcile,
+                             _SQL_FULL_OUTER_RECONCILE),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,

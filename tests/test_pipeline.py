@@ -326,3 +326,18 @@ def test_connected_components_chain_and_singletons(spark):
     assert out[99].cluster_id == 99 and out[99].cluster_size == 1
     assert out[4].cluster_id == 1 and out[4].cluster_size == 4
     assert [d for d in out if out[d].keep] == [1, 10, 99]
+
+
+def test_pretraining_filter_rules_all_fire(spark):
+    """Each substantive gate (repetition, low_diversity, contaminated)
+    must have real failures in the corpus — thresholds that never fire
+    would make the composite vacuous."""
+    from kafka_connect_msk_demo_spark.pipeline.queries import (
+        q_pretraining_filter)
+
+    out = q_pretraining_filter(spark, "/root/testdata/sf0.001")
+    reasons = {r for row in out.filter("NOT keep")
+               .select("failed_rules").collect()
+               for r in row.failed_rules.split(",")}
+    assert {"repetition", "low_diversity", "contaminated"} <= reasons
+    assert out.filter("keep").count() > 0
