@@ -1201,6 +1201,52 @@ ORDER BY user_id
 """
 
 
+def q_dead_letter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — the reference connector's
+    ``errors.tolerance=all`` + DLQ behavior re-expressed: payloads that
+    fail JSON decode are flagged and carried whole to a dead-letter
+    column instead of killing the job, while good rows decode normally.
+    Corruption is PLANTED deterministically (every 7th event's payload
+    truncated) since the testdata is clean; the oracle plants the same.
+    Spark side uses PERMISSIVE from_json with columnNameOfCorruptRecord
+    — the engine-native corrupt-record channel, a narrow projection."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(F.col("event_id") % 7 == 0,
+                     F.expr("substring(props, 1, length(props) - 1)")) \
+        .otherwise(F.col("props"))
+    parsed = F.from_json(
+        payload, "k bigint, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"})
+    env = ev.select("event_id", payload.alias("payload"),
+                    parsed.alias("p"))
+    is_dead = F.col("p._corrupt").isNotNull()
+    return (env.select(
+        "event_id", is_dead.alias("is_dead"),
+        F.col("p.k").alias("k"),
+        F.when(is_dead, F.col("payload")).alias("dead_payload"))
+        .orderBy("event_id"))
+
+
+_SQL_DEAD_LETTER_ROUTE = """
+WITH env AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0
+              THEN substring(props, 1, length(props) - 1)
+              ELSE props END AS payload
+  FROM events
+)
+SELECT event_id,
+       NOT json_valid(payload) AS is_dead,
+       CASE WHEN json_valid(payload)
+            THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+       END AS k,
+       CASE WHEN NOT json_valid(payload) THEN payload END
+         AS dead_payload
+FROM env
+ORDER BY event_id
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -1244,6 +1290,7 @@ BATCH_QUERIES = {
     "json_path_stats": (q_json_path_stats, _SQL_JSON_PATH_STATS),
     "full_outer_reconcile": (q_full_outer_reconcile,
                              _SQL_FULL_OUTER_RECONCILE),
+    "dead_letter_route": (q_dead_letter_route, _SQL_DEAD_LETTER_ROUTE),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,
