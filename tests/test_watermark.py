@@ -144,3 +144,75 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
 
     got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
     assert got == [("A", 1.0), ("A", 3.0), ("B", 5.0), ("C", 7.0)], got
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("u", T.StringType(), True),
+    T.StructField("v", T.DoubleType(), True),
+])
+
+
+def _write_batch_u(path: str, name: str, rows: list, mtime: int) -> None:
+    pdf = pd.DataFrame(rows, columns=["ts", "u", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    f = os.path.join(path, name)
+    pq.write_table(pa.Table.from_pandas(pdf), f)
+    os.utime(f, (mtime, mtime))
+
+
+def _drain_sessions(spark, src: str, out: str, ckpt: str) -> None:
+    stream = spark.readStream.schema(SESSION_SCHEMA).parquet(src)
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy("u", F.session_window("ts", "30 minutes"))
+           .agg(F.sum("v").alias("total"), F.count("v").alias("n"))
+           .select(F.col("session_window.start").alias("ss"),
+                   F.col("session_window.end").alias("se"), "total", "n"))
+    # (grouped by user: streaming session windows reject global aggs)
+    q = (agg.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """T6 for SESSION state: a session opened in run 1 must MERGE with
+    a run-2 event that falls inside its gap — across a full query
+    restart from the checkpoint — and extend its end; a separate later
+    event starts a fresh session. Run 3 pushes the watermark past
+    everything to flush the append sink."""
+    src = str(tmp_path / "stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    now = int(time.time())
+
+    # run 1: open session at 00:00, second event 00:10 (same session)
+    _write_batch_u(src, "b1.parquet",
+                 [("2024-01-01 00:00:00", "u1", 1.0),
+                  ("2024-01-01 00:10:00", "u1", 2.0)], now - 60)
+    _drain_sessions(spark, src, out, ckpt)
+
+    # run 2 (restart): 00:30 is 20 min after the last event — inside
+    # the 30-min gap, so it must merge into the restored session; a
+    # 03:00 event opens a second session
+    _write_batch_u(src, "b2.parquet",
+                 [("2024-01-01 00:30:00", "u1", 4.0),
+                  ("2024-01-01 03:00:00", "u1", 8.0)], now - 30)
+    _drain_sessions(spark, src, out, ckpt)
+
+    # run 3: far-future event flushes everything finalized
+    _write_batch_u(src, "b3.parquet",
+                 [("2024-01-01 09:00:00", "u1", 0.5)], now)
+    _drain_sessions(spark, src, out, ckpt)
+
+    got = {(r.ss.isoformat(), r.se.isoformat(), r.total, r.n)
+           for r in spark.read.schema(
+               "ss timestamp, se timestamp, total double, n long")
+           .parquet(out).collect()}
+    merged = ("2024-01-01T00:00:00", "2024-01-01T01:00:00", 7.0, 3)
+    second = ("2024-01-01T03:00:00", "2024-01-01T03:30:00", 8.0, 1)
+    assert merged in got, f"restored session did not merge: {got}"
+    assert second in got
+    # the merged session appears exactly once (no split/double emission)
+    assert len([g for g in got if g[0] == merged[0]]) == 1
