@@ -79,17 +79,21 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
     median interval width: candidate blow-up is then ~2 rows per
     interval and the exact filter discards ~half.
     """
-    p = points.withColumn(
-        "_b", (F.col(point_col) if isinstance(point_col, str)
-               else point_col).cast("long") / F.lit(bucket_width))
-    p = p.withColumn("_b", F.floor("_b").cast("long"))
+    if isinstance(point_col, str):
+        p, pc, drop = points, point_col, ["_b"]
+    else:
+        # materialize the expression so the post-join filter can see it
+        p, pc, drop = points.withColumn("_point", point_col), "_point", \
+            ["_b", "_point"]
+    p = p.withColumn(
+        "_b", F.floor(F.col(pc).cast("long") / F.lit(bucket_width))
+        .cast("long"))
     iv = intervals.withColumn(
         "_b", F.explode(F.sequence(
             F.floor(F.col(start_col).cast("long") / bucket_width),
             F.floor(F.col(end_col).cast("long") / bucket_width))))
-    pc = point_col if isinstance(point_col, str) else "_point"
     joined = p.join(iv, "_b")
     return (joined
             .filter((F.col(pc) >= F.col(start_col))
                     & (F.col(pc) <= F.col(end_col)))
-            .drop("_b"))
+            .drop(*drop))

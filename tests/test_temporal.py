@@ -74,3 +74,27 @@ def test_bucketed_range_join_matches_bnlj(spark):
         got = {(r.pid, r.iid) for r in bucketed_range_join(
             pts, ivs, "v", "lo", "hi", bucket_width=w).collect()}
         assert got == naive, f"width={w}"
+
+
+def test_bucketed_range_join_column_expression_point(spark):
+    """A Column expression (not a named column) as the range point is
+    materialized internally and dropped from the output."""
+    pts = spark.createDataFrame([(1, 5), (2, 20)], "pid long, half long")
+    ivs = spark.createDataFrame([(100, 9, 11)], "iid long, lo long, hi long")
+    out = bucketed_range_join(pts, ivs, F.col("half") * 2, "lo", "hi",
+                              bucket_width=5)
+    rows = [(r.pid, r.iid) for r in out.collect()]
+    assert rows == [(1, 100)]            # 5*2=10 in [9,11]; 40 is not
+    assert "_point" not in out.columns and "_b" not in out.columns
+
+
+def test_connected_components_empty_edges(spark):
+    """No edges -> every doc is its own singleton cluster (and the
+    propagation loop exits cleanly on an empty frame)."""
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame([], "d1 long, d2 long")
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = {r.doc_id: r for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert all(out[d].cluster_id == d and out[d].cluster_size == 1
+               and out[d].keep for d in (1, 2))
