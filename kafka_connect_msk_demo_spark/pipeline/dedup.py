@@ -370,9 +370,12 @@ def connected_components(edges: DataFrame, src: str = "d1",
             .union(edges.select(F.col(dst).alias("a"),
                                 F.col(src).alias("b"))))
     both = both.distinct().persist()
-    labels = (both.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node"))).persist()
+    # seed labels with round 1 fused in: label₀(n) = min(n, min
+    # neighbor) is exactly one propagation step, computed inside the
+    # node-dedup aggregate instead of as a separate join round
+    labels = (both.groupBy(F.col("a").alias("node"))
+              .agg(F.min(F.least(F.col("a"), F.col("b")))
+                   .alias("label"))).persist()
     # Convergence probe: labels only ever DECREASE, so the label sum
     # strictly decreases on any change — one tiny aggregate per round
     # replaces a join+filter+count convergence job.
