@@ -1247,6 +1247,49 @@ ORDER BY event_id
 """
 
 
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 complement to cdc_upsert: SCD TYPE-2 history from the same
+    deterministic Debezium envelope — every version of every order with
+    effectivity bounds, instead of latest-wins. Deleted keys (%10 == 0)
+    end with no current version; updated keys (%10 in 1,2) carry two
+    versions with the first closed at the update's ts."""
+    from .sources.cdc import orders_cdc_envelope
+    from .transforms import cdc_scd2
+
+    env = orders_cdc_envelope(spark, sf_dir).drop("__phase")
+    out = cdc_scd2(env, key_cols=["o_orderkey"])
+    return out.orderBy("o_orderkey", "valid_from")
+
+
+_SQL_CDC_SCD2 = """
+WITH env AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         strftime(o_orderdate, '%Y-%m') AS order_month,
+         'r' AS op, 1000000000 + o_orderkey AS ts_ms,
+         o_orderkey * 10 AS lsn
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 1.1,
+         strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m'),
+         'u', 2000000000 + o_orderkey, o_orderkey * 10 + 1
+  FROM orders WHERE o_orderkey % 10 < 3
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, NULL,
+         'd', 3000000000 + o_orderkey, o_orderkey * 10 + 2
+  FROM orders WHERE o_orderkey % 10 = 0
+), v AS (
+  SELECT *, lead(ts_ms) OVER (PARTITION BY o_orderkey
+                              ORDER BY ts_ms, lsn) AS valid_to
+  FROM env
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, order_month,
+       ts_ms AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM v WHERE op <> 'd'
+ORDER BY o_orderkey, valid_from
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
@@ -1291,6 +1334,7 @@ BATCH_QUERIES = {
     "full_outer_reconcile": (q_full_outer_reconcile,
                              _SQL_FULL_OUTER_RECONCILE),
     "dead_letter_route": (q_dead_letter_route, _SQL_DEAD_LETTER_ROUTE),
+    "cdc_scd2": (q_cdc_scd2, _SQL_CDC_SCD2),
 }
 
 ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,

@@ -19,7 +19,7 @@ stage under whole-stage codegen regardless of data size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,3 +84,40 @@ def cdc_unwrap(df: DataFrame, drop_tombstones: bool = True) -> DataFrame:
         F.when(F.col("op") == "d", F.lit("true")).otherwise(F.lit("false"))
         .alias("__deleted"),
     )
+
+
+def cdc_scd2(env: DataFrame, key_cols: list[str],
+             ts_col: str = "ts_ms") -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a Debezium
+    envelope: one row per VERSION of each key, with
+    ``valid_from``/``valid_to`` effectivity bounds and ``is_current``
+    (the complement of the latest-wins SCD1 MERGE in
+    streaming/upsert.py — that keeps the last state, this keeps them
+    all).
+
+    Each change event (snapshot read / update) opens a version at its
+    source timestamp; the NEXT event on the same key — including a
+    delete — closes it (``valid_to`` = successor's ts, half-open
+    interval). Deletes emit no version row of their own; a key whose
+    last event is a delete therefore has no current version.
+
+    One window pass over (key, ts, lsn): a single shuffle+sort, the
+    same cost class as latest-wins dedup — no self-join against the
+    history. Delete rows ride along for the ``lead`` computation and
+    are filtered afterwards.
+    """
+    lsn = F.col("source.lsn")
+    keys = [F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
+            .alias(k) for k in key_cols]
+    field_names = [f.name for f in env.schema["after"].dataType.fields
+                   if f.name not in key_cols]
+    rows = env.select(
+        *keys,
+        *[F.col(f"after.{n}").alias(n) for n in field_names],
+        F.col("op"), F.col(ts_col).alias("_ts"), lsn.alias("_lsn"))
+    w = Window.partitionBy(*key_cols).orderBy("_ts", "_lsn")
+    return (rows.withColumn("valid_to", F.lead("_ts").over(w))
+            .filter(F.col("op") != "d")
+            .select(*key_cols, *field_names,
+                    F.col("_ts").alias("valid_from"), "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))

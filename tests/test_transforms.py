@@ -14,3 +14,32 @@ def test_stamp_processing_time_bounds(spark):
         else row.pt.replace(tzinfo=dt.timezone.utc)
     after = dt.datetime.now(dt.timezone.utc) + dt.timedelta(minutes=5)
     assert before <= stamped <= after
+
+
+def test_cdc_scd2_version_invariants(spark, sf_small):
+    """SCD2 invariants against the envelope's construction rules:
+    deleted keys (%10==0) end with NO current version; updated keys
+    (%10 in 1,2) carry exactly two versions, the first closed at the
+    update's ts; untouched keys have one open version. Version chains
+    never overlap."""
+    from kafka_connect_msk_demo_spark.queries import q_cdc_scd2
+
+    out = q_cdc_scd2(spark, sf_small)
+    rows = out.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.o_orderkey, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.valid_from)
+        # chains are contiguous half-open intervals
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+        if k % 10 == 0:
+            assert all(not v.is_current for v in vs)
+            assert vs[-1].valid_to is not None
+        elif k % 10 in (1, 2):
+            assert len(vs) == 2
+            assert not vs[0].is_current and vs[1].is_current
+            assert vs[0].valid_to == vs[1].valid_from
+        else:
+            assert len(vs) == 1 and vs[0].is_current
