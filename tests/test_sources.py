@@ -129,3 +129,19 @@ def test_integrity_audit_detects_planted_violations(spark):
         F.count(F.when(F.col("fk").isNull(), 1)).alias("null_keys")
     ).collect()[0]
     assert (row.rows, row.orphans, row.null_keys) == (4, 1, 1)
+
+
+def test_doc_counts_match_registry():
+    """README/COVERAGE headline counts must equal the actual registry —
+    hand-edited claims drift; this pins them."""
+    import re
+
+    from kafka_connect_msk_demo_spark.queries import ALL_QUERIES, oracles
+
+    n_reg, n_ora = len(ALL_QUERIES), len(oracles())
+    readme = open("README.md").read()
+    coverage = open("COVERAGE.md").read()
+    assert f"({n_reg} registered)" in readme, \
+        f"README says something other than ({n_reg} registered)"
+    assert f"({n_ora} DuckDB-checked" in readme
+    assert f"{n_reg} registered queries, {n_ora}" in coverage
