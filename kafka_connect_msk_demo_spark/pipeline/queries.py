@@ -13,7 +13,7 @@ against exact twins in tests/test_pipeline.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1041,6 +1041,67 @@ ORDER BY doc_id
 """
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN classification by retrieval: each query vector takes the
+    majority label of its 10 exact nearest neighbors (votes desc,
+    label asc tiebreak), reported against its own true label — the
+    labeling-via-retrieval pattern over the same top-k plan the
+    similarity family already proves. Adds one broadcast label join
+    and one (q_id, label) vote aggregate on top."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = similarity.queries_by_mod(vecs, 50)
+    topk = similarity.brute_force_topk(vecs, q, k=10)
+    labels = vecs.select("vec_id", "label")
+    votes = (topk.join(F.broadcast(labels), "vec_id")
+             .groupBy("q_id", "label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("label"))
+    pred = (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("q_id", F.col("label").alias("pred_label"), "votes"))
+    truth = vecs.select(F.col("vec_id").alias("q_id"),
+                        F.col("label").alias("true_label"))
+    return (pred.join(truth, "q_id")
+            .withColumn("correct",
+                        F.col("pred_label") == F.col("true_label"))
+            .orderBy("q_id"))
+
+
+_SQL_KNN_CLASSIFY = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id % 50 = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q_id, vec_id,
+         list_dot_product(q_vec, v) /
+           (sqrt(list_dot_product(q_vec, q_vec))
+            * sqrt(list_dot_product(v, v))) AS cos
+  FROM q, d WHERE vec_id <> q_id
+), r AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+), nb AS (
+  SELECT r.q_id, e.label FROM r
+  JOIN embeddings e USING (vec_id) WHERE r.rank <= 10
+), v AS (
+  SELECT q_id, label, COUNT(*) AS votes FROM nb GROUP BY 1, 2
+), p AS (
+  SELECT q_id, label, votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM v
+)
+SELECT p.q_id, p.label AS pred_label, p.votes,
+       t.label AS true_label, p.label = t.label AS correct
+FROM p JOIN embeddings t ON t.vec_id = p.q_id
+WHERE p.rn = 1
+ORDER BY q_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1072,4 +1133,5 @@ PIPELINE_QUERIES: dict = {
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "fuzzy_match": (q_fuzzy_match, _SQL_FUZZY_MATCH),
     "pretraining_filter": (q_pretraining_filter, _SQL_PRETRAINING_FILTER),
+    "knn_classify": (q_knn_classify, _SQL_KNN_CLASSIFY),
 }

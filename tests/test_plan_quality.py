@@ -28,7 +28,7 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 #: non-equi class, like the brute-force cosine scorer
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
-                "fuzzy_match"}
+                "fuzzy_match", "knn_classify"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
