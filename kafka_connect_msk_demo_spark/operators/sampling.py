@@ -67,3 +67,27 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
         thr = F.when(F.col(strata_col) == stratum,
                      F.lit(_threshold_hex(frac))).otherwise(thr)
     return df.filter(digest < thr)
+
+
+def weighted_hash_sample(df: DataFrame, key_col: str,
+                         weight: Column, salt: str = "sample") -> DataFrame:
+    """Deterministic sampling with a PER-ROW keep probability: keep the
+    row when the first 8 hex chars of md5(salt:key) — 32 uniform bits —
+    fall below ``weight`` (a [0, 1] Column, e.g. a quality score or a
+    length ramp). Same engine-portable determinism as
+    :func:`hash_sample`: the comparison is string-vs-string on
+    fixed-width lowercase hex (``format_string('%08x', ...)`` /
+    ``printf`` in SQL), so oracle replays stay exact, and the predicate
+    still evaluates inside the scan.
+
+    The weight→threshold mapping floors to 1/2³² granularity —
+    documents with weight < 2⁻³² never qualify and weight >= 1 always
+    does (the threshold hex then exceeds every 8-char digest prefix).
+    """
+    c = F.col(key_col)
+    digest8 = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8)
+    thr = F.when(weight >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x", F.floor(weight * F.lit(float(2 ** 32))).cast("long")))
+    return df.filter(digest8 < thr)

@@ -1102,6 +1102,40 @@ ORDER BY q_id
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling: keep probability ramps
+    linearly with document length (n_tokens/64, capped at 1) — longer
+    docs are kept preferentially, short ones thinned, and membership is
+    a pure function of (salt, doc_id) so it replays in the oracle. The
+    per-row threshold is fixed-width lowercase hex from the exact same
+    integer floor both engines compute."""
+    from ..operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    w = F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0))
+    return (weighted_hash_sample(docs, "doc_id", w, salt="len-v1")
+            .select("doc_id", "lang", n_tokens.alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(trim(text)), ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens
+FROM d
+WHERE substr(md5('len-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN LEAST(n_tokens / 64.0, 1.0) >= 1.0 THEN 'g'
+           ELSE printf('%08x', CAST(floor(LEAST(n_tokens / 64.0, 1.0)
+                                          * 4294967296.0) AS BIGINT))
+      END
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1134,4 +1168,5 @@ PIPELINE_QUERIES: dict = {
     "fuzzy_match": (q_fuzzy_match, _SQL_FUZZY_MATCH),
     "pretraining_filter": (q_pretraining_filter, _SQL_PRETRAINING_FILTER),
     "knn_classify": (q_knn_classify, _SQL_KNN_CLASSIFY),
+    "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
 }

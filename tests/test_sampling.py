@@ -53,3 +53,22 @@ def test_stratified_rates(spark, sf_small):
     for lang in ("de", "es", "fr"):            # default 0.5 within 4σ
         n = src[lang]
         assert abs(by_lang.get(lang, 0) - 0.5 * n) <= 4 * (0.25 * n) ** 0.5
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    """weight=0 keeps nothing, weight>=1 keeps everything, and
+    mid-range membership is stable across partition layouts."""
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        weighted_hash_sample)
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k") \
+        .withColumn("k", F.col("k"))
+    assert weighted_hash_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_hash_sample(df, "k", F.lit(1.0)).count() == 2000
+    half = weighted_hash_sample(df, "k", F.lit(0.5))
+    n = half.count()
+    assert 800 < n < 1200                      # ~Binomial(2000, .5)
+    a = {r.k for r in half.collect()}
+    b = {r.k for r in weighted_hash_sample(
+        df.repartition(17), "k", F.lit(0.5)).collect()}
+    assert a == b                              # layout-independent
