@@ -58,16 +58,44 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     w.saveAsTable(table)
 
 
+def _content_fingerprint(df: DataFrame):
+    """Order-independent content digest: row count + sum of per-row
+    xxhash64 over all columns (summed as DECIMAL(38,0), so it neither
+    overflows nor — unlike XOR — cancels duplicate rows). One scan,
+    the same cost class as the count() it replaces."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return tuple(df.agg(
+        F.count(F.lit(1)),
+        F.sum(h.cast("decimal(38,0)"))).collect()[0])
+
+
+def _bucket_spec_matches(spark: SparkSession, table: str,
+                         bucket_col: str, num_buckets: int) -> bool:
+    meta = {r.col_name: (r.data_type or "")
+            for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()}
+    return (meta.get("Num Buckets", "").strip() == str(num_buckets)
+            and bucket_col in meta.get("Bucket Columns", ""))
+
+
 def ensure_bucketed(spark: SparkSession, df: DataFrame, table: str,
                     bucket_col: str, num_buckets: int = 8,
                     sort: bool = True) -> str:
     """Idempotent staging: (re)write ``df`` as a bucketed managed table
-    unless one with the same row count already exists. At scale the
-    bucketed write is a ONE-TIME ETL step amortized over every later
-    co-located join; the row-count guard exists for local runs where
-    the input may have been regenerated under the same path."""
+    unless an existing one matches BOTH the requested bucket spec
+    (column, count — the co-location contract downstream zero-Exchange
+    joins rely on) AND an order-independent content fingerprint. A
+    bare row-count guard would silently serve stale data after the
+    input is regenerated in place (row counts are a function of SF) or
+    a table bucketed on the wrong key. At scale the bucketed write is
+    a ONE-TIME ETL step; the fingerprint scan is the same cost class
+    as the count it replaces."""
     if spark.catalog.tableExists(table):
-        if spark.table(table).count() == df.count():
+        if (_bucket_spec_matches(spark, table, bucket_col, num_buckets)
+                and _content_fingerprint(
+                    spark.table(table).select(*df.columns))
+                == _content_fingerprint(df)):
             return table
         spark.sql(f"DROP TABLE {table}")
     write_bucketed(df, table, bucket_col, num_buckets, sort)

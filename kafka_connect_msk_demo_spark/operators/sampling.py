@@ -87,7 +87,11 @@ def weighted_hash_sample(df: DataFrame, key_col: str,
     c = F.col(key_col)
     digest8 = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8)
-    thr = F.when(weight >= 1.0, F.lit("g")).otherwise(
+    # clamp BELOW as well: format_string('%08x', negativeLong) would
+    # emit a 16-char two's-complement string every digest prefix sorts
+    # under, silently keeping ALL rows a negative weight should drop
+    w = F.greatest(weight, F.lit(0.0))
+    thr = F.when(w >= 1.0, F.lit("g")).otherwise(
         F.format_string(
-            "%08x", F.floor(weight * F.lit(float(2 ** 32))).cast("long")))
+            "%08x", F.floor(w * F.lit(float(2 ** 32))).cast("long")))
     return df.filter(digest8 < thr)

@@ -42,6 +42,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     rcols = [c for c in right.columns if c != on]
     rpay = F.struct(*[F.col(c) for c in rcols])
+    # SQL join semantics: NULL keys never match. Window.partitionBy
+    # groups NULLs together, so drop NULL-key right rows — left rows
+    # with a NULL key then sit in a right-free partition and get NULLs,
+    # exactly the ASOF LEFT JOIN answer.
+    right = right.filter(F.col(on).isNotNull())
     l = left.select(
         F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_l"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"))

@@ -69,10 +69,14 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 5,
 
 
 #: PII patterns kept to the dialect-portable subset shared by Java
-#: regex and DuckDB's RE2: character classes, bounded+unbounded
-#: repetition, optional escapes — no lookaround, no backrefs.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9-]{6,}[0-9]"
+#: regex and DuckDB's RE2: character classes, bounded repetition,
+#: word boundaries — no lookaround, no backrefs. PHONE_RE requires
+#: 3-4 hyphenated groups with a <=3-digit lead and \b anchors, so
+#: ISO dates (2024-01-01: 4-digit lead) and year ranges (1998-2024:
+#: one group) never match; the \b sits AFTER the optional '+' because
+#: '+' is a non-word char and would break the boundary.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\b[0-9]{1,3}(-[0-9]{2,4}){2,3}\b"
 IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
 #: redaction order matters: emails first (their local parts may contain

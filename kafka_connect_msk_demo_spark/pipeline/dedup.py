@@ -393,7 +393,16 @@ def connected_components(edges: DataFrame, src: str = "d1",
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-        return labels.select("node", F.col("label").alias("component"))
+        # materialize the (small) result, then release the loop frames
+        # deterministically — otherwise each invocation parks a cached
+        # label frame until the driver GC's ContextCleaner gets to it.
+        # The returned frame itself stays persisted (callers consume it
+        # immediately; the cleaner reclaims it once unreferenced).
+        out = (labels.select("node", F.col("label").alias("component"))
+               .persist())
+        out.count()
+        labels.unpersist()
+        return out
     finally:
         both.unpersist()
 

@@ -1016,6 +1016,24 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def fk_audit(name: str, fact: DataFrame, key: str,
+             dim: DataFrame, dim_key: str) -> DataFrame:
+    """One-row FK audit: row count, orphan count (fact keys absent from
+    the dim, left-anti semantics), and NULL-key count. A left join
+    against the distinct dim keys + conditional counts — broadcast or
+    shuffle per AQE's choice."""
+    hit = dim.select(F.col(dim_key).alias(key)).distinct() \
+        .withColumn("_ok", F.lit(True))
+    j = fact.select(key).join(hit, key, "left")
+    return j.agg(
+        F.lit(name).alias("fact_table"),
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("_ok").isNull()
+                       & F.col(key).isNotNull(), 1))
+        .alias("orphans"),
+        F.count(F.when(F.col(key).isNull(), 1)).alias("null_keys"))
+
+
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit in one result: row count, orphan-FK count
     (left-anti semantics), and null-key count per fact table — the
@@ -1024,18 +1042,7 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     three audits stay independent scans (they read different tables)
     unioned into one tiny frame."""
     t = load_tables(spark, sf_dir)
-
-    def audit(name, fact, key, dim, dim_key):
-        hit = dim.select(F.col(dim_key).alias(key)).distinct() \
-            .withColumn("_ok", F.lit(True))
-        j = fact.select(key).join(hit, key, "left")
-        return j.agg(
-            F.lit(name).alias("fact_table"),
-            F.count(F.lit(1)).alias("rows"),
-            F.count(F.when(F.col("_ok").isNull()
-                           & F.col(key).isNotNull(), 1))
-            .alias("orphans"),
-            F.count(F.when(F.col(key).isNull(), 1)).alias("null_keys"))
+    audit = fk_audit
 
     # the in-good-standing leg (acctbal >= 0) has REAL violations in
     # the testdata (1249 orders at sf0.01), so nonzero orphan counts —

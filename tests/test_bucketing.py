@@ -82,3 +82,37 @@ def test_registered_bucketed_query_fact_join_has_no_shuffle(spark, sf_small):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_ensure_bucketed_detects_content_and_spec_drift(spark):
+    """Review regression: equal row counts must NOT qualify a stale
+    table for reuse — content changes and bucket-spec changes both
+    force a rewrite; a true match is reused without rewriting."""
+    import time as _t
+
+    from kafka_connect_msk_demo_spark.operators.bucketing import (
+        ensure_bucketed)
+
+    tbl = f"drift_check_{int(_t.time())}"
+    df1 = spark.createDataFrame([(i, i * 2) for i in range(50)],
+                                "k long, v long")
+    df2 = spark.createDataFrame([(i, i * 3) for i in range(50)],
+                                "k long, v long")  # same count, new data
+    try:
+        ensure_bucketed(spark, df1, tbl, "k", num_buckets=4)
+        # same content + spec -> reused
+        ensure_bucketed(spark, df1, tbl, "k", num_buckets=4)
+        assert sorted(r.v for r in spark.table(tbl).collect())[:3] \
+            == [0, 2, 4]
+        # content drift at equal row count -> rewritten
+        ensure_bucketed(spark, df2, tbl, "k", num_buckets=4)
+        assert sorted(r.v for r in spark.table(tbl).collect())[:3] \
+            == [0, 3, 6]
+        # bucket-spec drift (different column) -> rewritten, not reused
+        ensure_bucketed(spark, df2, tbl, "v", num_buckets=4)
+        from kafka_connect_msk_demo_spark.operators.bucketing import (
+            _bucket_spec_matches)
+        assert _bucket_spec_matches(spark, tbl, "v", 4)
+        assert not _bucket_spec_matches(spark, tbl, "k", 4)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -341,3 +341,21 @@ def test_pretraining_filter_rules_all_fire(spark):
                for r in row.failed_rules.split(",")}
     assert {"repetition", "low_diversity", "contaminated"} <= reasons
     assert out.filter("keep").count() > 0
+
+
+def test_pii_scrub_dates_and_mixed_case(spark):
+    """Review regressions: mixed-case emails must redact (patterns are
+    not lowercase-only), and ISO dates / year ranges must NOT be eaten
+    by the phone rule."""
+    from kafka_connect_msk_demo_spark.pipeline import clean
+
+    rows = [(1, "contact John.Doe@Example.COM today"),
+            (2, "released on 2024-01-01 covering 1998-2024"),
+            (3, "call +44-20-7946-0958 before 2025-12-31")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean.pii_scrub(df).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].clean_text
+    assert out[2].n_phone == 0
+    assert out[2].clean_text == "released on 2024-01-01 covering 1998-2024"
+    assert out[3].n_phone == 1
+    assert out[3].clean_text == "call <PHONE> before 2025-12-31"

@@ -72,3 +72,17 @@ def test_weighted_sample_extremes_and_determinism(spark):
     b = {r.k for r in weighted_hash_sample(
         df.repartition(17), "k", F.lit(0.5)).collect()}
     assert a == b                              # layout-independent
+
+
+def test_weighted_sample_negative_weight_drops_all(spark):
+    """Review regression: a negative weight must behave as 0 (drop),
+    not as keep-everything via two's-complement hex formatting."""
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        weighted_hash_sample)
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    assert weighted_hash_sample(df, "k", F.lit(-0.3)).count() == 0
+    mixed = weighted_hash_sample(
+        df, "k", F.when(F.col("k") < 250, F.lit(-1.0)).otherwise(F.lit(1.0)))
+    kept = {r.k for r in mixed.collect()}
+    assert kept == set(range(250, 500))

@@ -112,23 +112,14 @@ def test_integrity_audit_detects_planted_violations(spark):
     """The audit must count planted orphan FKs and null keys exactly
     (the registered query's real-data legs are supplemented here with
     a synthetic fact referencing a missing dim row and a NULL key)."""
-    from kafka_connect_msk_demo_spark.queries import q_integrity_audit
-    import kafka_connect_msk_demo_spark.queries as Q
-    from pyspark.sql import functions as F
+    from kafka_connect_msk_demo_spark.queries import fk_audit
 
     fact = spark.createDataFrame(
         [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long")
     dim = spark.createDataFrame([(10,), (20,)], "dk long")
-    hit = dim.select(F.col("dk").alias("fk")).distinct() \
-        .withColumn("_ok", F.lit(True))
-    j = fact.select("fk").join(hit, "fk", "left")
-    row = j.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.count(F.when(F.col("_ok").isNull()
-                       & F.col("fk").isNotNull(), 1)).alias("orphans"),
-        F.count(F.when(F.col("fk").isNull(), 1)).alias("null_keys")
-    ).collect()[0]
-    assert (row.rows, row.orphans, row.null_keys) == (4, 1, 1)
+    row = fk_audit("f", fact, "fk", dim, "dk").collect()[0]
+    assert (row.fact_table, row.rows, row.orphans, row.null_keys) \
+        == ("f", 4, 1, 1)
 
 
 def test_doc_counts_match_registry():

@@ -98,3 +98,18 @@ def test_connected_components_empty_edges(spark):
     out = {r.doc_id: r for r in dedup.dedup_clusters(docs, pairs).collect()}
     assert all(out[d].cluster_id == d and out[d].cluster_size == 1
                and out[d].keep for d in (1, 2))
+
+
+def test_asof_null_keys_never_match(spark):
+    """Review regression: SQL join semantics — a NULL-key left row gets
+    NULLs (kept, unmatched) and NULL-key right rows match nothing,
+    unlike Window.partitionBy's native NULL-groups-together behavior."""
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, "u", 100)], "lid long, k string, lts long")
+    right = spark.createDataFrame(
+        [(10, None, 50), (11, "u", 50)], "rid long, k string, rts long")
+    out = {r.lid: r for r in asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts").collect()}
+    assert len(out) == 2
+    assert out[1].r_rid is None          # NULL != NULL
+    assert out[2].r_rid == 11
