@@ -3,12 +3,11 @@
 Every entry follows the engine-wide contract (queries.py): a
 ``(spark, sf_dir) -> DataFrame`` callable and an exact-match oracle SQL
 string. Even the approximate indexes (SimHash, hyperplane-LSH ANN,
-seed-quantizer IVF, the multimodal embed→ANN composition) carry exact
-twins — their hash functions/planes/centroids are deterministic, so the
-oracle replays them. ``None`` remains only for ``ivf_kmeans_topk``: the
-Lloyd trainer's centroid means accumulate floating point in partition
-order, which no cross-engine oracle can replay; its quality is bounded
-against exact twins in tests/test_pipeline.py instead.
+seed-quantizer IVF, the Lloyd-trained IVF, the multimodal embed→ANN
+composition) carry exact twins — their hash functions/planes/centroids
+are deterministic, so the oracle replays them. The Lloyd trainer earns
+its twin by quantizing partial sums to int64 (order-independent
+accumulation), which lets the oracle unroll the training loop as CTEs.
 """
 
 from __future__ import annotations
@@ -259,41 +258,39 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=16 lowest-id vectors as centroids) every stage is replayable in
     SQL — centroid selection, nearest-cell assignment (same
     sim-desc/c_id-asc tie-break as ``max_by(struct(sim, -c_id))``),
-    nprobe=6 probe ranking, and exact rerank. Only the Lloyd-TRAINED
-    variant (``ivf_kmeans_topk``) stays test-bounded: its centroid
-    means accumulate floating point in partition order, which no
-    cross-engine oracle can replay. Recall floor additionally asserted
-    in tests/test_pipeline.py."""
+    nprobe=6 probe ranking, and exact rerank. The Lloyd-TRAINED
+    variant (``ivf_kmeans_topk``) is oracle-checked too — its trainer
+    accumulates int64-quantized partials, so the training loop unrolls
+    in SQL. Recall floor additionally asserted in
+    tests/test_pipeline.py."""
     vecs = load_table(spark, sf_dir, "embeddings")
     q = similarity.queries_by_mod(vecs, 50)
     return similarity.ivf_topk(vecs, q, k=10)
 
 
-def _sql_ivf_topk(n_centroids: int = 16, nprobe: int = 6, k: int = 10,
-                  mod: int = 50) -> str:
-    """DuckDB twin of :func:`similarity.ivf_topk` over the
-    deterministic seed centroids."""
-    cos = ("list_dot_product({a}.v, {b}.c_vec) /"
-           " (sqrt(list_dot_product({a}.v, {a}.v))"
-           " * sqrt(list_dot_product({b}.c_vec, {b}.c_vec)))")
-    return f"""
-WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (
-  SELECT vec_id AS c_id, v AS c_vec FROM d
-  ORDER BY vec_id LIMIT {n_centroids}
-), asg AS (
+_COS_CENT = ("list_dot_product({a}.v, {b}.c_vec) /"
+             " (sqrt(list_dot_product({a}.v, {a}.v))"
+             " * sqrt(list_dot_product({b}.c_vec, {b}.c_vec)))")
+
+
+def _sql_ivf_tail(cents: str, nprobe: int, k: int, mod: int) -> str:
+    """The shared IVF search body (assignment, probes, candidates,
+    exact rerank) as CTE text, parameterized by the centroid CTE
+    name — used by both the seed-quantizer and the Lloyd-trained
+    oracles."""
+    return f"""asg AS (
   SELECT vec_id, cell FROM (
     SELECT d.vec_id, c.c_id AS cell,
            row_number() OVER (PARTITION BY d.vec_id
-               ORDER BY {cos.format(a='d', b='c')} DESC, c.c_id) AS rn
-    FROM d CROSS JOIN cents c) WHERE rn = 1
+               ORDER BY {_COS_CENT.format(a='d', b='c')} DESC, c.c_id) AS rn
+    FROM d CROSS JOIN {cents} c) WHERE rn = 1
 ), q AS (SELECT vec_id AS q_id, v FROM d WHERE vec_id % {mod} = 0),
 probes AS (
   SELECT q_id, cell FROM (
     SELECT q.q_id, c.c_id AS cell,
            row_number() OVER (PARTITION BY q.q_id
-               ORDER BY {cos.format(a='q', b='c')} DESC, c.c_id) AS rk
-    FROM q CROSS JOIN cents c) WHERE rk <= {nprobe}
+               ORDER BY {_COS_CENT.format(a='q', b='c')} DESC, c.c_id) AS rk
+    FROM q CROSS JOIN {cents} c) WHERE rk <= {nprobe}
 ), cand AS (
   SELECT p.q_id, a.vec_id
   FROM probes p JOIN asg a USING (cell)
@@ -317,14 +314,77 @@ ORDER BY q_id, rank
 """
 
 
+def _sql_ivf_topk(n_centroids: int = 16, nprobe: int = 6, k: int = 10,
+                  mod: int = 50) -> str:
+    """DuckDB twin of :func:`similarity.ivf_topk` over the
+    deterministic seed centroids."""
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS c_vec FROM d
+  ORDER BY vec_id LIMIT {n_centroids}
+), {_sql_ivf_tail('cents', nprobe, k, mod)}"""
+
+
 _SQL_IVF_TOPK = _sql_ivf_topk()
 
 
+def _sql_ivf_kmeans_topk(n_centroids: int = 16, iters: int = 2,
+                         nprobe: int = 6, k: int = 10, mod: int = 50,
+                         dim: int = 64) -> str:
+    """DuckDB twin of :func:`similarity.kmeans_centroids` +
+    :func:`similarity.ivf_topk` — the Lloyd iterations are UNROLLED as
+    CTE pairs (assign ``a{{i}}``, per-dimension quantized sums
+    ``s{{i}}``, means ``m{{i}}``, next centroids ``c{{i}}``).
+
+    Replayable only because the trainer quantizes partial sums to
+    int64 (order-independent addition; ``similarity._QUANT_SCALE``):
+    ``SUM(CAST(floor(v*S + 0.5) AS BIGINT))`` here is the exact same
+    integer regardless of either engine's aggregation order, and the
+    final ``qs::DOUBLE / (n * S)`` is a single IEEE division in
+    both."""
+    scale = 1 << 20  # similarity._QUANT_SCALE
+    parts = [
+        "d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS c_id, v AS c_vec FROM d"
+        f" ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, c.c_id AS cell,
+           row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY {_COS_CENT.format(a='d', b='c')} DESC, c.c_id) AS rn
+    FROM d CROSS JOIN {prev} c) WHERE rn = 1)""")
+        parts.append(f"""s{i} AS (
+  SELECT a.cell AS c_id, t.i AS idx,
+         SUM(CAST(floor(d.v[t.i] * {scale}.0 + 0.5) AS BIGINT)) AS qs,
+         COUNT(*) AS n
+  FROM a{i} a JOIN d USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY 1, 2)""")
+        parts.append(f"""m{i} AS (
+  SELECT c_id, list(qs::DOUBLE / (n * {scale}.0) ORDER BY idx) AS c_vec
+  FROM s{i} GROUP BY c_id)""")
+        parts.append(f"""c{i} AS (
+  SELECT p.c_id, coalesce(m.c_vec, p.c_vec) AS c_vec
+  FROM {prev} p LEFT JOIN m{i} m USING (c_id))""")
+    return ("WITH " + ",\n".join(parts) + ",\n"
+            + _sql_ivf_tail(f"c{iters}", nprobe, k, mod))
+
+
+_SQL_IVF_KMEANS_TOPK = _sql_ivf_kmeans_topk()
+
+
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: IVF top-k over a Lloyd-trained coarse quantizer
-    — the iterative-algorithm shape (bounded driver loop
-    re-broadcasting a K×dim table per round). Recall/convergence
-    properties asserted in tests/test_pipeline.py.
+    """Fully oracle-checked: IVF top-k over a Lloyd-trained coarse
+    quantizer — the iterative-algorithm shape (bounded driver loop
+    re-broadcasting a K×dim table per round). The trainer's
+    order-independent int64-quantized partial sums make every
+    iteration bit-replayable in SQL, so the oracle unrolls the Lloyd
+    loop as CTEs (see :func:`_sql_ivf_kmeans_topk`).
+    Recall/convergence properties additionally asserted in
+    tests/test_pipeline.py.
 
     iters=2 is a BENCH-TIME choice, not a quality recommendation: each
     Lloyd pass is a full scan of the embeddings table, and two passes
@@ -1147,7 +1207,7 @@ PIPELINE_QUERIES: dict = {
                             _SQL_EMBEDDING_DUP_PAIRS),
     "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
     "ivf_topk": (q_ivf_topk, _SQL_IVF_TOPK),
-    "ivf_kmeans_topk": (q_ivf_kmeans_topk, None),
+    "ivf_kmeans_topk": (q_ivf_kmeans_topk, _SQL_IVF_KMEANS_TOPK),
     "token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, _SQL_LANG_ID),

@@ -83,6 +83,14 @@ def as_double(col: str | Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# Fixed-point scale for the k-means trainer's order-independent
+# partial sums: 2^20 keeps |Σ round(v·S)| < 2^53 for corpora up to
+# ~2^32 rows per cell at |v_i| <= 1, so the int64 sum is exact and the
+# final double division is a single IEEE op both here and in the
+# DuckDB oracle.
+_QUANT_SCALE = 1 << 20
+
+
 def _np_stack(cells) -> np.ndarray:
     """(n, dim) float64 from an Arrow array column (cells are numpy
     arrays or lists)."""
@@ -374,10 +382,18 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
     Per iteration the executors run ONE Arrow-batched kernel that
     assigns each batch to cells (vectorized cosine against the
     broadcast centroid matrix, ties to the lowest centroid id) and
-    emits per-cell partial (count, Σvec) rows — at most K rows per
-    batch; the driver combines the K×partitions partials. No per-row
-    shuffle at all, which is also the 1000-executor plan. Deterministic
-    given the data; empty cells keep their previous centroid."""
+    emits per-cell partial (count, Σ quantized-vec) rows — at most K
+    rows per batch; the driver combines the K×partitions partials. No
+    per-row shuffle at all, which is also the 1000-executor plan.
+
+    Partial sums are quantized to int64 (coordinate × 2^20, round-
+    half-up) BEFORE accumulation, so the result is bit-identical under
+    any partitioning, executor count, or combine order — floating-
+    point means would drift with partition layout. That makes the
+    trained index reproducible across cluster resizes AND exactly
+    replayable by a cross-engine SQL oracle (see
+    ``_sql_ivf_kmeans_topk``). Empty cells keep their previous
+    centroid."""
     import numpy as np
     import pandas as pd
 
@@ -408,22 +424,39 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
                     cell = (An @ CnT).argmax(axis=1)
                     rows = []
                     for ci in np.unique(cell):
-                        sel = A[cell == ci]
-                        rows.append((int(cids[ci]), len(sel),
+                        # Quantize BEFORE summing: int64 addition is
+                        # associative, so the accumulated value is
+                        # identical under ANY partition layout or
+                        # combine order — the trainer is bit-stable on
+                        # a 1000-executor cluster and exactly
+                        # replayable by the DuckDB oracle. floor(x*S +
+                        # 0.5) is round-half-up in both engines (np
+                        # rint would be half-to-even; DuckDB round()
+                        # half-away). Error <= 2^-21 per coordinate,
+                        # far below centroid noise.
+                        sel = np.floor(
+                            A[cell == ci] * _QUANT_SCALE + 0.5
+                        ).astype(np.int64)
+                        rows.append((int(cids[ci]), sel.shape[0],
                                      sel.sum(axis=0).tolist()))
                     yield pd.DataFrame(rows,
-                                       columns=["c_id", "n", "vsum"])
+                                       columns=["c_id", "n", "qsum"])
 
             agg = data.mapInPandas(
                 partials,
-                "c_id long, n long, vsum array<double>").collect()
+                "c_id long, n long, qsum array<long>").collect()
             totals: dict[int, tuple[int, np.ndarray]] = {}
             for r in agg:
-                n0, s0 = totals.get(r["c_id"], (0, 0.0))
-                totals[r["c_id"]] = (n0 + r["n"],
-                                     s0 + np.asarray(r["vsum"]))
+                n0, s0 = totals.get(
+                    r["c_id"], (0, np.zeros(0, dtype=np.int64)))
+                q = np.asarray(r["qsum"], dtype=np.int64)
+                totals[r["c_id"]] = (
+                    n0 + r["n"], q if not s0.size else s0 + q)
+            # One IEEE division per coordinate — the same single
+            # expression the oracle computes (qs::DOUBLE / (n * S)).
             cents = [(cid,
-                      (totals[cid][1] / totals[cid][0]).tolist()
+                      (totals[cid][1]
+                       / float(totals[cid][0] * _QUANT_SCALE)).tolist()
                       if cid in totals else vec)
                      for cid, vec in cents]
         return spark.createDataFrame(cents, "c_id long, c_vec array<double>")
