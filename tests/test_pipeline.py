@@ -319,6 +319,12 @@ def test_connected_components_chain_and_singletons(spark):
     comp = {r.node: r.component
             for r in dedup.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # the distributed min-label loop (forced past the driver
+    # union-find gate) must produce the identical labeling
+    dist = {r.node: r.component
+            for r in dedup.connected_components(
+                pairs, driver_max_edges=0).collect()}
+    assert dist == comp
 
     docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
                                  "doc_id long")
