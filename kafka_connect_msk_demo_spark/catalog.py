@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,26 +216,54 @@ _RAW_FIELDS: dict[str, list[tuple[str, T.DataType]]] = {
                ("value", T.DoubleType()), ("props", T.StringType())],
 }
 
-_UNIT_TO_MICROS = {"ms": 1000, "us": 1, "ns": None}  # ns divides instead
+_UNIT_TO_MICROS = {"s": 1_000_000, "ms": 1000, "us": 1,
+                   "ns": None}  # ns divides instead
 
 
 def raw_schema(name: str) -> T.StructType:
-    """Explicit read schema for a timestamped table (timestamps as LONG
-    in storage units)."""
+    """Explicit read schema for a timestamped table: event-time columns
+    as LONG (raw storage integers), everything else self-typed. Reading
+    a parquet ``timestamp[ms|us|ns]`` column as LongType yields the
+    underlying epoch integer unchanged, so this one schema covers both
+    the raw-int64 encoding (round-2 testdata) and the native timestamp
+    encoding (round-3 testdata)."""
     return T.StructType([T.StructField(c, t, True)
                          for c, t in _RAW_FIELDS[name]])
 
 
-def finalize_timestamps(df: DataFrame, name: str) -> DataFrame:
-    """Convert raw long timestamp columns to TimestampType at micro
-    precision (nanos truncate, matching DuckDB's ``epoch_us``)."""
-    ts_cols = _TS_COLUMNS.get(name, {})
+@lru_cache(maxsize=None)
+def _storage_units(path: str, name: str) -> tuple[tuple[str, str], ...]:
+    """Per event-time column, the unit its raw int64 is denominated in,
+    read from the parquet footer: ``timestamp[unit]`` columns carry
+    their unit; plain int64 columns fall back to the documented legacy
+    unit in :data:`_TS_COLUMNS`. Memoized per file path (footer-only
+    read)."""
+    import pyarrow.parquet as pq
+    schema = pq.read_schema(path)
+    out = []
+    for c, legacy in _TS_COLUMNS[name].items():
+        unit = getattr(schema.field(c).type, "unit", None)
+        out.append((c, unit if unit in _UNIT_TO_MICROS else legacy))
+    return tuple(out)
+
+
+def finalize_timestamps(df: DataFrame, name: str,
+                        units: dict[str, str] | None = None) -> DataFrame:
+    """Convert raw long event-time columns to TimestampType at micro
+    precision (nanos truncate, matching DuckDB's ``epoch_us``).
+
+    The conversion goes through ``timestamp_micros(absolute_us)``, i.e.
+    the stored integer IS the absolute epoch — deliberately independent
+    of ``spark.sql.session.timeZone``, so a driver session pinned to
+    any zone computes the same instants the DuckDB oracle does
+    (``epoch_us`` over a naive read). Integer arithmetic only: double
+    division would lose precision on epoch-nanos (> 2^53)."""
+    ts_cols = dict(units) if units is not None else _TS_COLUMNS.get(name, {})
     cols = []
-    for c, _ in _RAW_FIELDS[name]:
-        if c in ts_cols:
+    for f in df.schema.fields:
+        c = f.name
+        if c in ts_cols and isinstance(f.dataType, T.LongType):
             mult = _UNIT_TO_MICROS[ts_cols[c]]
-            # integer arithmetic only: double division would lose
-            # precision on epoch-nanos (> 2^53)
             us = (F.col(c) * mult) if mult else F.expr(f"`{c}` div 1000")
             cols.append(F.timestamp_micros(us.cast("long")).alias(c))
         else:
@@ -246,17 +275,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one deterministic parquet table with unambiguous timestamps.
 
     Tables without timestamp columns read self-described; tables with
-    them read through an explicit long-typed schema and convert to
-    TimestampType at micro precision. Column order and names are
-    preserved, so downstream operators see the documented TESTDATA.md
-    shape. Projection/filter pushdown still reaches the scan (the
-    conversion is a Project on top).
+    them read through an explicit long-typed schema (which surfaces the
+    raw epoch integers regardless of whether storage is plain int64 or
+    native ``timestamp[unit]``) and convert to TimestampType at micro
+    precision, with the unit taken from the parquet footer. Column
+    order and names are preserved, so downstream operators see the
+    documented TESTDATA.md shape. Projection/filter pushdown still
+    reaches the scan (the conversion is a Project on top).
     """
     path = f"{sf_dir}/{name}.parquet"
     if name not in _TS_COLUMNS:
         return spark.read.parquet(path)
     df = spark.read.schema(raw_schema(name)).parquet(path)
-    return finalize_timestamps(df, name)
+    return finalize_timestamps(df, name, dict(_storage_units(path, name)))
 
 
 #: how many file chunks a staged stream table is split into; with
@@ -321,16 +352,20 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str,
     watermark advancement across batches, not a single-batch simulation.
     Pass ``max_files_per_trigger=None`` for a one-batch read."""
     path = _stream_dir(sf_dir, name)
-    if name in _RAW_FIELDS:
+    source = f"{sf_dir}/{name}.parquet"
+    if name in _TS_COLUMNS:
         schema = raw_schema(name)
     else:
-        schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        schema = spark.read.parquet(source).schema
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     df = reader.load(path)
-    return finalize_timestamps(df, name) if name in _RAW_FIELDS else df
+    # staged chunks are pyarrow rewrites of the source table, so the
+    # source footer's storage units apply to them unchanged
+    return finalize_timestamps(df, name, dict(_storage_units(source, name))) \
+        if name in _TS_COLUMNS else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
