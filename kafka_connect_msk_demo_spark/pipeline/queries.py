@@ -978,6 +978,25 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-TRUE dedup composite — what a 100 TB training run
+    ships: banded MinHash-LSH pair generation (bucket = shuffle key,
+    cost ∝ Σ bucket², never |docs|²) → connected components
+    (distill-distributed / close-locally split) → canonical keep.
+
+    `dedup_clusters` is the oracle-first twin of this query: it feeds
+    the closure from the EXACT prefix-filtered pair generator. Here the
+    pairs come from the LSH index; both paths re-verify candidates with
+    exact Jaccard, and on this corpus LSH recall is 1.0 (asserted in
+    tests/test_pipeline.py), so the pair sets — and therefore the
+    closures — coincide and the same recursive-CTE oracle applies. At
+    scale they diverge only by the LSH miss probability
+    ((1-J^r)^b ≈ 4% at J = 0.8, ≈ 10⁻¹³ at true-near-dup J ≈ 0.98)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity match: a deterministic probe list (every 100th
     customer's name with 'Customer#' misspelled as 'Custmer#' — one
@@ -1225,6 +1244,7 @@ PIPELINE_QUERIES: dict = {
     "benchmark_contamination": (q_benchmark_contamination,
                                 _SQL_BENCHMARK_CONTAMINATION),
     "dedup_clusters": (q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_lsh": (q_dedup_clusters_lsh, _SQL_DEDUP_CLUSTERS),
     "fuzzy_match": (q_fuzzy_match, _SQL_FUZZY_MATCH),
     "pretraining_filter": (q_pretraining_filter, _SQL_PRETRAINING_FILTER),
     "knn_classify": (q_knn_classify, _SQL_KNN_CLASSIFY),

@@ -65,6 +65,48 @@ ORDER BY sales DESC
 """
 
 
+def q_sales_by_country_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-end-to-end twin of ``sales_by_country`` (SURVEY.md §1.2
+    notes decimal→float as a reference-side simplification; this row
+    proves the engine carries exact DECIMAL through the whole plan).
+
+    The aggregate stays DECIMAL to the output boundary — no double cast
+    anywhere — and crosses the oracle boundary as a fixed-scale string
+    (``CAST(decimal(38,8) AS STRING)``), because pandas dtype mapping
+    for wide decimals differs between Spark (object/Decimal) and DuckDB
+    and the driver's value hash is dtype-sensitive. No rounding occurs:
+    inputs are scale-8, every later step is scale-8 or wider."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumnRenamed("n_name", "country")
+    )
+    sales = F.sum(dec("o_totalprice", 25, 8)).cast("decimal(38,8)")
+    return (joined.groupBy("country")
+            .agg(sales.alias("_sales"),
+                 F.count("o_totalprice").alias("orders_cnt"))
+            .select("country",
+                    F.col("_sales").cast("string").alias("sales_dec"),
+                    "orders_cnt")
+            .orderBy(F.col("_sales").desc()))
+
+
+_SQL_SALES_BY_COUNTRY_DECIMAL = """
+SELECT n_name AS country,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                 AS DECIMAL(38,8)) AS VARCHAR) AS sales_dec,
+       COUNT(o_totalprice) AS orders_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY SUM(CAST(o_totalprice AS DECIMAL(25,8))) DESC
+"""
+
+
 def q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+J1 (09:94-101): enrichment join to the region dim then all-time
     agg by region."""
@@ -1299,6 +1341,8 @@ ORDER BY o_orderkey, valid_from
 
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
+    "sales_by_country_decimal": (q_sales_by_country_decimal,
+                                 _SQL_SALES_BY_COUNTRY_DECIMAL),
     "sales_by_region": (q_sales_by_region, _SQL_SALES_BY_REGION),
     "windowed_sales": (q_windowed_sales, _SQL_WINDOWED_SALES),
     "sessionized": (q_sessionized, _SQL_SESSIONIZED),
@@ -1344,8 +1388,39 @@ BATCH_QUERIES = {
     "cdc_scd2": (q_cdc_scd2, _SQL_CDC_SCD2),
 }
 
-ALL_QUERIES: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES,
-                     **STREAMING_QUERIES}
+# ---------------------------------------------------------------------------
+# Registry order IS the driver-verification order: the correctness driver
+# checks a 50-query prefix of ALL_QUERIES per round. Lead with queries
+# that still lack a driver-green row — the round-3 tail (18 pipeline +
+# 6 streaming, none of which fit inside round 3's window) and anything
+# new this round — so CORRECTNESS_r04 covers them; the long-green batch
+# parity set trails. tests/test_plan_quality.py pins this ordering.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW = 50
+
+_DRIVER_PRIORITY = [
+    # r2 driver FAIL whose fix has never seen a driver row — first.
+    "lang_stats",
+    # round-3 pipeline tail (registry positions 51+ last round)
+    "text_quality", "lang_id", "top_ngrams", "doc_fingerprint",
+    "multimodal_meta", "multimodal_embed_ann", "stratified_sample",
+    "tfidf_top_terms", "repetition_stats", "chunk_dedup", "pii_scrub",
+    "benchmark_contamination", "dedup_clusters", "fuzzy_match",
+    "pretraining_filter", "knn_classify", "weighted_sample",
+    # round-3 streaming tail
+    "stream_sales_by_type", "stream_windowed_by_type",
+    "stream_enriched_windowed", "stream_running_user_stats",
+    "stream_stream_join", "stream_session_agg",
+    # new in round 4
+    "dedup_clusters_lsh", "sales_by_country_decimal",
+]
+
+_MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}
+
+ALL_QUERIES: dict = {name: _MERGED[name] for name in _DRIVER_PRIORITY}
+ALL_QUERIES.update(
+    {name: v for name, v in _MERGED.items() if name not in ALL_QUERIES})
 
 
 def queries() -> dict:

@@ -57,6 +57,26 @@ def test_no_scale_antipatterns(spark, sf_small, name):
         f"{name}: row-at-a-time Python UDF in plan"
 
 
+def test_driver_window_covers_priority():
+    """Registry order IS the driver-verification order (the correctness
+    driver checks a DRIVER_WINDOW-query prefix of ALL_QUERIES). Pin the
+    round-4 contract: every query that lacked a driver row after round 3
+    — notably lang_stats (the round-2 driver failure) and
+    stream_session_agg (outside every earlier gate) — plus everything
+    new this round sits inside the window, so future registry additions
+    cannot silently push them back out."""
+    from kafka_connect_msk_demo_spark.queries import (
+        ALL_QUERIES, DRIVER_WINDOW, _DRIVER_PRIORITY)
+    order = list(ALL_QUERIES)
+    assert len(order) == len(set(order))
+    window = set(order[:DRIVER_WINDOW])
+    missing = [n for n in _DRIVER_PRIORITY if n not in window]
+    assert not missing, f"pushed out of the driver window: {missing}"
+    for pinned in ("lang_stats", "stream_session_agg",
+                   "dedup_clusters_lsh", "sales_by_country_decimal"):
+        assert pinned in window, pinned
+
+
 def test_hll_error_bound(spark, sf_small):
     """approx_count_distinct (HyperLogLog++) stays within ~3x the
     requested rsd of the exact distinct count on every group."""
