@@ -219,6 +219,13 @@ _RAW_FIELDS: dict[str, list[tuple[str, T.DataType]]] = {
 _UNIT_TO_MICROS = {"s": 1_000_000, "ms": 1000, "us": 1,
                    "ns": None}  # ns divides instead
 
+# the raw-schema table set and the ts-unit table set must stay in sync:
+# stream_table picks its explicit schema by _RAW_FIELDS membership and
+# its units by _TS_COLUMNS — a table added to one but not the other
+# would silently fall back to inference or skip conversion.
+assert _RAW_FIELDS.keys() == _TS_COLUMNS.keys(), \
+    (_RAW_FIELDS.keys(), _TS_COLUMNS.keys())
+
 
 def raw_schema(name: str) -> T.StructType:
     """Explicit read schema for a timestamped table: event-time columns
@@ -231,13 +238,21 @@ def raw_schema(name: str) -> T.StructType:
                          for c, t in _RAW_FIELDS[name]])
 
 
-@lru_cache(maxsize=None)
 def _storage_units(path: str, name: str) -> tuple[tuple[str, str], ...]:
     """Per event-time column, the unit its raw int64 is denominated in,
     read from the parquet footer: ``timestamp[unit]`` columns carry
     their unit; plain int64 columns fall back to the documented legacy
-    unit in :data:`_TS_COLUMNS`. Memoized per file path (footer-only
-    read)."""
+    unit in :data:`_TS_COLUMNS`. Memoized on (path, mtime, size) — the
+    same staleness stamp ``_stream_dir`` uses — so a testdata
+    regeneration with a different encoding invalidates the memo instead
+    of returning stale units to a long-lived process."""
+    st = os.stat(path)
+    return _storage_units_cached(path, name, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=None)
+def _storage_units_cached(path: str, name: str, mtime_ns: int,
+                          size: int) -> tuple[tuple[str, str], ...]:
     import pyarrow.parquet as pq
     schema = pq.read_schema(path)
     out = []
@@ -248,9 +263,15 @@ def _storage_units(path: str, name: str) -> tuple[tuple[str, str], ...]:
 
 
 def finalize_timestamps(df: DataFrame, name: str,
-                        units: dict[str, str] | None = None) -> DataFrame:
+                        units: dict[str, str]) -> DataFrame:
     """Convert raw long event-time columns to TimestampType at micro
     precision (nanos truncate, matching DuckDB's ``epoch_us``).
+
+    ``units`` is REQUIRED and should come from :func:`_storage_units`
+    (footer-derived) — an earlier optional fallback to the hardcoded
+    legacy :data:`_TS_COLUMNS` units silently produced instants off by
+    1000× once the round-3 testdata regeneration switched storage from
+    raw int64 ns/ms to ``timestamp[us]``.
 
     The conversion goes through ``timestamp_micros(absolute_us)``, i.e.
     the stored integer IS the absolute epoch — deliberately independent
@@ -258,7 +279,7 @@ def finalize_timestamps(df: DataFrame, name: str,
     any zone computes the same instants the DuckDB oracle does
     (``epoch_us`` over a naive read). Integer arithmetic only: double
     division would lose precision on epoch-nanos (> 2^53)."""
-    ts_cols = dict(units) if units is not None else _TS_COLUMNS.get(name, {})
+    ts_cols = dict(units)
     cols = []
     for f in df.schema.fields:
         c = f.name
@@ -353,7 +374,10 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str,
     Pass ``max_files_per_trigger=None`` for a one-batch read."""
     path = _stream_dir(sf_dir, name)
     source = f"{sf_dir}/{name}.parquet"
-    if name in _TS_COLUMNS:
+    # schema selection keys on _RAW_FIELDS (the explicit-schema table
+    # set), unit conversion on _TS_COLUMNS; a module-level assertion
+    # pins the two key sets equal so membership checks can't diverge
+    if name in _RAW_FIELDS:
         schema = raw_schema(name)
     else:
         schema = spark.read.parquet(source).schema

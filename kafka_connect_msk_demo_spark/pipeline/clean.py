@@ -172,10 +172,16 @@ def fuzzy_match(candidates: DataFrame, probes: DataFrame,
     p = F.broadcast(probes)
     # the broadcast-NLJ parallelism equals the candidate partition
     # count; a small single-file scan would score all N·k pairs on one
-    # core, so spread it — at scale the scan is already wide and this
-    # no-ops
+    # core, so spread it. The probe is metadata-only: inputFiles() reads
+    # the already-resolved file listing (a .rdd probe would force an
+    # extra physical-plan materialization — CI-gated against now).
+    # Fewer files than cores ⇒ the scan may not parallelize ⇒ add one
+    # round-robin shuffle of the candidate side; wide many-file scans
+    # (the 100 TB case) skip it. A few-huge-files scan that Spark would
+    # split by maxPartitionBytes pays one avoidable shuffle — rare
+    # layout, and strictly better than under-parallelizing the NLJ.
     sc = candidates.sparkSession.sparkContext
-    if candidates.rdd.getNumPartitions() < sc.defaultParallelism:
+    if len(candidates.inputFiles()) < sc.defaultParallelism:
         candidates = candidates.repartition(sc.defaultParallelism)
     lc, lp = F.length(F.col(cand_col)), F.length(F.col(probe_col))
     guard = F.abs(lc - lp) <= max_dist

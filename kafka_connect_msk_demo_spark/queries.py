@@ -28,8 +28,10 @@ from .operators.dedup_rank import latest_by_key, ranked_keep_first
 from .operators.formatting import format_sales, order_by_deformatted
 from .operators.joins import (anti_join_not_exists, enrich, semi_join_in,
                               star_join)
+from .operators.aggregates import fixed_width_histogram
 from .operators.relational import (bucket_case, group_concat_distinct,
                                    limit_offset, shift_days, surrogate_key)
+from .operators.temporal import gap_fill_days
 
 # ---------------------------------------------------------------------------
 # Reference-parity queries (SURVEY.md §2). The testdata star schema stands in
@@ -584,16 +586,18 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SUMMARY_STATS = """
-WITH a AS (
+WITH c AS (
   SELECT l_returnflag,
-         COUNT(l_extendedprice) AS cnt,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-              * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
-              AS DOUBLE) AS s2,
-         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
-         CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_val
-  FROM lineitem GROUP BY l_returnflag
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag,
+         COUNT(cents) AS cnt,
+         CAST(SUM(cents) AS DOUBLE) / 100.0 AS s,
+         CAST(SUM(cents * cents) AS DOUBLE) / 10000.0 AS s2,
+         CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_val,
+         CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_val
+  FROM c GROUP BY l_returnflag
 )
 SELECT l_returnflag, cnt,
        round(s / CAST(cnt AS DOUBLE), 6) AS mean_val,
@@ -1137,6 +1141,158 @@ ORDER BY fact_table
 """
 
 
+def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (capability extension — warehouses ship
+    GAP_FILL/date_spine; Spark has no built-in): daily region revenue
+    densified to one row per region per day between that region's first
+    and last order day, zero-filled with a ``filled`` marker and a
+    last-observation-carried-forward column. Days are epoch days
+    (tz-independent integer arithmetic, the repo-wide idiom). The spine
+    is executor-generated via explode(sequence(lo, hi)) — output-sized,
+    no driver calendar loop."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation",
+                                    "region"))
+    joined = (t["orders"]
+              .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(t["region"]),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    per_day = (joined
+               .select(F.col("r_name").alias("region"),
+                       F.floor(F.unix_micros("o_orderdate")
+                               / F.lit(86_400_000_000)).alias("day"),
+                       dec("o_totalprice", 25, 8).alias("p"))
+               .groupBy("region", "day")
+               .agg(F.sum("p").alias("day_rev")))
+    filled = gap_fill_days(per_day, ["region"], "day", "day_rev")
+    return (filled.select(
+        "region", "day",
+        F.col("day_rev").cast("double").alias("day_rev"),
+        "filled",
+        F.col("locf_day_rev").cast("double").alias("locf_day_rev"))
+        .orderBy("region", "day"))
+
+
+_SQL_CALENDAR_FILL = """
+WITH per_day AS (
+  SELECT r_name AS region,
+         CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS day_rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT region, MIN(day) AS lo, MAX(day) AS hi FROM per_day GROUP BY 1
+), spine AS (
+  SELECT region, unnest(generate_series(lo, hi)) AS day FROM bounds
+), j AS (
+  SELECT s.region, s.day, p.day_rev
+  FROM spine s LEFT JOIN per_day p USING (region, day)
+)
+SELECT region, day,
+       CAST(COALESCE(day_rev, 0) AS DOUBLE) AS day_rev,
+       day_rev IS NULL AS filled,
+       CAST(last_value(day_rev IGNORE NULLS) OVER (
+              PARTITION BY region ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS locf_day_rev
+FROM j
+ORDER BY region, day
+"""
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, order-status) revenue: all four grouping sets —
+    (region,status), region totals, status totals, grand total — in
+    ONE Expand + hash-agg pass (one shuffle), the rollup query's
+    complement completing Spark's grouping-sets surface. gid bit order
+    matches the oracle's GROUPING() arithmetic (region bit high)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation",
+                                    "region"))
+    joined = (t["orders"]
+              .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(t["region"]),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    return (joined
+            .cube(F.col("r_name").alias("region"),
+                  F.col("o_orderstatus").alias("status"))
+            .agg(F.grouping_id().alias("gid"),
+                 F.sum(dec("o_totalprice", 25, 8)).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("orders_cnt"))
+            .orderBy("gid", "region", "status"))
+
+
+_SQL_REVENUE_CUBE = """
+SELECT r_name AS region, o_orderstatus AS status,
+       GROUPING(r_name) * 2 + GROUPING(o_orderstatus) AS gid,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS orders_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderstatus)
+ORDER BY gid, region, status
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (bucket = floor(x/20000)):
+    scan-speed projection + one hash-agg on the bucket id — the
+    distribution-profiling shape a data-quality pass runs over every
+    numeric column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return fixed_width_histogram(orders, "o_totalprice", 20000.0,
+                                 amount_col="o_totalprice")
+
+
+_SQL_PRICE_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+         AS amount_sum,
+       CAST(floor(o_totalprice / 20000.0) AS BIGINT) * 20000.0
+         AS bucket_lo
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set-operator coverage (INTERSECT / EXCEPT — the one
+    reference SQL surface not yet registered): customers holding both
+    open- and filled-status orders, minus any customer with an
+    in-progress order. Spark plans both as aggregates + joins (no
+    Expand), one shuffle each on the key."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def keys(status: str) -> DataFrame:
+        return (o.filter(F.col("o_orderstatus") == status)
+                .select("o_custkey"))
+
+    return (keys("O").intersect(keys("F"))
+            .subtract(keys("P"))
+            .orderBy("o_custkey"))
+
+
+_SQL_SET_OPS = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ORDER BY o_custkey
+"""
+
+
 def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-customer 7-day trailing order revenue —
     a VALUE-based frame (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over
@@ -1377,6 +1533,10 @@ BATCH_QUERIES = {
     "asof_attribution": (q_asof_attribution, _SQL_ASOF_ATTRIBUTION),
     "range_join_promo": (q_range_join_promo, _SQL_RANGE_JOIN_PROMO),
     "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
+    "revenue_cube": (q_revenue_cube, _SQL_REVENUE_CUBE),
+    "calendar_fill": (q_calendar_fill, _SQL_CALENDAR_FILL),
+    "price_histogram": (q_price_histogram, _SQL_PRICE_HISTOGRAM),
+    "set_ops": (q_set_ops, _SQL_SET_OPS),
     "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
     "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
     "integrity_audit": (q_integrity_audit, _SQL_INTEGRITY_AUDIT),
@@ -1414,6 +1574,7 @@ _DRIVER_PRIORITY = [
     "stream_stream_join", "stream_session_agg",
     # new in round 4
     "dedup_clusters_lsh", "sales_by_country_decimal",
+    "revenue_cube", "calendar_fill", "price_histogram", "set_ops",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

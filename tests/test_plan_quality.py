@@ -77,6 +77,25 @@ def test_driver_window_covers_priority():
         assert pinned in window, pinned
 
 
+def test_no_rdd_access_in_source():
+    """``df.rdd`` forces an extra full physical-plan materialization
+    just to inspect it, and drops from the declarative API the engine
+    is built on — no query path may touch it (metadata probes like
+    ``inputFiles()`` are the sanctioned alternative)."""
+    import pathlib
+    import re
+    pkg = (pathlib.Path(__file__).resolve().parents[1]
+           / "kafka_connect_msk_demo_spark")
+    pat = re.compile(r"\.rdd\b")
+    hits = []
+    for p in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if pat.search(code):
+                hits.append(f"{p.name}:{i}")
+    assert not hits, f".rdd access in source: {hits}"
+
+
 def test_hll_error_bound(spark, sf_small):
     """approx_count_distinct (HyperLogLog++) stays within ~3x the
     requested rsd of the exact distinct count on every group."""
