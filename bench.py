@@ -20,7 +20,12 @@ Methodology:
   and reports the MEDIAN — a single sequential sweep accumulates
   GC/codegen/broadcast pressure that lands on arbitrary queries, which
   made the round-2 recorded outliers 4-6x worse than clean-session
-  re-runs. Non-headline queries run once (they are informational).
+  re-runs. The EXPENSIVE non-headline queries (the top of the round-3
+  per-query cost ranking) get the same median-of-``REPEATS`` treatment:
+  their single-run round-3 numbers showed the identical sweep-pressure
+  phantoms (e.g. dedup_simhash 1.25 s -> 2.89 s with no code change),
+  so one-shot timings of multi-second queries are not comparable round
+  over round. Remaining non-headline queries run once (informational).
 """
 
 from __future__ import annotations
@@ -56,6 +61,17 @@ HEADLINE = [
     "summary_stats",
 ]
 
+#: expensive non-headline queries (top of the round-3 cost ranking) —
+#: medianed like HEADLINE so their round-over-round deltas are signal,
+#: not single-run sweep noise; NOT added to the headline total, which
+#: stays fixed for comparability.
+EXPENSIVE = {
+    "dedup_clusters", "dedup_clusters_lsh", "ivf_kmeans_topk",
+    "multimodal_embed_ann", "corpus_clean", "dedup_near_pairs",
+    "ivf_topk", "ann_topk", "pretraining_filter", "knn_classify",
+    "avro_roundtrip",
+}
+
 #: slow/stateful queries excluded from the timed sweep (streaming drain
 #: + checkpoint restore dominate; they are correctness-gated instead).
 SKIP = {"cdc_upsert", "stream_sales_by_type", "stream_windowed_by_type",
@@ -88,7 +104,7 @@ def run() -> None:
     for name, fn in registry.items():
         if name in SKIP:
             continue
-        reps = REPEATS if name in HEADLINE else 1
+        reps = REPEATS if name in HEADLINE or name in EXPENSIVE else 1
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -102,3 +102,42 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
             .filter((F.col(pc) >= F.col(start_col))
                     & (F.col(pc) <= F.col(end_col)))
             .drop(*drop))
+
+
+def gap_fill_days(per_day: DataFrame, group_cols: list[str],
+                  day_col: str, value_col: str) -> DataFrame:
+    """Dense per-group daily spine with zero-fill and LOCF — the
+    time-series gap-filling operator (capability extension; warehouses
+    ship it as ``GAP_FILL``/``date_spine``, Spark has no built-in).
+
+    Input is an already-aggregated (group, day, value) frame with gaps;
+    output has one row per group per day between that group's min and
+    max day: ``value`` zero-filled, ``filled`` marking synthesized
+    rows, and ``locf_<value>`` carrying the last observation forward
+    (never NULL — each group's spine starts at an observed day).
+
+    Scale shape: the spine is built per-group from a two-value bounds
+    agg and ``explode(sequence(lo, hi))`` — generation happens on
+    executors, sized by the OUTPUT (Σ per-group day ranges), never by
+    the input row count, with no driver-side calendar. The spine→data
+    join and the LOCF window share the (group) / (group, day) key, so
+    AQE plans one shuffle of each side. A single group whose day range
+    is pathological (millions of days from one corrupt timestamp)
+    would explode on one executor — bound ranges upstream or validate
+    with an integrity audit first.
+    """
+    lo, hi = f"_{day_col}_lo", f"_{day_col}_hi"
+    bounds = per_day.groupBy(*group_cols).agg(
+        F.min(day_col).alias(lo), F.max(day_col).alias(hi))
+    spine = bounds.select(
+        *group_cols, F.explode(F.sequence(lo, hi)).alias(day_col))
+    j = spine.join(per_day, [*group_cols, day_col], "left")
+    w = (Window.partitionBy(*group_cols).orderBy(day_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    zero = F.lit(0).cast(j.schema[value_col].dataType)
+    return (j.select(
+        *group_cols, day_col,
+        F.coalesce(F.col(value_col), zero).alias(value_col),
+        F.col(value_col).isNull().alias("filled"),
+        F.last(value_col, ignorenulls=True).over(w)
+        .alias(f"locf_{value_col}")))

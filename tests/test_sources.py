@@ -136,3 +136,11 @@ def test_doc_counts_match_registry():
         f"README says something other than ({n_reg} registered)"
     assert f"({n_ora} DuckDB-checked" in readme
     assert f"{n_reg} registered queries, {n_ora}" in coverage
+    # the verification-tiers table must quote the live gate sets
+    import bench
+    from kafka_connect_msk_demo_spark.queries import DRIVER_WINDOW
+    assert f"`DRIVER_WINDOW` ({DRIVER_WINDOW})" in coverage
+    assert f"{len(bench.HEADLINE)} HEADLINE" in coverage
+    assert f"{len(bench.EXPENSIVE)} EXPENSIVE" in coverage
+    assert f"the {len(bench.SKIP)} bench-SKIP" in coverage
+    assert f"ALL {n_reg} registered queries" in coverage

@@ -113,3 +113,28 @@ def test_asof_null_keys_never_match(spark):
     assert len(out) == 2
     assert out[1].r_rid is None          # NULL != NULL
     assert out[2].r_rid == 11
+
+
+def test_gap_fill_days_locf_and_zero_fill(spark):
+    """Planted gaps: each group's spine runs min..max day inclusive;
+    missing days get value 0 + filled=True, and the LOCF column carries
+    the last observed value (never NULL — spines start on an observed
+    day). Group boundaries must not leak LOCF state."""
+    from kafka_connect_msk_demo_spark.operators.temporal import (
+        gap_fill_days)
+
+    per_day = spark.createDataFrame(
+        [("a", 10, 5.0), ("a", 13, 7.0), ("b", 20, 1.0)],
+        "g string, day long, v double")
+    out = {(r.g, r.day): r for r in
+           gap_fill_days(per_day, ["g"], "day", "v").collect()}
+    assert set(out) == {("a", 10), ("a", 11), ("a", 12), ("a", 13),
+                        ("b", 20)}
+    assert (out[("a", 10)].v, out[("a", 10)].filled,
+            out[("a", 10)].locf_v) == (5.0, False, 5.0)
+    assert (out[("a", 11)].v, out[("a", 11)].filled,
+            out[("a", 11)].locf_v) == (0.0, True, 5.0)
+    assert out[("a", 12)].locf_v == 5.0
+    assert (out[("a", 13)].v, out[("a", 13)].locf_v) == (7.0, 7.0)
+    assert (out[("b", 20)].v, out[("b", 20)].filled,
+            out[("b", 20)].locf_v) == (1.0, False, 1.0)
