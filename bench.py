@@ -76,7 +76,7 @@ EXPENSIVE = {
 #: + checkpoint restore dominate; they are correctness-gated instead).
 SKIP = {"cdc_upsert", "stream_sales_by_type", "stream_windowed_by_type",
         "stream_enriched_windowed", "stream_running_user_stats",
-        "stream_stream_join", "stream_session_agg"}
+        "stream_stream_join", "stream_session_agg", "stream_dedup_keys"}
 
 
 def _force(df) -> None:
@@ -100,6 +100,13 @@ def run() -> None:
         .format("noop").mode("overwrite").save()
     if "revenue_by_region_bucketed" in registry:
         _force(registry["revenue_by_region_bucketed"](spark, SF_DIR))
+    # (d) first touch of the pipeline tables: file listing + footer +
+    # OS page-cache warm-up. Without this the cost lands on whichever
+    # pipeline query the registry happens to put first (measured ~4x on
+    # lang_stats when the round-4 reorder moved it to position 1).
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    for t in ("documents", "embeddings"):
+        _force(load_table(spark, SF_DIR, t))
     timings: dict[str, float] = {}
     for name, fn in registry.items():
         if name in SKIP:

@@ -1575,6 +1575,7 @@ _DRIVER_PRIORITY = [
     # new in round 4
     "dedup_clusters_lsh", "sales_by_country_decimal",
     "revenue_cube", "calendar_fill", "price_histogram", "set_ops",
+    "stream_dedup_keys",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

@@ -265,6 +265,36 @@ ORDER BY user_id, session_start_us
 """
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8's bounded-state streaming dedup as a registered query:
+    ``dropDuplicatesWithinWatermark`` over the events stream, emitting
+    the key columns of each first arrival.
+
+    Determinism contract: which PHYSICAL row is kept for a key is
+    arrival-order-dependent, so only the key columns are projected; and
+    the delay (30 days) exceeds the testdata's event-time span, so no
+    state is evicted during the drain and the emission set is exactly
+    the distinct key set — an exact oracle. The eviction behavior that
+    makes the operator 100 TB-viable (state bounded by the watermark
+    horizon, unlike ``dropDuplicates``' unbounded key set) is pinned
+    separately by tests/test_watermark.py with explicit out-of-order
+    fixtures across checkpointed restarts."""
+    from .stateful import dedup_within_watermark
+
+    events = stream_table(spark, sf_dir, "events")
+    dd = dedup_within_watermark(events, ["user_id", "event_type"],
+                                delay="30 days")
+    out = dd.select("user_id", "event_type")
+    return run_to_memory(out, "append").orderBy("user_id", "event_type")
+
+
+_SQL_STREAM_DEDUP_KEYS = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -276,4 +306,5 @@ STREAMING_QUERIES = {
                                   _SQL_STREAM_RUNNING_USER_STATS),
     "stream_stream_join": (stream_stream_join, _SQL_STREAM_STREAM_JOIN),
     "stream_session_agg": (stream_session_agg, _SQL_STREAM_SESSION_AGG),
+    "stream_dedup_keys": (stream_dedup_keys, _SQL_STREAM_DEDUP_KEYS),
 }
