@@ -16,16 +16,15 @@ Methodology:
   preserves the full plan (a count aggregate lets Catalyst eliminate
   the final sort and prune projection work, under-measuring sorted/
   projected queries);
-* every HEADLINE query runs ``SPARK_GRAFT_REPEATS`` times (default 3)
-  and reports the MEDIAN — a single sequential sweep accumulates
-  GC/codegen/broadcast pressure that lands on arbitrary queries, which
-  made the round-2 recorded outliers 4-6x worse than clean-session
-  re-runs. The EXPENSIVE non-headline queries (the top of the round-3
-  per-query cost ranking) get the same median-of-``REPEATS`` treatment:
-  their single-run round-3 numbers showed the identical sweep-pressure
-  phantoms (e.g. dedup_simhash 1.25 s -> 2.89 s with no code change),
-  so one-shot timings of multi-second queries are not comparable round
-  over round. Remaining non-headline queries run once (informational).
+* EVERY timed query runs ``SPARK_GRAFT_REPEATS`` times (default 3)
+  and reports the MEDIAN. Single-run numbers proved uncomparable round
+  over round twice: round-3's sweep-pressure phantoms (dedup_simhash
+  1.25 s -> 2.89 s with no code change), and round-4's registry reorder
+  moving queries to different sweep positions (the first query at a new
+  position pays whatever cold state — table first-scan, codegen class,
+  GC debt — the old order had amortized elsewhere; lang_stats measured
+  4x its steady-state on rep 1). The median drops the cold rep, so a
+  query's number reflects the query, not its position in the sweep.
 """
 
 from __future__ import annotations
@@ -60,17 +59,6 @@ HEADLINE = [
     "correlated_subquery",
     "summary_stats",
 ]
-
-#: expensive non-headline queries (top of the round-3 cost ranking) —
-#: medianed like HEADLINE so their round-over-round deltas are signal,
-#: not single-run sweep noise; NOT added to the headline total, which
-#: stays fixed for comparability.
-EXPENSIVE = {
-    "dedup_clusters", "dedup_clusters_lsh", "ivf_kmeans_topk",
-    "multimodal_embed_ann", "corpus_clean", "dedup_near_pairs",
-    "ivf_topk", "ann_topk", "pretraining_filter", "knn_classify",
-    "avro_roundtrip",
-}
 
 #: slow/stateful queries excluded from the timed sweep (streaming drain
 #: + checkpoint restore dominate; they are correctness-gated instead).
@@ -111,8 +99,8 @@ def run() -> None:
     for name, fn in registry.items():
         if name in SKIP:
             continue
-        reps = REPEATS if name in HEADLINE or name in EXPENSIVE else 1
         samples = []
+        reps = REPEATS
         for _ in range(reps):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))

@@ -141,6 +141,5 @@ def test_doc_counts_match_registry():
     from kafka_connect_msk_demo_spark.queries import DRIVER_WINDOW
     assert f"`DRIVER_WINDOW` ({DRIVER_WINDOW})" in coverage
     assert f"{len(bench.HEADLINE)} HEADLINE" in coverage
-    assert f"{len(bench.EXPENSIVE)} EXPENSIVE" in coverage
     assert f"the {len(bench.SKIP)} bench-SKIP" in coverage
     assert f"ALL {n_reg} registered queries" in coverage
