@@ -127,6 +127,11 @@ def gap_fill_days(per_day: DataFrame, group_cols: list[str],
     with an integrity audit first.
     """
     lo, hi = f"_{day_col}_lo", f"_{day_col}_hi"
+    # per_day feeds BOTH the bounds agg and the spine join; without a
+    # cache the whole upstream subtree (at scale: a fact-table scan +
+    # star join) executes twice. The frame itself is output-sized
+    # (groups x days), so caching it is cheap and LRU-evictable.
+    per_day = per_day.persist()
     bounds = per_day.groupBy(*group_cols).agg(
         F.min(day_col).alias(lo), F.max(day_col).alias(hi))
     spine = bounds.select(
