@@ -455,15 +455,27 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     per connected component. Every document gets a row: singletons are
     their own canonical; ``keep`` marks the component minimum (the
     retention policy a training pipeline applies before tokenizing).
+
+    Shuffle story: the corpus is touched ONCE. Cluster sizes come from
+    the component labeling alone — every doc absent from ``comp`` is a
+    singleton of size 1 by definition — so the per-cluster count runs
+    on the distilled (node, component) frame (bounded by 2·|pairs|),
+    not the corpus; an earlier formulation grouped the full corpus by
+    cluster_id and re-joined, executing the docs subtree twice and
+    shuffling it twice. The labeling join is left un-hinted: AQE
+    broadcasts the label frame while it is small (the dedup norm) and
+    falls back to a shuffle join if a pathological pair set makes it
+    large — both correct, only the physical strategy shifts.
     """
     comp = connected_components(pairs)
-    out = (docs.select(F.col(id_col).alias("doc_id"))
-           .join(comp, F.col("doc_id") == F.col("node"), "left")
-           .select("doc_id",
-                   F.coalesce("component", "doc_id").alias("cluster_id")))
-    sizes = out.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (out.join(sizes, "cluster_id")
-            .select("doc_id", "cluster_id", "cluster_size",
-                    (F.col("doc_id") == F.col("cluster_id")).alias("keep"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("_csize"))
+    lab = comp.join(sizes, "component")
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(lab, F.col("doc_id") == F.col("node"), "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("cluster_id"),
+                    F.coalesce("_csize", F.lit(1)).alias("cluster_size"),
+                    (F.col("doc_id")
+                     == F.coalesce("component", "doc_id")).alias("keep"))
             .orderBy("doc_id"))
