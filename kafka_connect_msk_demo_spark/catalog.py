@@ -222,9 +222,12 @@ _UNIT_TO_MICROS = {"s": 1_000_000, "ms": 1000, "us": 1,
 # the raw-schema table set and the ts-unit table set must stay in sync:
 # stream_table picks its explicit schema by _RAW_FIELDS membership and
 # its units by _TS_COLUMNS — a table added to one but not the other
-# would silently fall back to inference or skip conversion.
-assert _RAW_FIELDS.keys() == _TS_COLUMNS.keys(), \
-    (_RAW_FIELDS.keys(), _TS_COLUMNS.keys())
+# would silently fall back to inference or skip conversion. A real
+# raise, not `assert`: python -O must not strip the guard.
+if _RAW_FIELDS.keys() != _TS_COLUMNS.keys():
+    raise RuntimeError(
+        f"_RAW_FIELDS/_TS_COLUMNS key sets diverged: "
+        f"{sorted(_RAW_FIELDS)} vs {sorted(_TS_COLUMNS)}")
 
 
 def raw_schema(name: str) -> T.StructType:

@@ -98,9 +98,11 @@ def summary_stats(df: DataFrame, group_cols: list[str],
     ``round(x·10^scale)`` lifts the value to a long (for money columns
     carrying ≤ ``scale`` fractional digits this is the exact decimal
     cast, expressed in long arithmetic), the square is a long·long
-    product, and only the accumulators are decimal — sum buffers
-    decimal(30,0)/decimal(38,0), overflow-free for any conceivable
-    corpus (10^12 rows × 10^14 cents² = 10^26 ≪ 10^38).
+    product — with a per-row guard that switches to an exact decimal
+    multiply for the rare |cents| large enough to wrap a long — and
+    only the accumulators are decimal: sum buffers decimal(30,0)/
+    decimal(38,0), overflow-free for any conceivable corpus
+    (10^12 rows × 10^14 cents² = 10^26 ≪ 10^38).
 
     This is the profile-driven answer to the round-3 ``weak`` grade: the
     earlier formulation cast per row to decimal(18,2), multiplied in
@@ -119,10 +121,19 @@ def summary_stats(df: DataFrame, group_cols: list[str],
     """
     m = 10 ** scale
     cents = F.round(F.col(value_col) * m).cast("long")
+    # the long·long square wraps past |cents| > ~3.037e9 (cents² >
+    # 2⁶³-1), i.e. values ≥ ~3e7 at scale=2 — per-row branch to an
+    # exact decimal multiply there; the branch predicate is one integer
+    # compare and the common (money-magnitude) path stays in long
+    # codegen. The accumulator is decimal(38,0) either way.
+    sq_long = (cents * cents).cast("decimal(38,0)")
+    sq_dec = cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")
+    square = F.when(F.abs(cents) > F.lit(3_037_000_499), sq_dec) \
+        .otherwise(sq_long)
     agg = df.groupBy(*group_cols).agg(
         F.count(value_col).alias("cnt"),
         F.sum(cents.cast("decimal(20,0)")).alias("_sc"),
-        F.sum((cents * cents).cast("decimal(38,0)")).alias("_sc2"),
+        F.sum(square).alias("_sc2"),
         F.min(cents).alias("_mn"),
         F.max(cents).alias("_mx"),
     )

@@ -129,8 +129,10 @@ def gap_fill_days(per_day: DataFrame, group_cols: list[str],
     lo, hi = f"_{day_col}_lo", f"_{day_col}_hi"
     # per_day feeds BOTH the bounds agg and the spine join; without a
     # cache the whole upstream subtree (at scale: a fact-table scan +
-    # star join) executes twice. The frame itself is output-sized
-    # (groups x days), so caching it is cheap and LRU-evictable.
+    # star join) executes twice. Same deterministic-release discipline
+    # as connected_components: materialize the (output-sized) result,
+    # then unpersist the input cache — repeated invocations in a
+    # long-lived session must not accumulate cache entries.
     per_day = per_day.persist()
     bounds = per_day.groupBy(*group_cols).agg(
         F.min(day_col).alias(lo), F.max(day_col).alias(hi))
@@ -140,9 +142,12 @@ def gap_fill_days(per_day: DataFrame, group_cols: list[str],
     w = (Window.partitionBy(*group_cols).orderBy(day_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     zero = F.lit(0).cast(j.schema[value_col].dataType)
-    return (j.select(
+    out = (j.select(
         *group_cols, day_col,
         F.coalesce(F.col(value_col), zero).alias(value_col),
         F.col(value_col).isNull().alias("filled"),
         F.last(value_col, ignorenulls=True).over(w)
-        .alias(f"locf_{value_col}")))
+        .alias(f"locf_{value_col}")).persist())
+    out.count()
+    per_day.unpersist()
+    return out

@@ -177,11 +177,13 @@ def fuzzy_match(candidates: DataFrame, probes: DataFrame,
     # extra physical-plan materialization — CI-gated against now).
     # Fewer files than cores ⇒ the scan may not parallelize ⇒ add one
     # round-robin shuffle of the candidate side; wide many-file scans
-    # (the 100 TB case) skip it. A few-huge-files scan that Spark would
-    # split by maxPartitionBytes pays one avoidable shuffle — rare
-    # layout, and strictly better than under-parallelizing the NLJ.
+    # (the 100 TB case) skip it, and so do non-file frames (0 files:
+    # createDataFrame already slices to defaultParallelism). A frame
+    # that sits above a shuffle of a single-file scan pays one
+    # avoidable re-shuffle — rare shape for a reference-resolution
+    # input, and strictly better than under-parallelizing the NLJ.
     sc = candidates.sparkSession.sparkContext
-    if len(candidates.inputFiles()) < sc.defaultParallelism:
+    if 0 < len(candidates.inputFiles()) < sc.defaultParallelism:
         candidates = candidates.repartition(sc.defaultParallelism)
     lc, lp = F.length(F.col(cand_col)), F.length(F.col(probe_col))
     guard = F.abs(lc - lp) <= max_dist

@@ -456,6 +456,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     their own canonical; ``keep`` marks the component minimum (the
     retention policy a training pipeline applies before tokenizing).
 
+    CONTRACT: ``pairs`` must be derived from ``docs`` (as every caller
+    in this package does) — cluster sizes are counted over the
+    component labeling, so a stale pair set referencing ids absent
+    from ``docs`` would inflate ``cluster_size`` and could elect an
+    absent id as a cluster's canonical.
+
     Shuffle story: the corpus is touched ONCE. Cluster sizes come from
     the component labeling alone — every doc absent from ``comp`` is a
     singleton of size 1 by definition — so the per-cluster count runs

@@ -43,3 +43,28 @@ def test_cdc_scd2_version_invariants(spark, sf_small):
             assert vs[0].valid_to == vs[1].valid_from
         else:
             assert len(vs) == 1 and vs[0].is_current
+
+
+def test_summary_stats_exact_at_long_wrapping_magnitude(spark):
+    """Values >= ~3.05e7 at scale=2 lift to cents whose long*long square
+    would wrap; the per-row guard must switch those rows to the exact
+    decimal multiply. Reference moments computed in exact integer
+    arithmetic driver-side."""
+    import math
+
+    from kafka_connect_msk_demo_spark.operators.aggregates import (
+        summary_stats)
+
+    vals = [4.0e9, 4.0e9 + 0.25, 7.5e9, 12.5, 0.01]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v double")
+    row = summary_stats(df, ["g"], "v").collect()[0]
+    cents = [round(v * 100) for v in vals]
+    n = len(cents)
+    s, s2 = float(sum(cents)) / 100.0, float(sum(c * c for c in cents)) / 1e4
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1.0)
+    assert row.cnt == n
+    assert row.mean_val == round(mean, 6)
+    assert row.stddev_val == round(math.sqrt(max(var, 0.0)), 6)
+    assert (row.min_val, row.max_val) == (0.01, 7.5e9)
