@@ -1293,6 +1293,37 @@ ORDER BY o_custkey
 """
 
 
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge — the data-lake shape where an old table
+    generation lacks columns a newer one added: two order "generations"
+    (v1 without o_orderpriority; v2 with it, plus a v2-only source tag)
+    reconciled by COLUMN NAME with missing columns null-filled
+    (``unionByName(allowMissingColumns=True)`` ↔ DuckDB
+    ``UNION ALL BY NAME``). Scale: a union is a no-shuffle plan node —
+    both legs stay partition-local; only the final presentation sort
+    shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = (o.filter(F.col("o_orderkey") % 2 == 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+    v2 = (o.filter(F.col("o_orderkey") % 2 == 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderpriority",
+                  F.lit("v2").alias("src_gen")))
+    return (v1.unionByName(v2, allowMissingColumns=True)
+            .orderBy("o_orderkey"))
+
+
+_SQL_SCHEMA_EVOLUTION_UNION = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL BY NAME
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+       'v2' AS src_gen
+FROM orders WHERE o_orderkey % 2 = 1
+ORDER BY o_orderkey
+"""
+
+
 def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-customer 7-day trailing order revenue —
     a VALUE-based frame (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over
@@ -1537,6 +1568,8 @@ BATCH_QUERIES = {
     "calendar_fill": (q_calendar_fill, _SQL_CALENDAR_FILL),
     "price_histogram": (q_price_histogram, _SQL_PRICE_HISTOGRAM),
     "set_ops": (q_set_ops, _SQL_SET_OPS),
+    "schema_evolution_union": (q_schema_evolution_union,
+                               _SQL_SCHEMA_EVOLUTION_UNION),
     "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
     "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
     "integrity_audit": (q_integrity_audit, _SQL_INTEGRITY_AUDIT),
@@ -1575,7 +1608,7 @@ _DRIVER_PRIORITY = [
     # new in round 4
     "dedup_clusters_lsh", "sales_by_country_decimal",
     "revenue_cube", "calendar_fill", "price_histogram", "set_ops",
-    "stream_dedup_keys",
+    "stream_dedup_keys", "schema_evolution_union",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}
