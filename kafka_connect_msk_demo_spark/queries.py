@@ -1324,6 +1324,124 @@ ORDER BY o_orderkey
 """
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation battery (the dbt-test / Deequ
+    constraint-suite shape): six rules over ``orders`` — null check,
+    key uniqueness, positivity, accepted values, an amount ceiling and
+    a date-recency rule — evaluated in ONE scan + ONE aggregate row,
+    then unpivoted to one row per rule with violation counts and a
+    pass flag. The ceiling and recency rules REALLY fail on this data
+    (prices run to 500k, dates to 2001), so the battery is
+    non-vacuous. Conditional counts use ``count(when(cond, 1))``
+    (↔ ``COUNT(*) FILTER``): long on both engines — ``sum(case)`` is
+    HUGEINT→float64 in a DuckDB fetch, the lang_stats dtype trap.
+    Scale: violations aggregate map-side; the unpivot runs on one row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    y2k_us = 946_684_800_000_000  # 2000-01-01 UTC, epoch micros
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("v_null"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
+        .alias("v_uniq"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_pos"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .alias("v_dom"),
+        F.count(F.when(F.col("o_totalprice") > 100_000, 1)).alias("v_amt"),
+        F.count(F.when(F.unix_micros("o_orderdate") >= y2k_us, 1))
+        .alias("v_date"),
+    )
+    rules = agg.select(
+        "n",
+        F.expr("stack(6, "
+               "'o_orderkey_not_null', v_null, "
+               "'o_orderkey_unique', v_uniq, "
+               "'o_totalprice_positive', v_pos, "
+               "'o_orderstatus_accepted', v_dom, "
+               "'o_totalprice_max_100k', v_amt, "
+               "'o_orderdate_before_2000', v_date) AS (rule, violations)"))
+    return (rules.select("rule", "violations",
+                         F.col("n").alias("n_checked"),
+                         (F.col("violations") == 0).alias("passed"))
+            .orderBy("rule"))
+
+
+_SQL_DQ_EXPECTATIONS = """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS v_null,
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uniq,
+         COUNT(*) FILTER (WHERE o_totalprice <= 0) AS v_pos,
+         COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+           AS v_dom,
+         COUNT(*) FILTER (WHERE o_totalprice > 100000) AS v_amt,
+         COUNT(*) FILTER (WHERE epoch_us(o_orderdate) >= 946684800000000)
+           AS v_date
+  FROM orders
+), r AS (
+  SELECT 'o_orderkey_not_null' AS rule, v_null AS violations, n FROM a
+  UNION ALL SELECT 'o_orderkey_unique', v_uniq, n FROM a
+  UNION ALL SELECT 'o_totalprice_positive', v_pos, n FROM a
+  UNION ALL SELECT 'o_orderstatus_accepted', v_dom, n FROM a
+  UNION ALL SELECT 'o_totalprice_max_100k', v_amt, n FROM a
+  UNION ALL SELECT 'o_orderdate_before_2000', v_date, n FROM a
+)
+SELECT rule, violations, n AS n_checked, violations = 0 AS passed
+FROM r
+ORDER BY rule
+"""
+
+
+def q_cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC time travel: reconstruct the orders table AS OF a changelog
+    timestamp — latest-wins per key over events with ``ts_ms <= T``,
+    deletes erasing the row (the lakehouse "snapshot at T" read,
+    §3.3's upsert generalized from "latest state" to "state at T").
+    T falls mid-update-phase, so keys ≤ 30000 show their update image
+    while larger keys (present from sf0.1 up) still show the snapshot
+    image — the reconstruction is genuinely time-dependent, not a
+    disguised cdc_upsert. One shuffle on the key for the rank."""
+    from .sources.cdc import orders_cdc_envelope
+
+    t_us = 2_000_030_000
+    env = (orders_cdc_envelope(spark, sf_dir).drop("__phase")
+           .filter(F.col("ts_ms") <= t_us))
+    key = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+    w = Window.partitionBy("_key").orderBy(
+        F.col("ts_ms").desc(), F.col("source.lsn").desc())
+    latest = (env.withColumn("_key", key)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter((F.col("_rn") == 1) & (F.col("op") != "d")))
+    return (latest.select("after.*").orderBy("o_orderkey"))
+
+
+_SQL_CDC_SNAPSHOT_AT = """
+WITH env AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         strftime(o_orderdate, '%Y-%m') AS order_month,
+         'r' AS op, 1000000000 + o_orderkey AS ts_ms,
+         o_orderkey * 10 AS lsn
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 1.1,
+         strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m'),
+         'u', 2000000000 + o_orderkey, o_orderkey * 10 + 1
+  FROM orders WHERE o_orderkey % 10 < 3
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, NULL,
+         'd', 3000000000 + o_orderkey, o_orderkey * 10 + 2
+  FROM orders WHERE o_orderkey % 10 = 0
+), at_t AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY ts_ms DESC, lsn DESC) AS rn
+  FROM env WHERE ts_ms <= 2000030000
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, order_month
+FROM at_t WHERE rn = 1 AND op <> 'd'
+ORDER BY o_orderkey
+"""
+
+
 def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-customer 7-day trailing order revenue —
     a VALUE-based frame (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over
@@ -1570,6 +1688,8 @@ BATCH_QUERIES = {
     "set_ops": (q_set_ops, _SQL_SET_OPS),
     "schema_evolution_union": (q_schema_evolution_union,
                                _SQL_SCHEMA_EVOLUTION_UNION),
+    "dq_expectations": (q_dq_expectations, _SQL_DQ_EXPECTATIONS),
+    "cdc_snapshot_at": (q_cdc_snapshot_at, _SQL_CDC_SNAPSHOT_AT),
     "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
     "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
     "integrity_audit": (q_integrity_audit, _SQL_INTEGRITY_AUDIT),
@@ -1609,6 +1729,7 @@ _DRIVER_PRIORITY = [
     "dedup_clusters_lsh", "sales_by_country_decimal",
     "revenue_cube", "calendar_fill", "price_histogram", "set_ops",
     "stream_dedup_keys", "schema_evolution_union",
+    "dq_expectations", "cdc_snapshot_at",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}
