@@ -95,3 +95,33 @@ def weighted_hash_sample(df: DataFrame, key_col: str,
         F.format_string(
             "%08x", F.floor(w * F.lit(float(2 ** 32))).cast("long")))
     return df.filter(digest8 < thr)
+
+
+def mixture_hash_sample(df: DataFrame, strata_col: str, key_col: str,
+                        targets: dict[str, int], default: int = 0,
+                        salt: str = "mix") -> DataFrame:
+    """Deterministic mixture construction: sample each stratum down to
+    an expected TARGET COUNT (``targets[stratum]`` rows), the way a
+    pretraining mixture pins per-source token budgets (e.g. 3 parts
+    web, 1 part code) regardless of how skewed the raw crawl is.
+
+    The per-stratum rate ``min(1, target / n_stratum)`` is computed
+    IN-PLAN: one hash-aggregate for stratum counts (tiny — one row per
+    stratum), broadcast back, then the same hash-threshold predicate as
+    :func:`weighted_hash_sample`. No collect, no RNG; membership stays
+    a pure function of (salt, key), so upsizing the corpus keeps every
+    previously-sampled row whose stratum rate did not tighten.
+    """
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("_n_stratum")))
+    tgt: Column = F.lit(default)
+    for stratum, t in sorted(targets.items()):
+        tgt = F.when(F.col(strata_col) == stratum,
+                     F.lit(t)).otherwise(tgt)
+    rate = F.least(tgt.cast("double") / F.col("_n_stratum"),
+                   F.lit(1.0))
+    joined = (df.join(F.broadcast(counts), strata_col)
+              .withColumn("_rate", rate))
+    return (weighted_hash_sample(joined, key_col, F.col("_rate"),
+                                 salt=salt)
+            .drop("_n_stratum", "_rate"))

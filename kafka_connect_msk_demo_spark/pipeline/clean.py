@@ -196,3 +196,29 @@ def fuzzy_match(candidates: DataFrame, probes: DataFrame,
     return (candidates.join(p, guard, "inner")
             .withColumn("dist", dist)
             .filter(F.col("dist") >= 0))
+
+
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Whitespace/control-character normalization — the cheap cleanup
+    pass in front of every tokenizer: strip C0 control characters,
+    collapse whitespace runs to a single space, trim. Pure projection
+    (scan-speed, no shuffle); the regexes stay in the portable subset
+    both Java regex and RE2 agree on (explicit char classes, no
+    lookaround), so the oracle replays byte-for-byte.
+
+    Returns per-document before/after lengths, a changed flag, and the
+    md5 of the normalized text — the digest makes the oracle comparison
+    cover the full normalized content without hauling the text column
+    through the result.
+    """
+    raw = F.col(text_col)
+    stripped = F.regexp_replace(
+        raw, "[\\x00-\\x1f]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, "  +", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(raw).alias("n_chars_raw"),
+        F.length(collapsed).alias("n_chars_norm"),
+        (F.length(raw) != F.length(collapsed)).alias("changed"),
+        F.md5(collapsed).alias("norm_md5")).orderBy("doc_id")

@@ -1215,6 +1215,186 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: packing, sketches, retrieval, mixture, cleanup
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (GPT-style stream chunking):
+    documents are assigned to 2048-token bins by an exclusive prefix
+    sum within (lang, doc_id % 8) streams — see pipeline/packing.py for
+    the 100 TB layout argument. Per-bin stats returned."""
+    from . import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_stats(docs, budget=2048, n_shards=8)
+
+
+_SQL_SEQUENCE_PACK = """
+WITH d AS (
+  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+         len(string_split(lower(trim(text)), ' ')) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT lang, shard, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 2048) AS BIGINT) AS bin
+  FROM d
+)
+SELECT lang, shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / 2048.0 AS fill
+FROM b GROUP BY lang, shard, bin
+ORDER BY lang, shard, bin
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate via a deterministic
+    K-minimum-values sketch (k=64) with exact counts alongside — see
+    pipeline/sketches.py for the bounded partial-aggregate kernel. The
+    oracle replays the sketch from the full data (k-min is
+    merge-exact, so partials and the direct computation agree)."""
+    from .sketches import kmv_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct(events, "user_id", "event_type", k=64,
+                        salt="kmv")
+
+
+_SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                  1, 12)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM h
+), s AS (
+  SELECT event_type, COUNT(*) AS n_h,
+         MAX(CASE WHEN rk = 64 THEN h END) AS kth
+  FROM r WHERE rk <= 64 GROUP BY event_type
+), t AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_true
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT s.event_type, t.n_true,
+       CASE WHEN s.n_h < 64 THEN CAST(s.n_h AS DOUBLE)
+            ELSE 17732923532771328.0 / s.kth END AS est_distinct,
+       (CASE WHEN s.n_h < 64 THEN CAST(s.n_h AS DOUBLE)
+             ELSE 17732923532771328.0 / s.kth END
+        - CAST(t.n_true AS DOUBLE)) / CAST(t.n_true AS DOUBLE)
+       AS rel_err
+FROM s JOIN t ON s.event_type = t.event_type
+ORDER BY s.event_type
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval for a fixed bag-of-terms query over the
+    corpus, rational-idf variant with int64-quantized per-term scores
+    so the cross-term sum is order-independent — see
+    text_analysis.bm25_topk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bm25_topk(
+        docs, ["join", "merge", "spark", "window"], k=25)
+
+
+_SQL_BM25_TOPK = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t,
+         len(string_split(lower(trim(text)), ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens FROM d
+), q AS (
+  SELECT unnest(['join', 'merge', 'spark', 'window']) AS term
+), hits AS (
+  SELECT doc_id, dl, term,
+         len(list_filter(t, x -> x = term)) AS tf
+  FROM d, q WHERE list_contains(t, term)
+), dft AS (
+  SELECT term, COUNT(*) AS dft FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         CAST(floor(
+           CAST(22 * s.s_tokens * h.tf * (s.n_docs + 1) AS DOUBLE)
+           / CAST((10 * s.s_tokens * h.tf + 3 * s.s_tokens
+                   + 9 * h.dl * s.n_docs) * (f.dft + 1) AS DOUBLE)
+           * 1000000.0) AS BIGINT) AS score_q
+  FROM hits h JOIN dft f USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+       CAST(SUM(score_q) AS BIGINT) AS score_q
+FROM scored GROUP BY doc_id
+ORDER BY score_q DESC, doc_id
+LIMIT 25
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture construction: pin expected per-source
+    sample counts (15 docs for src0-src4, 5 for the rest) regardless of
+    raw source sizes; rates are computed in-plan and membership is a
+    pure hash function of doc_id — operators/sampling.py
+    mixture_hash_sample."""
+    from ..operators.sampling import mixture_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {f"src{i}": 15 for i in range(5)}
+    return (mixture_hash_sample(docs, "source", "doc_id", targets,
+                                default=5, salt="mix-v1")
+            .select("doc_id", "source", "lang")
+            .orderBy("doc_id"))
+
+
+_SQL_MIXTURE_SAMPLE = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), d AS (
+  SELECT doc_id, source, lang,
+         LEAST(CAST(CASE WHEN source IN
+                         ('src0', 'src1', 'src2', 'src3', 'src4')
+                    THEN 15 ELSE 5 END AS DOUBLE) / n, 1.0) AS rate
+  FROM documents JOIN c USING (source)
+)
+SELECT doc_id, source, lang FROM d
+WHERE substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN rate >= 1.0 THEN 'g'
+           ELSE printf('%08x',
+                       CAST(floor(rate * 4294967296.0) AS BIGINT))
+      END
+ORDER BY doc_id
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-char normalization pass with per-doc
+    before/after lengths and the md5 of the normalized text —
+    pipeline/clean.py normalize_text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean.normalize_text(docs)
+
+
+_SQL_TEXT_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f]', ' ',
+                                            'g'),
+                             '  +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, len(text) AS n_chars_raw, len(norm) AS n_chars_norm,
+       len(text) <> len(norm) AS changed, md5(norm) AS norm_md5
+FROM n ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1249,4 +1429,9 @@ PIPELINE_QUERIES: dict = {
     "pretraining_filter": (q_pretraining_filter, _SQL_PRETRAINING_FILTER),
     "knn_classify": (q_knn_classify, _SQL_KNN_CLASSIFY),
     "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
+    "sequence_pack": (q_sequence_pack, _SQL_SEQUENCE_PACK),
+    "kmv_distinct": (q_kmv_distinct, _SQL_KMV_DISTINCT),
+    "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
+    "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
+    "text_normalize": (q_text_normalize, _SQL_TEXT_NORMALIZE),
 }

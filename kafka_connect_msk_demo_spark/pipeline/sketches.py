@@ -1,0 +1,115 @@
+"""Distinct-count sketching — K-minimum-values (KMV), deterministic.
+
+``approx_count_distinct`` (HLL) is the built-in answer, but its
+estimate depends on an engine-private hash and register layout, so it
+can never be replayed by another engine — useless under an exact
+cross-engine oracle, and awkward for reproducible corpus reporting.
+KMV (Bar-Yossef et al. 2002) estimates distinct cardinality from the
+k-th smallest *deterministic* hash value:
+
+    est = (k - 1) * H / h_k        (H = hash-space size)
+
+Membership of a hash in the sketch is a pure function of the value, so
+the same estimate comes back on any engine, any partitioning, any
+cluster size — the same reproducibility contract as
+`operators/sampling.py`.
+
+Scale shape (the reason this is not just a window over DISTINCT): the
+Arrow kernel below is a *partial k-min aggregate* — each input
+partition emits at most ``k`` hashes per group, so the post-kernel
+shuffle carries ≤ ``k × groups × partitions`` rows no matter how many
+billions of distinct keys the scan saw. k-min sets are closed under
+merge (min-k of a union == min-k of the concatenated min-k's), so the
+final window top-k over the union is exact, and the whole computation
+never materializes the distinct key set. The hash is the first 48 bits
+of md5 — Spark `conv(substr(md5..),16,10)`, DuckDB
+`CAST('0x'||substr(md5..) AS BIGINT)`, and Python
+`int(hexdigest[:12], 16)` all agree bit-for-bit (asserted in tests).
+
+Estimate arithmetic stays exact cross-engine: ``(k-1) * 2**48`` has six
+significant bits (exactly representable double) and the estimate is a
+single correctly-rounded division by the integer ``h_k``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 48-bit hash space: 12 hex chars of md5.
+HASH_SPACE = float(2 ** 48)
+
+
+def _kmv_partial_kernel(key_col: str, group_col: str, k: int,
+                        salt: str):
+    """mapInPandas kernel: per input partition, per group, the ``k``
+    smallest distinct 48-bit hashes of the key. Bounded state
+    (``k`` ints per group) and bounded output (``k`` rows per group per
+    partition) — the partial-aggregate half of the KMV merge."""
+    import pandas as pd
+
+    def kernel(batches):
+        mins: dict[str, list] = {}   # group -> sorted list, ≤ k
+        memo: dict[object, int] = {}  # key -> hash (keys repeat a lot)
+        import bisect
+        for pdf in batches:
+            for g, key in zip(pdf[group_col], pdf[key_col]):
+                if key is None or pd.isna(key):
+                    continue
+                h = memo.get(key)
+                if h is None:
+                    digest = hashlib.md5(
+                        f"{salt}:{key}".encode()).hexdigest()
+                    h = int(digest[:12], 16)
+                    memo[key] = h
+                lst = mins.setdefault(g, [])
+                if len(lst) < k or h < lst[-1]:
+                    i = bisect.bisect_left(lst, h)
+                    if i >= len(lst) or lst[i] != h:
+                        lst.insert(i, h)
+                        if len(lst) > k:
+                            lst.pop()
+        if mins:
+            yield pd.DataFrame(
+                {group_col: [g for g, lst in mins.items() for _ in lst],
+                 "h": [h for lst in mins.values() for h in lst]})
+
+    return kernel
+
+
+def kmv_distinct(df: DataFrame, key_col: str, group_col: str,
+                 k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Per-group distinct-count estimate via a k-minimum-values sketch,
+    with the exact count alongside for error accounting.
+
+    Returns (group, n_true, est_distinct, rel_err) — ``est_distinct``
+    is exact when fewer than ``k`` distinct hashes exist (the sketch
+    degenerates to the true distinct set), else ``(k-1)*2^48 / h_k``.
+    """
+    src = df.select(F.col(group_col), F.col(key_col))
+    partials = src.mapInPandas(
+        _kmv_partial_kernel(key_col, group_col, k, salt),
+        f"{group_col} string, h long")
+    w = Window.partitionBy(group_col).orderBy("h")
+    merged = (partials.distinct()
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= k))
+    sketch = (merged.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("n_h"),
+                   F.max(F.when(F.col("rk") == k,
+                                F.col("h"))).alias("kth")))
+    true = (df.filter(F.col(key_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.count_distinct(F.col(key_col)).alias("n_true")))
+    est = F.when(F.col("n_h") < k, F.col("n_h").cast("double")) \
+        .otherwise(F.lit(float(k - 1) * HASH_SPACE) / F.col("kth"))
+    return (sketch.join(true, group_col)
+            .withColumn("est_distinct", est)
+            .withColumn("rel_err",
+                        (F.col("est_distinct")
+                         - F.col("n_true").cast("double"))
+                        / F.col("n_true").cast("double"))
+            .select(group_col, "n_true", "est_distinct", "rel_err")
+            .orderBy(group_col))

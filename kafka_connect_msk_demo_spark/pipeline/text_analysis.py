@@ -294,3 +294,71 @@ def repetition_stats(docs: DataFrame, ns: tuple = (2, 3),
                     *[c for n in ns for c in
                       (f"dup_{n}gram_frac", f"top_{n}gram_frac")])
             .orderBy("doc_id"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 25,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1_num: int = 12, b_num: int = 75,
+              scale: int = 1_000_000) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25 with a
+    rational idf (no ``ln`` — same reason as :func:`tfidf_top_terms`:
+    cross-engine rank/hash stability).
+
+    Per (doc, term):
+
+        idf   = (N + 1) / (dft + 1)
+        norm  = tf + k1*(1 - b) + k1*b*dl/avgdl        (k1=1.2, b=0.75)
+        score = idf * tf * (k1 + 1) / norm
+
+    Each factor is an exact-int → double conversion or a single
+    correctly-rounded op evaluated in the SAME expression tree by both
+    engines, so per-term scores are bit-identical. The per-document
+    SUM over query terms, however, is order-dependent in floating
+    point, so the per-term score is first quantized to an int64
+    (``floor(score * scale)``) and the sum runs in exact integer
+    arithmetic — the same int64-quantized-partial-sums trick as the
+    Lloyd trainer oracle in `similarity.py`.
+
+    Scale shape: the corpus side is one explode restricted to the query
+    terms (``array_contains`` prunes before the explode), one hash
+    aggregate for tf, a broadcast of the ≤|query| row dft/stats side,
+    and one global top-k sort of per-doc scores. Nothing quadratic; the
+    corpus is scanned once.
+    """
+    qlit = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    toks = toks.withColumn("dl", F.size("t"))
+    # corpus stats: N docs, total tokens (avgdl = S/N kept as the exact
+    # pair, folded into the norm by cross-multiplication below)
+    stats = toks.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("dl").alias("s_tokens"))
+    hits = (toks.select("doc_id", "dl",
+                        F.explode(F.array_intersect("t", qlit))
+                        .alias("term"),
+                        F.col("t"))
+            .withColumn("tf",
+                        F.expr("size(filter(t, x -> x = term))"))
+            .drop("t"))
+    dft = hits.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    scored = (hits.join(F.broadcast(dft), "term")
+              .crossJoin(F.broadcast(stats)))
+    # norm * 10*S  =  10*S*tf + 3*S + 9*dl*N   (exact int64)
+    norm10s = (F.lit(10) * F.col("s_tokens") * F.col("tf")
+               + F.lit(3) * F.col("s_tokens")
+               + F.lit(9) * F.col("dl") * F.col("n_docs"))
+    # score = (N+1)/(dft+1) * tf*2.2*10*S / norm10s — kept as
+    # double((exact int)) / double((exact int)) * double((exact int))
+    # with one division then one multiply, same tree both engines
+    num = (F.lit(22) * F.col("s_tokens") * F.col("tf")
+           * (F.col("n_docs") + F.lit(1))).cast("double")
+    den = (norm10s * (F.col("dft") + F.lit(1))).cast("double")
+    score_q = F.floor(num / den * F.lit(float(scale))).cast("long")
+    per_doc = (scored.withColumn("score_q", score_q)
+               .groupBy("doc_id")
+               .agg(F.sum("score_q").alias("score_q"),
+                    F.count(F.lit(1)).alias("n_terms_hit")))
+    return (per_doc
+            .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+            .limit(k)
+            .select("doc_id", "n_terms_hit", "score_q"))

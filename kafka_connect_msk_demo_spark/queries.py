@@ -1730,6 +1730,8 @@ _DRIVER_PRIORITY = [
     "revenue_cube", "calendar_fill", "price_histogram", "set_ops",
     "stream_dedup_keys", "schema_evolution_union",
     "dq_expectations", "cdc_snapshot_at",
+    "sequence_pack", "kmv_distinct", "bm25_topk",
+    "mixture_sample", "text_normalize",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

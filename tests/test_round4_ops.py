@@ -1,0 +1,160 @@
+"""Semantic tests for the round-4 operators: sequence packing, the KMV
+distinct sketch, BM25 retrieval, mixture sampling, and text
+normalization. (Oracle parity for each registered query runs
+separately via tests/test_oracle_parity.py.)"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.catalog import load_table
+from kafka_connect_msk_demo_spark.operators.sampling import (
+    mixture_hash_sample,
+)
+from kafka_connect_msk_demo_spark.pipeline import clean, packing
+from kafka_connect_msk_demo_spark.pipeline.sketches import kmv_distinct
+from kafka_connect_msk_demo_spark.pipeline.text_analysis import bm25_topk
+
+BUDGET = 2048
+
+
+def test_pack_bins_matches_prefix_sum_replay(spark, sf_small):
+    """Every doc's bin equals floor(exclusive-prefix-sum / budget)
+    replayed in plain Python per stream, and no document is lost."""
+    docs = load_table(spark, sf_small, "documents")
+    got = packing.pack_bins(docs, budget=BUDGET, n_shards=8).collect()
+    assert len(got) == docs.count()
+    streams: dict = {}
+    for r in sorted(got, key=lambda r: (r.lang, r.shard, r.doc_id)):
+        cum = streams.get((r.lang, r.shard), 0)
+        assert r.shard == r.doc_id % 8
+        assert r.bin == cum // BUDGET, (r, cum)
+        streams[(r.lang, r.shard)] = cum + r.n_tokens
+
+
+def test_pack_stats_bins_contiguous(spark, sf_small):
+    """Bins within a stream are 0..max with no gaps; token totals
+    reconcile with the corpus."""
+    docs = load_table(spark, sf_small, "documents")
+    rows = packing.pack_stats(docs, budget=BUDGET, n_shards=8).collect()
+    per_stream: dict = {}
+    for r in rows:
+        per_stream.setdefault((r.lang, r.shard), []).append(r.bin)
+        assert r.fill == r.bin_tokens / BUDGET
+    for bins in per_stream.values():
+        assert sorted(bins) == list(range(len(bins)))
+    total = sum(r.bin_tokens for r in rows)
+    expect = docs.select(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), " ")))
+    ).collect()[0][0]
+    assert total == expect
+
+
+def test_kmv_hash_matches_spark_conv(spark):
+    """The Python kernel's 48-bit md5 prefix equals the SQL-side
+    conv(substr(md5..)) parse — the cross-engine hash contract."""
+    for key in [0, 1, 99999, 123456789]:
+        py = int(hashlib.md5(f"kmv:{key}".encode()).hexdigest()[:12], 16)
+        sql = spark.sql(
+            f"SELECT CAST(conv(substring(md5('kmv:{key}'), 1, 12), 16, 10)"
+            f" AS BIGINT) AS h").collect()[0].h
+        assert py == sql
+
+
+def test_kmv_estimate_accuracy(spark, sf_medium):
+    """KMV with k=64: exact below k, and within ~3 standard errors
+    (1/sqrt(k-2) relative) above it."""
+    events = load_table(spark, sf_medium, "events")
+    rows = kmv_distinct(events, "user_id", "event_type", k=64).collect()
+    assert rows, "no groups"
+    for r in rows:
+        if r.n_true < 64:
+            assert r.est_distinct == float(r.n_true)
+        else:
+            assert abs(r.rel_err) < 3.0 / (62 ** 0.5), r
+
+
+def test_kmv_partition_invariance(spark, sf_small):
+    """The sketch is a pure function of the value set: a different
+    partition layout yields the identical estimate rows."""
+    events = load_table(spark, sf_small, "events")
+    a = kmv_distinct(events, "user_id", "event_type", k=16).collect()
+    b = kmv_distinct(events.repartition(13, "user_id"),
+                     "user_id", "event_type", k=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bm25_semantics(spark, sf_small):
+    terms = ["join", "merge", "spark", "window"]
+    docs = load_table(spark, sf_small, "documents")
+    rows = bm25_topk(docs, terms, k=10).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.score_q for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    got_ids = {r.doc_id for r in rows}
+    texts = {r.doc_id: r.text for r in docs.filter(
+        F.col("doc_id").isin(*got_ids)).collect()}
+    for r in rows:
+        toks = set(texts[r.doc_id].strip().lower().split(" "))
+        hit = toks & set(terms)
+        assert hit, f"doc {r.doc_id} contains no query term"
+        assert r.n_terms_hit == len(hit)
+
+
+def test_mixture_sample_targets(spark, sf_medium):
+    """Per-source kept counts track the pinned targets (binomial mean
+    target, allow 4 sigma) and membership is deterministic."""
+    docs = load_table(spark, sf_medium, "documents")
+    targets = {f"src{i}": 15 for i in range(5)}
+    out = mixture_hash_sample(docs, "source", "doc_id", targets,
+                              default=5, salt="mix-v1")
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    n_per_source = {r.source: r.n for r in
+                    docs.groupBy("source").agg(
+                        F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in n_per_source.items():
+        tgt = targets.get(src, 5)
+        p = min(1.0, tgt / n)
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(counts.get(src, 0) - tgt) <= 4 * sigma + 1, \
+            (src, counts.get(src, 0), tgt)
+    again = mixture_hash_sample(docs, "source", "doc_id", targets,
+                                default=5, salt="mix-v1")
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in again.select("doc_id").collect())
+
+
+def test_normalize_text_messy_inputs(spark):
+    """Control chars become spaces, runs collapse, edges trim — and the
+    pass is idempotent."""
+    rows = [(1, "a\x00b"), (2, "  lead and   trail  "),
+            (3, "tab\tand\nnewline"), (4, "already clean"),
+            (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in clean.normalize_text(df).collect()}
+    import hashlib as h
+
+    def md5(s):
+        return h.md5(s.encode()).hexdigest()
+
+    assert got[1].n_chars_norm == len("a b")
+    assert got[1].norm_md5 == md5("a b")
+    assert got[2].norm_md5 == md5("lead and trail")
+    assert got[3].norm_md5 == md5("tab and newline")
+    assert got[4].changed is False
+    assert got[5].norm_md5 == md5("")
+    # idempotence: normalizing the normalized text is a no-op
+    norm1 = [(1, "a b"), (2, "lead and trail")]
+    df2 = spark.createDataFrame(norm1, "doc_id long, text string")
+    for r in clean.normalize_text(df2).collect():
+        assert r.changed is False
+
+
+@pytest.mark.parametrize("frac_docs", [0.0])
+def test_pack_empty_input(spark, frac_docs):
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, lang string")
+    assert packing.pack_stats(df).count() == 0
