@@ -1395,6 +1395,63 @@ FROM n ORDER BY doc_id
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized PageRank (3 unrolled supersteps) over the
+    bidirectional customer↔supplier graph — pipeline/graph.py. Integer
+    fixed-point ranks make every superstep bit-stable under
+    re-partitioning, which is what lets the oracle unroll the loop as
+    CTEs."""
+    from . import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return graph.pagerank_topk(graph.bipartite_edges(orders, lineitem),
+                               iters=3, k=25)
+
+
+def _pagerank_sql(iters: int = 3, k: int = 25) -> str:
+    """Unrolled-CTE oracle for the quantized PageRank recurrence."""
+    base = "(1073741824 // n.n)"
+    parts = [f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bi AS (
+  SELECT src, dst FROM e0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM bi GROUP BY src
+), n AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (
+  SELECT d.src AS node, {base} AS rank_q FROM deg d CROSS JOIN n
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", m{i} AS (
+  SELECT b.dst AS node, r.rank_q // d.outdeg AS contrib
+  FROM r{i - 1} r JOIN bi b ON r.node = b.src
+  JOIN deg d ON b.src = d.src
+), r{i} AS (
+  SELECT d.src AS node,
+         ({base} * 15) // 100
+         + (85 * COALESCE(s.in_sum, 0)) // 100 AS rank_q
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (SELECT node, CAST(SUM(contrib) AS BIGINT) AS in_sum
+             FROM m{i} GROUP BY node) s
+    ON d.src = s.node
+)""")
+    parts.append(f"""
+SELECT r.node, deg.outdeg, CAST(r.rank_q AS BIGINT) AS rank_q
+FROM r{iters} r JOIN deg ON r.node = deg.src
+ORDER BY rank_q DESC, node LIMIT {k}
+""")
+    return "".join(parts)
+
+
+_SQL_PAGERANK = _pagerank_sql()
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1434,4 +1491,5 @@ PIPELINE_QUERIES: dict = {
     "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
     "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     "text_normalize": (q_text_normalize, _SQL_TEXT_NORMALIZE),
+    "pagerank": (q_pagerank, _SQL_PAGERANK),
 }

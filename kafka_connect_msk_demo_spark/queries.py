@@ -1731,7 +1731,7 @@ _DRIVER_PRIORITY = [
     "stream_dedup_keys", "schema_evolution_union",
     "dq_expectations", "cdc_snapshot_at",
     "sequence_pack", "kmv_distinct", "bm25_topk",
-    "mixture_sample", "text_normalize",
+    "mixture_sample", "text_normalize", "pagerank",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

@@ -158,3 +158,47 @@ def test_pack_empty_input(spark, frac_docs):
     df = spark.createDataFrame(
         [], "doc_id long, text string, lang string")
     assert packing.pack_stats(df).count() == 0
+
+
+def _toy_edges(spark):
+    """Bidirectional star a↔{b,c,d} plus a pendant pair e↔f."""
+    fwd = [("a", "b"), ("a", "c"), ("a", "d"), ("e", "f")]
+    rows = fwd + [(d, s) for s, d in fwd]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_pagerank_hub_ranks_first(spark):
+    from kafka_connect_msk_demo_spark.pipeline.graph import (
+        SCALE, pagerank_topk,
+    )
+    rows = pagerank_topk(_toy_edges(spark), iters=3, k=10).collect()
+    assert rows[0].node == "a" and rows[0].outdeg == 3
+    assert {r.node for r in rows} == set("abcdef")
+    # quantized mass conservation: every div only floors, so the total
+    # stays within n_nodes*iters of the exact damped mass (== SCALE)
+    total = sum(r.rank_q for r in rows)
+    assert SCALE - 6 * 3 * 100 <= total <= SCALE
+    for r in rows:
+        assert r.rank_q > 0
+
+
+def test_pagerank_partition_invariance(spark):
+    from kafka_connect_msk_demo_spark.pipeline.graph import pagerank_topk
+    e = _toy_edges(spark)
+    a = pagerank_topk(e, iters=3, k=10).collect()
+    b = pagerank_topk(e.repartition(7, "dst"), iters=3, k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bipartite_edges_shape(spark, sf_small):
+    from kafka_connect_msk_demo_spark.pipeline.graph import bipartite_edges
+    orders = load_table(spark, sf_small, "orders")
+    lineitem = load_table(spark, sf_small, "lineitem")
+    e = bipartite_edges(orders, lineitem)
+    rows = e.collect()
+    assert len(rows) % 2 == 0 and len(rows) > 0
+    pairs = {(r.src, r.dst) for r in rows}
+    assert len(pairs) == len(rows), "duplicate edges"
+    for s, d in pairs:
+        assert (d, s) in pairs, "missing reverse edge"
+        assert s[:2] in ("c:", "s:") and d[:2] in ("c:", "s:")
