@@ -850,6 +850,57 @@ WHERE o_orderkey % 10 <> 0
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a (status, month) revenue
+    aggregate is built from the CDC snapshot phase, then brought
+    current by folding ONLY the update/delete delta phases in as
+    signed contributions — the base fact is never rescanned
+    (operators/ivm.py). The oracle recomputes the same aggregate from
+    the final state; DECIMAL contributions make the two
+    bit-identical."""
+    from .operators.aggregates import dec
+    from .operators.ivm import maintain_sum_count, signed_contributions
+    from .sources.cdc import orders_cdc_envelope
+
+    env = orders_cdc_envelope(spark, sf_dir)
+    cols = ["o_orderstatus", "o_totalprice", "order_month"]
+    base = (env.filter(F.col("__phase") == 0).select("after.*")
+            .groupBy("o_orderstatus", "order_month")
+            .agg(F.sum(dec("o_totalprice", 25, 8)).alias("total"),
+                 F.count(F.lit(1)).alias("n")))
+    contribs = (signed_contributions(env.filter(F.col("__phase") > 0),
+                                     cols)
+                .withColumn("val", dec("o_totalprice", 25, 8)))
+    out = maintain_sum_count(base, contribs,
+                             ["o_orderstatus", "order_month"], "val")
+    return (out.select("o_orderstatus", "order_month",
+                       F.col("total").cast("double").alias("total"),
+                       "n")
+            .orderBy("o_orderstatus", "order_month"))
+
+
+_SQL_INCREMENTAL_AGG = """
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 IN (1, 2) THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 10 IN (1, 2)
+              THEN strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m')
+              ELSE strftime(o_orderdate, '%Y-%m') END AS order_month
+  FROM orders
+  WHERE o_orderkey % 10 <> 0
+)
+SELECT o_orderstatus, order_month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25, 8))) AS DOUBLE)
+         AS total,
+       COUNT(*) AS n
+FROM final
+GROUP BY o_orderstatus, order_month
+ORDER BY o_orderstatus, order_month
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1699,6 +1750,7 @@ BATCH_QUERIES = {
                              _SQL_FULL_OUTER_RECONCILE),
     "dead_letter_route": (q_dead_letter_route, _SQL_DEAD_LETTER_ROUTE),
     "cdc_scd2": (q_cdc_scd2, _SQL_CDC_SCD2),
+    "incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
 }
 
 # ---------------------------------------------------------------------------
@@ -1732,6 +1784,7 @@ _DRIVER_PRIORITY = [
     "dq_expectations", "cdc_snapshot_at",
     "sequence_pack", "kmv_distinct", "bm25_topk",
     "mixture_sample", "text_normalize", "pagerank",
+    "incremental_agg",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

@@ -202,3 +202,52 @@ def test_bipartite_edges_shape(spark, sf_small):
     for s, d in pairs:
         assert (d, s) in pairs, "missing reverse edge"
         assert s[:2] in ("c:", "s:") and d[:2] in ("c:", "s:")
+
+
+def test_ivm_create_and_retire_groups(spark):
+    """Signed-contribution maintenance creates groups absent from the
+    base and retires groups whose count reaches zero."""
+    from pyspark.sql import Row
+
+    from kafka_connect_msk_demo_spark.operators.ivm import (
+        maintain_sum_count, signed_contributions,
+    )
+    base = spark.createDataFrame(
+        [("a", 10.0, 2), ("b", 5.0, 1)],
+        "g string, total double, n long")
+    img = "g string, v double"
+
+    def rec(g, v):
+        return Row(g=g, v=v)
+
+    deltas = spark.createDataFrame(
+        [  # delete the only 'b' row -> retire; insert new group 'c'
+            Row(op="d", before=rec("b", 5.0), after=None),
+            Row(op="c", before=None, after=rec("c", 7.0)),
+            # move one 'a' row to 'c' (update changing the group)
+            Row(op="u", before=rec("a", 4.0), after=rec("c", 4.0)),
+        ],
+        f"op string, before struct<{img}>, after struct<{img}>")
+    contribs = signed_contributions(deltas, ["g", "v"]) \
+        .withColumnRenamed("v", "val")
+    out = {r.g: (r.total, r.n) for r in maintain_sum_count(
+        base, contribs, ["g"], "val").collect()}
+    assert out == {"a": (6.0, 1), "c": (11.0, 2)}
+
+
+def test_incremental_agg_matches_recompute(spark, sf_small):
+    """The maintained aggregate equals a full recompute over the final
+    CDC state (same grouping, built from scratch)."""
+    from kafka_connect_msk_demo_spark.queries import (
+        q_cdc_upsert, q_incremental_agg,
+    )
+    maintained = q_incremental_agg(spark, sf_small).collect()
+    final = q_cdc_upsert(spark, sf_small)
+    recomputed = (final.groupBy("o_orderstatus", "order_month")
+                  .agg(F.sum(F.col("o_totalprice")
+                             .cast("decimal(25,8)"))
+                       .cast("double").alias("total"),
+                       F.count(F.lit(1)).alias("n"))
+                  .orderBy("o_orderstatus", "order_month").collect())
+    assert [tuple(r) for r in maintained] == \
+        [tuple(r) for r in recomputed]
