@@ -125,3 +125,18 @@ def mixture_hash_sample(df: DataFrame, strata_col: str, key_col: str,
     return (weighted_hash_sample(joined, key_col, F.col("_rate"),
                                  salt=salt)
             .drop("_n_stratum", "_rate"))
+
+
+def kfold_assign(df: DataFrame, key_col: str, k: int = 5,
+                 salt: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment for train/eval splits: fold =
+    48-bit md5 prefix of (salt, key) mod ``k``. Like every sampler
+    here, membership is a pure function of the key — folds are stable
+    across runs, partitionings, and engines, folds from different
+    salts are independent, and the expression evaluates inside the
+    scan (no shuffle). Adds an ``int`` column ``fold`` in [0, k)."""
+    c = F.col(key_col)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 12),
+        16, 10).cast("long")
+    return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))

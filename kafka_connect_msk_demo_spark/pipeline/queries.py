@@ -1452,6 +1452,88 @@ ORDER BY rank_q DESC, node LIMIT {k}
 _SQL_PAGERANK = _pagerank_sql()
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection: top-25 documents whose hashed
+    unigram distribution is most target-like, scored with the
+    quantized mean rational rate ratio per token —
+    pipeline/selection.py. The target subset is CONTENT-defined
+    (documents mentioning 'vector'), the realistic DSIR setup where
+    the target is a curated in-domain corpus; the synthetic corpus's
+    lang column is content-independent, so a metadata target would
+    have nothing to learn."""
+    from .selection import dsir_topk
+    from .textprep import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_topk(docs, F.array_contains(tokens("text"), "vector"),
+                     k=25)
+
+
+_SQL_DSIR_SELECT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_contains(string_split(lower(trim(text)), ' '), 'vector')
+           AS is_target,
+         unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+), b AS (
+  SELECT doc_id, is_target,
+         CAST(concat('0x', substr(md5(term), 1, 12)) AS BIGINT) % 1024
+           AS bkt
+  FROM toks
+), cr AS (
+  SELECT bkt, COUNT(*) AS cr FROM b GROUP BY bkt
+), ct AS (
+  SELECT bkt, COUNT(*) AS ct FROM b WHERE is_target GROUP BY bkt
+), tot AS (
+  SELECT COUNT(*) AS c_raw,
+         COUNT(CASE WHEN is_target THEN 1 END) AS c_tgt
+  FROM b
+), w AS (
+  SELECT cr.bkt,
+         (1048576 * COALESCE(ct.ct, 0) * tot.c_raw)
+           // (cr.cr * tot.c_tgt) AS w
+  FROM cr LEFT JOIN ct ON cr.bkt = ct.bkt CROSS JOIN tot
+), s AS (
+  SELECT b.doc_id,
+         CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_q,
+         COUNT(*) AS n_tokens
+  FROM b JOIN w ON b.bkt = w.bkt GROUP BY b.doc_id
+)
+SELECT doc_id, n_tokens, score_q FROM s
+ORDER BY score_q DESC, doc_id LIMIT 25
+"""
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold split of the corpus (hash-mod fold ids)
+    with per-fold document and token counts —
+    operators/sampling.py kfold_assign."""
+    from ..operators.sampling import kfold_assign
+    from .textprep import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (kfold_assign(docs, "doc_id", k=5, salt="fold-v1")
+            .select("fold", F.size(tokens("text")).alias("nt"))
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").alias("n_tokens"))
+            .orderBy("fold"))
+
+
+_SQL_KFOLD_SPLIT = """
+WITH d AS (
+  SELECT CAST(CAST(concat('0x',
+             substr(md5('fold-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))
+           AS BIGINT) % 5 AS INT) AS fold,
+         len(string_split(lower(trim(text)), ' ')) AS nt
+  FROM documents
+)
+SELECT fold, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM d GROUP BY fold ORDER BY fold
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1492,4 +1574,6 @@ PIPELINE_QUERIES: dict = {
     "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     "text_normalize": (q_text_normalize, _SQL_TEXT_NORMALIZE),
     "pagerank": (q_pagerank, _SQL_PAGERANK),
+    "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
+    "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
 }

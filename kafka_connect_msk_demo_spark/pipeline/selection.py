@@ -1,0 +1,80 @@
+"""Data selection for pretraining — DSIR-style importance scoring.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling") scores raw documents by how target-like their
+hashed n-gram feature distribution is, then keeps the highest-weight
+docs. The variant here uses hashed UNIGRAM buckets and a *rational*
+importance ratio instead of a log-likelihood ratio — products and
+integer divisions replay bit-exactly cross-engine, where ``ln`` would
+not (same determinism argument as the rational idf in
+`text_analysis.py`):
+
+    w(bucket) = (2^20 * ct_b * CR) div (cr_b * CT)      (exact int64)
+    score(doc) = Σ_{token occurrences} w(bucket(token))  (int64 sum)
+
+ct/cr are bucket occurrence counts in the target/raw corpus, CT/CR the
+corresponding totals; w is the quantized target-vs-raw rate ratio.
+
+Scale shape: one explode over the corpus, two hash aggregates onto a
+FIXED 1024-bucket key space (the whole weight table is ≤ 1024 rows —
+broadcast), one broadcast join back, one per-doc aggregate, one
+global top-k. No shuffle carries more than |corpus tokens| rows keyed
+by a 1024-value key — fine under AQE coalescing; the weight table
+cost is independent of corpus size, which is the point of hashed
+features. int64 headroom: 2^20 * ct * CR stays under 2^63 while the
+corpus is below ~3e6 target tokens × 3e6 raw tokens; past that, drop
+the quantizer to 2^16 (documented, not silently scaled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textprep import tokens
+
+N_BUCKETS = 1024
+QUANT = 1 << 20
+
+
+def _bucket(term: Column) -> Column:
+    """Deterministic 48-bit md5 prefix → bucket id (cross-engine: the
+    same conv/cast contract as the KMV sketch)."""
+    h = F.conv(F.substring(F.md5(term), 1, 12), 16, 10).cast("long")
+    return F.pmod(h, F.lit(N_BUCKETS))
+
+
+def dsir_topk(docs: DataFrame, target_pred: Column, k: int = 25,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents by quantized DSIR importance score, where
+    ``target_pred`` is a boolean column marking the target-domain
+    subset (e.g. ``F.col('lang') == 'en'``). Returns
+    (doc_id, n_tokens, score_q)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       target_pred.alias("is_target"),
+                       F.explode(tokens(text_col)).alias("term"))
+    b = toks.select("doc_id", "is_target",
+                    _bucket(F.col("term")).alias("bkt"))
+    cr = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (b.filter(F.col("is_target"))
+          .groupBy("bkt").agg(F.count(F.lit(1)).alias("ct")))
+    tot = b.agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count(F.when(F.col("is_target"), 1)).alias("c_tgt"))
+    w = (cr.join(ct, "bkt", "left")
+         .crossJoin(F.broadcast(tot))
+         .select("bkt", F.expr(
+             f"({QUANT} * coalesce(ct, 0L) * c_raw) div (cr * c_tgt)")
+             .alias("w")))
+    # length-normalize: the quantized MEAN importance ratio per token
+    # (integer division — exact both engines); a raw sum would just
+    # rank long documents first
+    scored = (b.join(F.broadcast(w), "bkt")
+              .groupBy("doc_id")
+              .agg(F.expr("sum(w) div count(1)").alias("score_q"),
+                   F.count(F.lit(1)).alias("n_tokens")))
+    return (scored
+            .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+            .limit(k)
+            .select("doc_id", "n_tokens", "score_q"))

@@ -1784,7 +1784,7 @@ _DRIVER_PRIORITY = [
     "dq_expectations", "cdc_snapshot_at",
     "sequence_pack", "kmv_distinct", "bm25_topk",
     "mixture_sample", "text_normalize", "pagerank",
-    "incremental_agg",
+    "incremental_agg", "dsir_select", "kfold_split",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

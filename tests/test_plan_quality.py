@@ -26,10 +26,12 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 #: fuzzy_match broadcasts a REFERENCE LIST (k probes) — O(N·k) with a
 #: length-band guard before the levenshtein; the declared small-side
 #: non-equi class, like the brute-force cosine scorer
-#: bm25_topk broadcasts the same ONE-ROW corpus-stats frame as tfidf
+#: bm25_topk and dsir_select broadcast the same ONE-ROW corpus-stats
+#: frame as tfidf (scalar-subquery plan; no pairing blowup)
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
-                "fuzzy_match", "knn_classify", "bm25_topk"}
+                "fuzzy_match", "knn_classify", "bm25_topk",
+                "dsir_select"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

@@ -251,3 +251,51 @@ def test_incremental_agg_matches_recompute(spark, sf_small):
                   .orderBy("o_orderstatus", "order_month").collect())
     assert [tuple(r) for r in maintained] == \
         [tuple(r) for r in recomputed]
+
+
+def test_dsir_favors_target_domain(spark, sf_small):
+    """Importance scores rank target-like docs first: with the target
+    defined as docs mentioning 'vector', the top-k's mean per-token
+    'vector' share must beat the corpus mean."""
+    from kafka_connect_msk_demo_spark.pipeline.selection import dsir_topk
+    docs = load_table(spark, sf_small, "documents")
+    from kafka_connect_msk_demo_spark.pipeline.textprep import tokens
+    top = dsir_topk(docs, F.array_contains(tokens("text"), "vector"),
+                    k=10).collect()
+    assert len(top) == 10
+
+    def share(df):
+        r = df.select(
+            F.sum(F.size(F.filter(tokens("text"),
+                                  lambda x: x == "vector"))).alias("v"),
+            F.sum(F.size(tokens("text"))).alias("t")).collect()[0]
+        return r.v / r.t
+    top_ids = [r.doc_id for r in top]
+    s_top = share(docs.filter(F.col("doc_id").isin(*top_ids)))
+    s_all = share(docs)
+    assert s_top > s_all, (s_top, s_all)
+    scores = [r.score_q for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_kfold_partition_properties(spark, sf_small):
+    """Folds are a disjoint cover with stable membership and roughly
+    uniform sizes; different salts give different assignments."""
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        kfold_assign,
+    )
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    a = {r.doc_id: r.fold for r in
+         kfold_assign(docs, "doc_id", k=5).select(
+             "doc_id", "fold").collect()}
+    assert len(a) == n
+    assert set(a.values()) <= set(range(5))
+    b = {r.doc_id: r.fold for r in
+         kfold_assign(docs.repartition(11), "doc_id", k=5).select(
+             "doc_id", "fold").collect()}
+    assert a == b, "fold membership depends on partitioning"
+    other = {r.doc_id: r.fold for r in
+             kfold_assign(docs, "doc_id", k=5, salt="other").select(
+                 "doc_id", "fold").collect()}
+    assert other != a, "salts should decorrelate assignments"
