@@ -879,6 +879,72 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus", "order_month"))
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel with per-stage
+    conversion rates — operators/funnel.py. One shuffle on user_id
+    regardless of step count."""
+    from .operators.funnel import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, ["view", "click", "purchase"])
+
+
+_SQL_FUNNEL_STEPS = """
+WITH u0 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events
+), u1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+           OVER (PARTITION BY user_id) AS t1 FROM u0
+), u2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts
+                END) OVER (PARTITION BY user_id) AS t2 FROM u1
+), pu AS (
+  SELECT DISTINCT user_id, t0, t1, t2 FROM u2
+), t AS (
+  SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM pu
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS step, n0 AS n_users,
+         1.0 AS conv_from_first, 1.0 AS conv_from_prev FROM t
+  UNION ALL
+  SELECT 2, 'click', n1, CAST(n1 AS DOUBLE) / n0,
+         CAST(n1 AS DOUBLE) / n0 FROM t
+  UNION ALL
+  SELECT 3, 'purchase', n2, CAST(n2 AS DOUBLE) / n0,
+         CAST(n2 AS DOUBLE) / n1 FROM t
+) ORDER BY stage
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: distinct users from each
+    first-activity week active N weeks later — operators/funnel.py.
+    Fixed-width epoch periods (integer division) keep the bucketing
+    timezone-free."""
+    from .operators.funnel import retention_cohorts
+
+    events = load_table(spark, sf_dir, "events")
+    return (retention_cohorts(events)
+            .withColumnRenamed("offset", "week_offset"))
+
+
+_SQL_RETENTION_COHORTS = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events
+), c AS (
+  SELECT user_id, p, MIN(p) OVER (PARTITION BY user_id) AS cohort
+  FROM p
+), d AS (
+  SELECT DISTINCT user_id, cohort, p - cohort AS week_offset FROM c
+)
+SELECT cohort, week_offset, COUNT(*) AS n_users
+FROM d GROUP BY cohort, week_offset ORDER BY cohort, week_offset
+"""
+
+
 _SQL_INCREMENTAL_AGG = """
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
@@ -1751,6 +1817,8 @@ BATCH_QUERIES = {
     "dead_letter_route": (q_dead_letter_route, _SQL_DEAD_LETTER_ROUTE),
     "cdc_scd2": (q_cdc_scd2, _SQL_CDC_SCD2),
     "incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
+    "funnel_steps": (q_funnel_steps, _SQL_FUNNEL_STEPS),
+    "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION_COHORTS),
 }
 
 # ---------------------------------------------------------------------------
@@ -1785,6 +1853,7 @@ _DRIVER_PRIORITY = [
     "sequence_pack", "kmv_distinct", "bm25_topk",
     "mixture_sample", "text_normalize", "pagerank",
     "incremental_agg", "dsir_select", "kfold_split",
+    "funnel_steps", "retention_cohorts",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

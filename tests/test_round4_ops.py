@@ -299,3 +299,62 @@ def test_kfold_partition_properties(spark, sf_small):
              kfold_assign(docs, "doc_id", k=5, salt="other").select(
                  "doc_id", "fold").collect()}
     assert other != a, "salts should decorrelate assignments"
+
+
+def test_funnel_ordering_semantics(spark):
+    """A click BEFORE the first view must not count; strictly-after
+    ordering is enforced at every stage."""
+    from kafka_connect_msk_demo_spark.operators.funnel import (
+        funnel_counts,
+    )
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2: click precedes view -> stops at view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        # u3: view+click, purchase before click -> stops at click
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "purchase", "2024-01-01 08:10:00"),
+        (3, "click", "2024-01-01 08:20:00"),
+        # u4: never viewed
+        (4, "purchase", "2024-01-01 07:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows],
+        "user_id long, event_type string, ts_s string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    got = {r.step: r for r in
+           funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert got["view"].n_users == 3
+    assert got["click"].n_users == 2          # u1, u3
+    assert got["purchase"].n_users == 1       # u1 only
+    assert got["purchase"].conv_from_prev == 0.5
+    assert got["purchase"].conv_from_first == 1 / 3
+
+
+def test_retention_planted_cohorts(spark):
+    """Users active in weeks {0,1} and {0,2} from epoch-week cohorts
+    produce the right triangle."""
+    from kafka_connect_msk_demo_spark.operators.funnel import (
+        WEEK_US, retention_cohorts,
+    )
+    import datetime as dt
+    base = dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc)
+
+    def at(weeks):
+        return base + dt.timedelta(days=7 * weeks)
+    rows = [(1, at(0)), (1, at(1)),          # cohort c, offsets 0,1
+            (2, at(0)), (2, at(2)),          # cohort c, offsets 0,2
+            (3, at(1)), (3, at(1))]          # cohort c+1, offset 0
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort, r.offset): r.n_users
+           for r in retention_cohorts(df, period_us=WEEK_US).collect()}
+    c = min(k[0] for k in got)
+    assert got[(c, 0)] == 2
+    assert got[(c, 1)] == 1
+    assert got[(c, 2)] == 1
+    assert got[(c + 1, 0)] == 1
+    assert sum(got.values()) == 5
