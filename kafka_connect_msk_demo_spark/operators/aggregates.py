@@ -25,7 +25,7 @@ DuckDB oracle hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -218,6 +218,46 @@ def group_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
             .agg(*aggs,
                  F.min(value_col).alias("lo"),
                  F.max(value_col).alias("hi"))
+            .orderBy(*group_cols))
+
+
+def trimmed_stats(df: DataFrame, group_cols: list[str], value_col: str,
+                  order_col: str, trim_pct: int = 5) -> DataFrame:
+    """Per-group TRIMMED mean/min/max: drop the lowest and highest
+    ``trim_pct`` percent of rows by exact rank before aggregating —
+    the robust-statistics answer to outlier-polluted metrics
+    (winsorization's sibling; this one drops rather than clamps).
+
+    The trim boundary is an exact integer: ``k = (n·trim_pct) div
+    100`` rows cut from each end, rank assigned by
+    ``(value, order_col)`` so ties break identically on any engine —
+    no percentile interpolation ambiguity anywhere, which is what
+    keeps the result hash-matchable cross-engine.
+
+    Scale shape: one shuffle on the group key with an in-partition
+    sort (rank + count computed in the same window pass), then a
+    partial/final hash-agg of the surviving rows. The per-group sort
+    is the unavoidable cost of exact ranks — same O(n log n) any
+    engine pays; for approximate trimming at extreme group sizes swap
+    the boundary for ``approx_percentile`` and a range filter.
+
+    Sums run in exact DECIMAL (:func:`dec`) — order-independent, cast
+    to double once at the presentation boundary.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col, order_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = (df.select(*group_cols, value_col, order_col)
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    k = F.floor(F.col("n") * trim_pct / 100).cast("long")
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return (kept.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.max("n").alias("n_total"),
+                 (F.sum(dec(value_col, 25, 8)).cast("double")
+                  / F.count(F.lit(1))).alias("trimmed_mean"),
+                 F.min(value_col).alias("trimmed_min"),
+                 F.max(value_col).alias("trimmed_max"))
             .orderBy(*group_cols))
 
 

@@ -1534,6 +1534,121 @@ FROM d GROUP BY fold ORDER BY fold
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup) per-cell summary — fully
+    oracle-checked because the seed quantizer, the nearest-cell
+    assignment tie-break, and the within-cell cosine are all
+    deterministic and replayed verbatim by the SQL twin."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_stats(vecs, threshold=0.4)
+
+
+_SQL_SEMDEDUP = f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS c_vec FROM d ORDER BY vec_id LIMIT 16
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, c.c_id AS cell,
+           row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY {{cos}} DESC, c.c_id) AS rn
+    FROM d CROSS JOIN cents c) WHERE rn = 1
+), m AS (
+  SELECT a.cell, d.vec_id, d.v FROM asg a JOIN d USING (vec_id)
+), pairs AS (
+  SELECT a.cell, a.vec_id AS d1, b.vec_id AS d2
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+), ps AS (
+  SELECT cell, COUNT(*) AS n_dup_pairs,
+         COUNT(DISTINCT d2) AS n_dropped
+  FROM pairs GROUP BY cell
+), mem AS (SELECT cell, COUNT(*) AS n_members FROM asg GROUP BY cell)
+SELECT mem.cell AS cell, n_members,
+       coalesce(n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(n_dropped, 0) AS n_dropped
+FROM mem LEFT JOIN ps ON mem.cell = ps.cell
+ORDER BY mem.cell
+""".format(cos=_COS_CENT.format(a='d', b='c'))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens via the Misra-Gries candidate pass +
+    exact recount (pipeline/freq.py). The output is EXACT (the sketch
+    only proposes candidates), so the oracle is a plain
+    GROUP BY + integer-threshold filter."""
+    from . import freq
+    docs = load_table(spark, sf_dir, "documents")
+    return freq.heavy_hitters(docs, phi=50, k=64)
+
+
+_SQL_HEAVY_HITTERS = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), c AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_total FROM tok)
+SELECT w AS word, cnt, cnt::DOUBLE / n_total AS share
+FROM c CROSS JOIN n
+WHERE cnt * 50 >= n_total
+ORDER BY cnt DESC, word
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window RAG chunking
+    (text_analysis.doc_chunks) — scan-speed narrow map."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.doc_chunks(docs, size=32, stride=24)
+
+
+_SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM t
+)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_tok,
+       CAST(len(w[start + 1 : least(start + 32, len(w))]) AS INT)
+         AS n_tok,
+       md5(array_to_string(w[start + 1 : least(start + 32, len(w))],
+                           ' ')) AS chunk_hash
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-25 documents by mean corpus bigram frequency
+    (text_analysis.bigram_novelty) — the LM-free perplexity-filter
+    analog; integer sums keep it hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bigram_novelty(docs, k=25)
+
+
+_SQL_BIGRAM_NOVELTY = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)
+), c AS (SELECT bg, COUNT(*) AS freq FROM bg GROUP BY 1),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(freq) AS BIGINT) AS sum_freq
+  FROM bg JOIN c USING (bg) GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       sum_freq::DOUBLE / n_bigrams AS avg_bigram_freq
+FROM pd ORDER BY avg_bigram_freq, doc_id LIMIT 25
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1576,4 +1691,8 @@ PIPELINE_QUERIES: dict = {
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
+    "semdedup": (q_semdedup, _SQL_SEMDEDUP),
+    "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
+    "bigram_novelty": (q_bigram_novelty, _SQL_BIGRAM_NOVELTY),
 }

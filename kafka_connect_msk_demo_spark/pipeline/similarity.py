@@ -464,6 +464,60 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
         data.unpersist()
 
 
+def semantic_dedup_stats(vectors: DataFrame, threshold: float = 0.4,
+                         n_centroids: int = 16,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int = 64,
+                         centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings with the IVF coarse quantizer, then search for
+    near-duplicates ONLY within each cluster — keeping the lowest id
+    of every near-dup pair and dropping the rest.
+
+    Per-cell summary output: (cell, n_members, n_dup_pairs,
+    n_dropped). The within-cell pair scan costs Σ |cell|² instead of
+    |N|² — the cluster id is the shuffle key, exactly the trick that
+    makes semantic dedup tractable on a 100 TB embedding corpus (the
+    paper runs it on LAION-440M this way). With a trained quantizer
+    (:func:`kmeans_centroids`) cells track the data distribution;
+    the deterministic seed default keeps the whole operator exactly
+    replayable by the SQL oracle.
+
+    A vector is dropped when some LOWER-id member of the same cell has
+    cosine ≥ threshold with it — the same keep-lowest convention as
+    the MinHash/SimHash dedup family (`pipeline/dedup.py`).
+    """
+    cents = centroids if centroids is not None else \
+        deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+    spark = vectors.sparkSession
+    data = ivf_assign(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       as_double(vec_col).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism),
+        cents, vec_col="v")
+    data = data.withColumn("nrm", _norm(F.col("v"), dim)).persist()
+    a = data.select("cell", F.col("vec_id").alias("d1"),
+                    F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = data.select("cell", F.col("vec_id").alias("d2"),
+                    F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    cos = _dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("d1") < F.col("d2"))
+             .withColumn("cos", cos)
+             .filter(F.col("cos") >= threshold))
+    pair_stats = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("d2").alias("n_dropped"))
+    members = data.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (members.join(pair_stats, "cell", "left")
+            .select("cell", "n_members",
+                    F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+                    F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"))
+            .orderBy("cell"))
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 6,
              id_col: str = "vec_id",

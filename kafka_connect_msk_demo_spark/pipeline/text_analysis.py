@@ -362,3 +362,74 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 25,
             .orderBy(F.col("score_q").desc(), F.col("doc_id"))
             .limit(k)
             .select("doc_id", "n_terms_hit", "score_q"))
+
+
+def doc_chunks(docs: DataFrame, size: int = 32, stride: int = 24,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window
+    preprocessing step: each document becomes ⌈n_tokens/stride⌉ chunks
+    of up to ``size`` tokens starting every ``stride`` tokens
+    (``size - stride`` tokens of overlap carry context across chunk
+    boundaries).
+
+    Pure higher-order column expressions (sequence → posexplode →
+    slice) — a narrow map with no shuffle at all until the final
+    ordering, so at 100 TB this runs at scan speed and the chunk rows
+    can stream straight into a partitioned sink. Chunk identity is
+    carried as md5(chunk_text) so the output stays small; downstream
+    exact-dedup over chunks joins on that hash (`pipeline/clean.py`'s
+    chunk_dedup).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    starts = F.expr(f"sequence(0, size(t) - 1, {stride})")
+    return (toks
+            .select("doc_id", "t",
+                    F.posexplode(starts).alias("chunk_idx", "start_tok"))
+            .select("doc_id", "chunk_idx", "start_tok",
+                    F.slice(F.col("t"), F.col("start_tok") + 1, size)
+                    .alias("c"))
+            .select("doc_id", "chunk_idx", "start_tok",
+                    F.size("c").alias("n_tok"),
+                    F.md5(F.concat_ws(" ", "c")).alias("chunk_hash"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def bigram_novelty(docs: DataFrame, k: int = 25,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The ``k`` most "novel" documents by mean corpus-frequency of
+    their bigrams — a statistical-LM quality signal (documents whose
+    word transitions are rare corpus-wide are outliers: noise, code,
+    boilerplate, or genuinely novel text — exactly what a perplexity
+    filter flags, minus the language model).
+
+    The score is the arithmetic mean of each bigram's corpus count —
+    integer sums with ONE final division to double, so unlike a
+    log-probability sum it is order-independent and bit-identical
+    cross-engine (same reason `tfidf_top_terms` uses a rational idf).
+
+    Scale shape: one explode, one hash aggregate on the bigram for
+    corpus counts, one shuffle join back on the bigram (the count side
+    is |vocab²| — shuffle-joined, NOT broadcast, since real-corpus
+    bigram tables run to billions of rows), one per-doc aggregate,
+    one global top-k. Documents with < 2 tokens have no bigrams and
+    are excluded (no score exists for them).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(_sliding_grams("t", 2)).alias("bg"))
+    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (bigrams.join(counts, "bg")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("freq").alias("sum_freq")))
+    return (per_doc
+            .select("doc_id", "n_bigrams",
+                    (F.col("sum_freq").cast("double")
+                     / F.col("n_bigrams")).alias("avg_bigram_freq"))
+            .orderBy("avg_bigram_freq", "doc_id")
+            .limit(k))

@@ -945,6 +945,47 @@ FROM d GROUP BY cohort, week_offset ORDER BY cohort, week_offset
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-country order statistics: mean/min/max after
+    dropping the top and bottom 5% of orders by exact rank
+    (operators/aggregates.py trimmed_stats) — the outlier-resistant
+    twin of ``sales_by_country``."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (t["orders"]
+              .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .withColumnRenamed("n_name", "country"))
+    from .operators.aggregates import trimmed_stats
+    return trimmed_stats(joined, ["country"], "o_totalprice",
+                         "o_orderkey", trim_pct=5)
+
+
+_SQL_TRIMMED_MEAN = """
+WITH j AS (
+  SELECT n_name AS country, o_totalprice AS amount, o_orderkey
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+), r AS (
+  SELECT country, amount, o_orderkey,
+         row_number() OVER (PARTITION BY country
+                            ORDER BY amount, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY country) AS n
+  FROM j
+), kept AS (
+  SELECT * FROM r
+  WHERE rn > CAST(floor(n * 5 / 100) AS BIGINT)
+    AND rn <= n - CAST(floor(n * 5 / 100) AS BIGINT)
+)
+SELECT country, COUNT(*) AS n_kept, MAX(n) AS n_total,
+       CAST(SUM(CAST(amount AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*)
+         AS trimmed_mean,
+       MIN(amount) AS trimmed_min, MAX(amount) AS trimmed_max
+FROM kept GROUP BY country ORDER BY country
+"""
+
+
 _SQL_INCREMENTAL_AGG = """
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
@@ -1819,6 +1860,7 @@ BATCH_QUERIES = {
     "incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "funnel_steps": (q_funnel_steps, _SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION_COHORTS),
+    "trimmed_mean": (q_trimmed_mean, _SQL_TRIMMED_MEAN),
 }
 
 # ---------------------------------------------------------------------------
@@ -1854,6 +1896,8 @@ _DRIVER_PRIORITY = [
     "mixture_sample", "text_normalize", "pagerank",
     "incremental_agg", "dsir_select", "kfold_split",
     "funnel_steps", "retention_cohorts",
+    "semdedup", "heavy_hitters", "doc_chunks", "bigram_novelty",
+    "trimmed_mean",
 ]
 
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}

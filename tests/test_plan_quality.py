@@ -28,10 +28,13 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 #: non-equi class, like the brute-force cosine scorer
 #: bm25_topk and dsir_select broadcast the same ONE-ROW corpus-stats
 #: frame as tfidf (scalar-subquery plan; no pairing blowup)
+#: semdedup broadcasts the K=16 centroid frame (ivf_assign's K-way
+#: scorer — same declared class as ivf_topk); heavy_hitters broadcasts
+#: the ONE-ROW total-token frame (scalar-subquery plan, like tfidf)
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
                 "fuzzy_match", "knn_classify", "bm25_topk",
-                "dsir_select"}
+                "dsir_select", "semdedup", "heavy_hitters"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

@@ -1,0 +1,175 @@
+"""Semantic tests for the round-4 additions: semantic dedup
+(SemDeDup), exact heavy hitters (Misra-Gries + recount), RAG
+chunking, bigram-novelty scoring, and trimmed statistics. (Oracle
+parity for the registered queries runs via
+tests/test_oracle_parity.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.catalog import load_table
+from kafka_connect_msk_demo_spark.operators.aggregates import trimmed_stats
+from kafka_connect_msk_demo_spark.pipeline import freq, similarity
+from kafka_connect_msk_demo_spark.pipeline.text_analysis import (
+    bigram_novelty,
+    doc_chunks,
+)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark, sf_small):
+    """The MG candidate pass must never lose a true heavy hitter —
+    result identical to the exact groupBy regardless of partition
+    layout (1, 7, 32 partitions)."""
+    docs = load_table(spark, sf_small, "documents")
+    tok = docs.select(F.explode(
+        F.split(F.lower(F.trim("text")), " ")).alias("w"))
+    n = tok.count()
+    expect = {(r.w, r.cnt) for r in
+              tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+              .filter(F.col("cnt") * 50 >= n).collect()}
+    for parts in (1, 7, 32):
+        got = {(r.word, r.cnt) for r in
+               freq.heavy_hitters(docs.repartition(parts),
+                                  phi=50, k=64).collect()}
+        assert got == expect, parts
+
+
+def test_heavy_hitters_share_and_order(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    rows = freq.heavy_hitters(docs, phi=50, k=64).collect()
+    assert rows, "synthetic corpus has a small vocab — expected hitters"
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    total = sum(r.cnt / r.share for r in rows[:1])
+    assert rows[0].share == pytest.approx(rows[0].cnt / total)
+
+
+def test_heavy_hitters_rejects_unsound_config(spark, sf_small):
+    """k + 1 <= phi voids the superset guarantee — must be refused,
+    not silently approximate."""
+    docs = load_table(spark, sf_small, "documents")
+    with pytest.raises(ValueError):
+        freq.heavy_hitters(docs, phi=100, k=64)
+
+
+def test_mg_merge_bounded_and_superset():
+    """Pure-python MG summary: state never exceeds k and any item with
+    count > n/(k+1) survives."""
+    import pandas as pd
+    state: dict = {}
+    data = (["hot"] * 400 + ["warm"] * 120
+            + [f"cold{i}" for i in range(500)])
+    k = 8
+    for i in range(0, len(data), 97):
+        freq._mg_merge(state, pd.Series(data[i:i + 97]), k)
+        assert len(state) <= k
+    # hot: 400 > 1020/9 — must survive; warm: 120 > 113 — must survive
+    assert "hot" in state and "warm" in state
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_counts_planted_duplicates(spark, sf_small):
+    """Planting exact copies of existing vectors (new ids) must raise
+    n_dropped by at least the number of plants — a copy lands in the
+    same cell as its original and has cosine 1.0 with it."""
+    vecs = load_table(spark, sf_small, "embeddings")
+    base = similarity.semantic_dedup_stats(vecs, threshold=0.4)
+    base_dropped = sum(r.n_dropped for r in base.collect())
+    max_id = vecs.agg(F.max("vec_id")).collect()[0][0]
+    plants = (vecs.filter(F.col("vec_id") % 97 == 0)
+              .withColumn("vec_id", F.col("vec_id") + max_id + 1))
+    n_plants = plants.count()
+    assert n_plants > 0
+    aug = vecs.unionByName(plants)
+    got = similarity.semantic_dedup_stats(aug, threshold=0.4)
+    rows = got.collect()
+    assert sum(r.n_members for r in rows) == vecs.count() + n_plants
+    assert sum(r.n_dropped for r in rows) >= base_dropped + n_plants
+
+
+def test_semdedup_members_partition_the_corpus(spark, sf_small):
+    vecs = load_table(spark, sf_small, "embeddings")
+    rows = similarity.semantic_dedup_stats(vecs).collect()
+    assert sum(r.n_members for r in rows) == vecs.count()
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_members
+        assert r.n_dropped <= r.n_dup_pairs
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    """Chunk starts advance by the stride, every token is covered, and
+    consecutive chunks overlap by size - stride tokens."""
+    words = [f"w{i}" for i in range(75)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = doc_chunks(df, size=32, stride=24).collect()
+    assert [r.start_tok for r in rows] == [0, 24, 48, 72]
+    assert [r.n_tok for r in rows] == [32, 32, 27, 3]
+    assert rows[-1].start_tok + rows[-1].n_tok == 75
+
+
+def test_doc_chunks_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = doc_chunks(df, size=32, stride=24).collect()
+    assert len(rows) == 1 and rows[0].n_tok == 3 and rows[0].chunk_idx == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_novelty_flags_the_odd_document(spark):
+    """A document whose transitions appear nowhere else scores the
+    minimum possible mean frequency (1.0) and ranks first."""
+    common = [(i, "the cat sat on the mat") for i in range(10)]
+    df = spark.createDataFrame(common + [(99, "zyx qwv jkl pqr")],
+                               "doc_id long, text string")
+    rows = bigram_novelty(df, k=3).collect()
+    assert rows[0].doc_id == 99
+    assert rows[0].avg_bigram_freq == 1.0
+    assert rows[1].avg_bigram_freq > 1.0
+
+
+def test_bigram_novelty_excludes_single_token_docs(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "a b")],
+                               "doc_id long, text string")
+    rows = bigram_novelty(df, k=10).collect()
+    assert [r.doc_id for r in rows] == [2]
+
+
+# ---------------------------------------------------------------------------
+# trimmed stats
+# ---------------------------------------------------------------------------
+
+
+def test_trimmed_stats_drops_exactly_the_tails(spark):
+    """100 rows, 5% trim → ranks 6..95 survive: mean of 6..95, min 6,
+    max 95."""
+    df = spark.createDataFrame([(1, float(i), i) for i in range(1, 101)],
+                               "g int, v double, id int")
+    r = trimmed_stats(df, ["g"], "v", "id", trim_pct=5).collect()[0]
+    assert r.n_kept == 90 and r.n_total == 100
+    assert r.trimmed_min == 6.0 and r.trimmed_max == 95.0
+    assert r.trimmed_mean == pytest.approx(sum(range(6, 96)) / 90)
+
+
+def test_trimmed_stats_small_group_untrimmed(spark):
+    """n·pct/100 rounds to zero for tiny groups — nothing is dropped."""
+    df = spark.createDataFrame([(1, float(i), i) for i in range(5)],
+                               "g int, v double, id int")
+    r = trimmed_stats(df, ["g"], "v", "id", trim_pct=5).collect()[0]
+    assert r.n_kept == 5 and r.trimmed_min == 0.0 and r.trimmed_max == 4.0
