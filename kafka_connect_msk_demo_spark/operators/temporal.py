@@ -104,6 +104,66 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
             .drop(*drop))
 
 
+def linear_interpolate_grid(obs: DataFrame, key_col: str, ts_col: str,
+                            value_col: str, step: int) -> DataFrame:
+    """Resample each key's observation series at fixed ``step``-second
+    grid instants with LINEAR interpolation between the surrounding
+    observations — the time-series `interpolate` companion to
+    :func:`gap_fill_days`'s LOCF (warehouses ship it as
+    ``time_bucket_gapfill(interpolate(...))``; Spark has no built-in).
+
+    ``ts_col`` must be epoch seconds (long). Grid instants per key run
+    from the first multiple of ``step`` at/after the key's min ts
+    through its max ts, so every grid instant has an observation on
+    both sides (the interpolation never extrapolates). Observations
+    are pre-aggregated to one row per (key, ts) with ``max`` —
+    order-independent, so results don't depend on partition layout.
+
+    Scale shape: same as the as-of join above — grid ∪ obs shuffles
+    ONCE on the key; prev/next are RANGE-frame window lookups (state
+    per key = one row each direction), never a pairing join. The grid
+    is exploded on executors, sized by the OUTPUT. The interpolation
+    weight ``(t-t0)/(t1-t0)`` is an exact-int division and the value
+    formula ``v0 + (v1-v0)*w`` is evaluated as the same expression
+    tree an SQL oracle writes, so results are bit-identical
+    cross-engine. Grid instants that coincide with an observation
+    return the observed value exactly (the 0/0 branch is guarded).
+    """
+    o = (obs.select(F.col(key_col).alias("k"),
+                    F.col(ts_col).alias("t"),
+                    F.col(value_col).alias("v"))
+         .groupBy("k", "t").agg(F.max("v").alias("v")))
+    bounds = o.groupBy("k").agg(F.min("t").alias("lo"),
+                                F.max("t").alias("hi"))
+    grid_start = (F.ceil(F.col("lo") / step) * step).cast("long")
+    grid = bounds.select(
+        "k", F.explode(F.sequence(grid_start, F.col("hi"),
+                                  F.lit(step))).alias("t"))
+    u = (o.withColumn("_is_obs", F.lit(1))
+         .unionByName(grid.select(
+             "k", "t", F.lit(None).cast(o.schema["v"].dataType).alias("v"),
+             F.lit(0).alias("_is_obs"))))
+    w_prev = (Window.partitionBy("k").orderBy("t")
+              .rangeBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy("k").orderBy("t")
+              .rangeBetween(0, Window.unboundedFollowing))
+    obs_t = F.when(F.col("_is_obs") == 1, F.col("t"))
+    marked = (u.withColumn("v0", F.last("v", ignorenulls=True).over(w_prev))
+              .withColumn("t0", F.last(obs_t, ignorenulls=True).over(w_prev))
+              .withColumn("v1", F.first("v", ignorenulls=True).over(w_next))
+              .withColumn("t1", F.first(obs_t, ignorenulls=True).over(w_next))
+              .filter(F.col("_is_obs") == 0))
+    frac = ((F.col("t") - F.col("t0")).cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double"))
+    interp = F.when(F.col("t1") == F.col("t0"), F.col("v0")) \
+        .otherwise(F.col("v0") + (F.col("v1") - F.col("v0")) * frac)
+    return (marked.select(
+        F.col("k").alias(key_col), F.col("t").alias(ts_col),
+        F.col("t0").alias("prev_ts"), F.col("t1").alias("next_ts"),
+        interp.alias("v_interp"))
+        .orderBy(key_col, ts_col))
+
+
 def gap_fill_days(per_day: DataFrame, group_cols: list[str],
                   day_col: str, value_col: str) -> DataFrame:
     """Dense per-group daily spine with zero-fill and LOCF — the

@@ -1649,6 +1649,62 @@ FROM pd ORDER BY avg_bigram_freq, doc_id LIMIT 25
 """
 
 
+def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered token-budget allocation
+    (pipeline/selection.py mix_allocation): per-tier sampling rates
+    realizing a half-corpus budget with 1:2:3:4 tier weights."""
+    from .selection import mix_allocation
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_allocation(docs)
+
+
+_SQL_MIX_ALLOCATION = f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS low,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(regexp_extract_all(low, '{{punct}}'))::DOUBLE
+             / length(low) AS punct_ratio,
+         len(list_filter(t, x -> x IN ({{stops}})))::DOUBLE / len(t)
+             AS stop_ratio
+  FROM base
+), q AS (
+  SELECT n_tokens,
+         0.4 * (least(n_tokens, 64)::DOUBLE / 64.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * least(stop_ratio * 5.0, 1.0) AS quality
+  FROM m
+), tiers AS (
+  SELECT CASE WHEN quality < 0.25 THEN 0
+              WHEN quality < 0.5 THEN 1
+              WHEN quality < 0.75 THEN 2 ELSE 3 END AS tier,
+         n_tokens
+  FROM q
+), pt AS (
+  SELECT tier, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tier_tokens
+  FROM tiers GROUP BY tier
+), tot AS (
+  SELECT CAST(SUM(tier_tokens) AS BIGINT) AS corpus_tokens FROM pt
+), calc AS (
+  SELECT tier, n_docs, tier_tokens,
+         corpus_tokens * 1 * [1, 2, 3, 4][tier + 1] AS target_num,
+         CAST(20 AS BIGINT) AS target_den
+  FROM pt CROSS JOIN tot
+)
+SELECT tier, n_docs, tier_tokens,
+       least(target_num // target_den, tier_tokens) AS target_tokens,
+       CASE WHEN target_num >= tier_tokens * target_den THEN 1.0
+            ELSE target_num::DOUBLE
+                 / (tier_tokens * target_den)::DOUBLE END AS sample_rate,
+       target_num >= tier_tokens * target_den AS budget_capped
+FROM calc ORDER BY tier
+""".format(punct=text_analysis.PUNCT_RE, stops=_STOP_SQL)
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1695,4 +1751,5 @@ PIPELINE_QUERIES: dict = {
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "bigram_novelty": (q_bigram_novelty, _SQL_BIGRAM_NOVELTY),
+    "mix_allocation": (q_mix_allocation, _SQL_MIX_ALLOCATION),
 }

@@ -78,3 +78,69 @@ def dsir_topk(docs: DataFrame, target_pred: Column, k: int = 25,
             .orderBy(F.col("score_q").desc(), F.col("doc_id"))
             .limit(k)
             .select("doc_id", "n_tokens", "score_q"))
+
+
+def mix_allocation(docs: DataFrame, budget_num: int = 1,
+                   budget_den: int = 2,
+                   weights: tuple = (1, 2, 3, 4),
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Quality-tiered token-budget allocation — the "data mixing"
+    planning step in front of a pretraining run: bucket documents into
+    quality tiers, decide how many tokens of the global budget
+    (``budget_num/budget_den`` of the corpus) each tier contributes
+    (proportional to ``weights``, highest tier weighted heaviest), and
+    emit the per-tier deterministic sampling rate that realizes it.
+
+    Tier assignment uses FIXED quality-score thresholds (0.25/0.5/
+    0.75), deliberately not global quantiles: a threshold is a
+    scan-speed per-row predicate on any cluster size, where an exact
+    global ntile would funnel the corpus through one window partition
+    — the classic 100 TB anti-pattern (approximate quantile thresholds
+    are the production middle ground; the fixed thresholds keep this
+    exactly oracle-replayable).
+
+    All rates are exact integer ratios carried as (num, den) pairs and
+    converted to double by ONE division at the output boundary, so the
+    result hash-matches cross-engine. A tier whose fair share exceeds
+    its actual tokens is capped at rate 1.0 (the unused budget is
+    reported, not silently reallocated — reallocation is a policy
+    choice the caller owns).
+
+    Output: one row per occupied tier with document/token counts and
+    the allocation.
+    """
+    from .text_analysis import quality_score
+    q = quality_score(docs, id_col=id_col, text_col=text_col)
+    tier = (F.when(F.col("quality") < 0.25, 0)
+            .when(F.col("quality") < 0.5, 1)
+            .when(F.col("quality") < 0.75, 2)
+            .otherwise(3))
+    per_tier = (q.select(tier.alias("tier"), "n_tokens")
+                .groupBy("tier")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("tier_tokens")))
+    total = per_tier.agg(F.sum("tier_tokens").alias("corpus_tokens"))
+    w_sum = sum(weights)
+    w_expr = F.element_at(
+        F.array(*[F.lit(int(w)) for w in weights]), F.col("tier") + 1)
+    alloc = (per_tier.crossJoin(F.broadcast(total))
+             .withColumn("w", w_expr)
+             # fair share of the budget in exact integer arithmetic:
+             # target = corpus_tokens * budget_num * w / (budget_den * w_sum)
+             .withColumn("target_num",
+                         F.col("corpus_tokens") * budget_num * F.col("w"))
+             .withColumn("target_den", F.lit(budget_den * w_sum)))
+    capped = F.col("target_num") >= (F.col("tier_tokens")
+                                     * F.col("target_den"))
+    rate = F.when(capped, F.lit(1.0)).otherwise(
+        F.col("target_num").cast("double")
+        / (F.col("tier_tokens") * F.col("target_den")).cast("double"))
+    target_tokens = F.expr("target_num div target_den")
+    return (alloc.select(
+        "tier", "n_docs", "tier_tokens",
+        F.least(target_tokens, F.col("tier_tokens"))
+        .alias("target_tokens"),
+        rate.alias("sample_rate"),
+        capped.alias("budget_capped"))
+        .orderBy("tier"))

@@ -986,6 +986,90 @@ FROM kept GROUP BY country ORDER BY country
 """
 
 
+def q_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-series interpolation at 6-hour grid instants per
+    user (operators/temporal.py linear_interpolate_grid) — the
+    `interpolate` companion to `calendar_fill`'s LOCF."""
+    from .operators.temporal import linear_interpolate_grid
+    events = load_table(spark, sf_dir, "events")
+    obs = events.select("user_id",
+                        F.unix_timestamp("ts").alias("es"), "value")
+    return linear_interpolate_grid(obs, "user_id", "es", "value",
+                                   step=21600)
+
+
+_SQL_INTERPOLATED_SERIES = """
+WITH o AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         MAX(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT k, MIN(t) AS lo, MAX(t) AS hi FROM o GROUP BY k
+), grid AS (
+  SELECT k, unnest(range(CAST(ceil(lo / 21600.0) AS BIGINT) * 21600,
+                         hi + 1, 21600)) AS t
+  FROM bounds
+), u AS (
+  SELECT k, t, v, 1 AS is_obs FROM o
+  UNION ALL
+  SELECT k, t, NULL AS v, 0 AS is_obs FROM grid
+), m AS (
+  SELECT k, t, is_obs,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+    last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+      OVER (PARTITION BY k ORDER BY t
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t
+      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+    first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+      OVER (PARTITION BY k ORDER BY t
+      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+  FROM u
+)
+SELECT k AS user_id, t AS es, t0 AS prev_ts, t1 AS next_ts,
+       CASE WHEN t1 = t0 THEN v0
+            ELSE v0 + (v1 - v0)
+                 * ((t - t0)::DOUBLE / (t1 - t0)::DOUBLE) END AS v_interp
+FROM m WHERE is_obs = 0
+ORDER BY user_id, es
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout analysis over (price-bucket, customer-bucket)
+    (operators/layout.py): per-z-slice min/max spans on BOTH
+    dimensions — the data-skipping evidence a ZORDER write produces."""
+    from .operators.layout import zorder_file_stats
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = F.least(F.floor(F.col("o_totalprice") / 40000.0),
+                 F.lit(15)).cast("long")
+    b2 = (F.col("o_custkey") % 16).cast("long")
+    return zorder_file_stats(orders, b1, b2, bits=4, files=16)
+
+
+def _sql_zorder_layout() -> str:
+    from .operators.layout import z_interleave_sql
+    return f"""
+WITH b AS (
+  SELECT least(CAST(floor(o_totalprice / 40000.0) AS BIGINT), 15) AS b1,
+         o_custkey % 16 AS b2
+  FROM orders
+), z AS (
+  SELECT b1, b2, {z_interleave_sql('b1', 'b2', 4)} AS z FROM b
+), f AS (SELECT b1, b2, z // 16 AS file_id FROM z)
+SELECT file_id, COUNT(*) AS n_rows,
+       MIN(b1) AS b1_min, MAX(b1) AS b1_max,
+       MIN(b2) AS b2_min, MAX(b2) AS b2_max,
+       MAX(b1) - MIN(b1) + 1 AS b1_span,
+       MAX(b2) - MIN(b2) + 1 AS b2_span
+FROM f GROUP BY file_id ORDER BY file_id
+"""
+
+
+_SQL_ZORDER_LAYOUT = _sql_zorder_layout()
+
+
 _SQL_INCREMENTAL_AGG = """
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
@@ -1861,6 +1945,9 @@ BATCH_QUERIES = {
     "funnel_steps": (q_funnel_steps, _SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, _SQL_RETENTION_COHORTS),
     "trimmed_mean": (q_trimmed_mean, _SQL_TRIMMED_MEAN),
+    "interpolated_series": (q_interpolated_series,
+                            _SQL_INTERPOLATED_SERIES),
+    "zorder_layout": (q_zorder_layout, _SQL_ZORDER_LAYOUT),
 }
 
 # ---------------------------------------------------------------------------

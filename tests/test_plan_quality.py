@@ -34,7 +34,8 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
                 "fuzzy_match", "knn_classify", "bm25_topk",
-                "dsir_select", "semdedup", "heavy_hitters"}
+                "dsir_select", "semdedup", "heavy_hitters",
+                "mix_allocation"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

@@ -167,6 +167,91 @@ def test_trimmed_stats_drops_exactly_the_tails(spark):
     assert r.trimmed_mean == pytest.approx(sum(range(6, 96)) / 90)
 
 
+def test_linear_interpolation_exact_values(spark):
+    """Grid points between observations carry the exact linear blend;
+    grid points that coincide with an observation return it
+    verbatim."""
+    from kafka_connect_msk_demo_spark.operators.temporal import (
+        linear_interpolate_grid)
+    obs = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 100, 30.0), (1, 250, 20.0)],
+        "k int, t long, v double")
+    rows = linear_interpolate_grid(obs, "k", "t", "v", step=50).collect()
+    got = {r.t: r.v_interp for r in rows}
+    # expected values via the operator's own formula v0 + (v1-v0)*frac
+    assert got == {0: 10.0, 50: 10.0 + 20.0 * (50 / 100), 100: 30.0,
+                   150: 30.0 + -10.0 * (50 / 150),
+                   200: 30.0 + -10.0 * (100 / 150), 250: 20.0}
+    by_t = {r.t: r for r in rows}
+    assert by_t[50].prev_ts == 0 and by_t[50].next_ts == 100
+    assert by_t[100].prev_ts == 100 and by_t[100].next_ts == 100
+
+
+def test_linear_interpolation_dedupes_tied_observations(spark):
+    """Duplicate (key, ts) observations collapse via max before the
+    windows — results stay deterministic under any partition order."""
+    from kafka_connect_msk_demo_spark.operators.temporal import (
+        linear_interpolate_grid)
+    obs = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 0, 5.0), (1, 100, 9.0)],
+        "k int, t long, v double")
+    rows = linear_interpolate_grid(obs, "k", "t", "v", step=50).collect()
+    got = {r.t: r.v_interp for r in rows}
+    assert got == {0: 5.0, 50: 7.0, 100: 9.0}
+
+
+def test_zorder_files_cover_square_tiles(spark):
+    """On the full 16x16 bucket grid, every one of 16 z-slices covers
+    exactly a 4x4 tile — both per-file spans stay at 4, where a linear
+    layout would span the whole minor dimension (16)."""
+    from kafka_connect_msk_demo_spark.operators.layout import (
+        zorder_file_stats)
+    grid = spark.range(256).select(
+        (F.col("id") / 16).cast("long").alias("x"),
+        (F.col("id") % 16).alias("y"))
+    rows = zorder_file_stats(grid, F.col("x"), F.col("y"),
+                             bits=4, files=16).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.n_rows == 16
+        assert r.b1_span == 4 and r.b2_span == 4
+
+
+def test_zorder_interleave_bijective(spark):
+    """The Morton key is a bijection on the bucket grid."""
+    from kafka_connect_msk_demo_spark.operators.layout import (
+        z_interleave_expr)
+    grid = spark.range(256).select(
+        (F.col("id") / 16).cast("long").alias("x"),
+        (F.col("id") % 16).alias("y"))
+    zs = [r.z for r in grid.select(
+        z_interleave_expr(F.col("x"), F.col("y"), 4).alias("z")).collect()]
+    assert sorted(zs) == list(range(256))
+
+
+def test_mix_allocation_budget_arithmetic(spark, sf_small):
+    """Tier targets realize the half-corpus budget with 1:2:3:4
+    weights: rate == target/tier_tokens for uncapped tiers, 1.0 for
+    capped ones, and total target never exceeds the budget."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline.selection import (
+        mix_allocation)
+    docs = load_table(spark, sf_small, "documents")
+    rows = mix_allocation(docs).collect()
+    corpus = sum(r.tier_tokens for r in rows)
+    assert sum(r.target_tokens for r in rows) <= corpus // 2 + len(rows)
+    for r in rows:
+        assert r.target_tokens <= r.tier_tokens
+        if r.budget_capped:
+            assert r.sample_rate == 1.0
+        else:
+            assert 0.0 < r.sample_rate < 1.0
+            # rate is the exact rational target_num/(tier_tokens*den);
+            # target_tokens is its floor — compare the rational
+            assert r.sample_rate == pytest.approx(
+                corpus * (r.tier + 1) / (r.tier_tokens * 20), rel=1e-12)
+
+
 def test_trimmed_stats_small_group_untrimmed(spark):
     """n·pct/100 rounds to zero for tiny groups — nothing is dropped."""
     df = spark.createDataFrame([(1, float(i), i) for i in range(5)],
