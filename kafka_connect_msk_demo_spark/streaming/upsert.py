@@ -159,6 +159,72 @@ class UpsertTable:
         engine's equivalent of the Hive-synced ``_ro`` view."""
         self.read(spark).createOrReplaceTempView(name)
 
+    # -- table services (the Hudi compaction/clustering analog) ------------
+
+    def file_stats(self, spark: SparkSession) -> list[tuple[str, int, int]]:
+        """(partition, n_files, total_bytes) per partition directory —
+        the small-file diagnostic a compaction policy reads. Pure FS
+        metadata (no data scan)."""
+        fs, jpath = _hadoop_fs(spark, self.path)
+        out = []
+        if self.partition_by:
+            for st in fs.listStatus(jpath):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                files = [f for f in fs.listStatus(st.getPath())
+                         if f.getPath().getName().endswith(".parquet")]
+                out.append((name, len(files),
+                            sum(f.getLen() for f in files)))
+        else:
+            files = [f for f in fs.listStatus(jpath)
+                     if f.getPath().getName().endswith(".parquet")]
+            out.append(("", len(files), sum(f.getLen() for f in files)))
+        return sorted(out)
+
+    def compact(self, spark: SparkSession,
+                target_bytes: int = 128 * 1024 * 1024,
+                min_files: int = 2) -> list[str]:
+        """Rewrite partitions whose file count exceeds ``min_files``
+        into ⌈bytes/target⌉ right-sized files — the engine's analog of
+        Hudi's compaction / clustering table service (the reference
+        schedules it inline via ``hoodie.compact.inline``,
+        ``deltastreamer_jobs_bulk.sh``; MERGE here produces the
+        small-file debt the same way frequent micro-batch commits do).
+
+        Data is byte-identical afterwards — compaction only changes the
+        file layout, which tests assert by content equality. Returns
+        the list of partitions rewritten.
+
+        Scale shape: the policy reads FS metadata only; each selected
+        partition is read once, repartitioned to its target file count,
+        and swapped in via dynamic partition overwrite — cost scales
+        with the rewritten partitions, never the table. Unpartitioned
+        tables use the same temp-dir + rename swap as the MERGE."""
+        stats = self.file_stats(spark)
+        todo = [(p, max(1, -(-size // target_bytes)))
+                for p, n, size in stats if n > min_files]
+        if not todo:
+            return []
+        if self.partition_by:
+            for part, nfiles in todo:
+                val = part.split("=", 1)[1]
+                sub = self.read(spark).filter(
+                    F.col(self.partition_by) == val)
+                with _dynamic_overwrite(spark):
+                    (sub.repartition(nfiles).write.mode("overwrite")
+                     .partitionBy(self.partition_by).parquet(self.path))
+        else:
+            nfiles = todo[0][1]
+            live = self.read(spark).repartition(nfiles)
+            tmp = f"{self.path.rstrip('/')}__compact_tmp"
+            live.write.mode("overwrite").parquet(tmp)
+            fs, jpath = _hadoop_fs(spark, self.path)
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            fs.delete(jpath, True)
+            fs.rename(jvm_path(tmp), jpath)
+        return [p for p, _ in todo]
+
 
 class _dynamic_overwrite:
     """Scoped spark.sql.sources.partitionOverwriteMode=dynamic, so the

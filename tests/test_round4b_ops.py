@@ -152,6 +152,47 @@ def test_bigram_novelty_excludes_single_token_docs(spark):
 
 
 # ---------------------------------------------------------------------------
+# compaction (table services)
+# ---------------------------------------------------------------------------
+
+
+def _mk_table(spark, path, partitioned):
+    from kafka_connect_msk_demo_spark.streaming.upsert import UpsertTable
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.lit(0).alias("ts"), F.lit("false").alias("__deleted"))
+    w = df.repartition(10).write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("p")
+    w.parquet(path)
+    return UpsertTable(path, ["k"], "ts", "k",
+                       partition_by="p" if partitioned else None)
+
+
+def test_compact_reduces_files_preserves_data_partitioned(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t1"), partitioned=True)
+    before = sorted(r.k for r in t.read(spark).collect())
+    stats0 = t.file_stats(spark)
+    assert all(n == 10 for _, n, _ in stats0)
+    rewritten = t.compact(spark, target_bytes=1 << 30, min_files=2)
+    assert sorted(rewritten) == ["p=0", "p=1"]
+    stats1 = t.file_stats(spark)
+    assert all(n == 1 for _, n, _ in stats1), stats1
+    assert sorted(r.k for r in t.read(spark).collect()) == before
+
+
+def test_compact_unpartitioned_and_noop_below_threshold(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t2"), partitioned=False)
+    before = sorted(r.k for r in t.read(spark).collect())
+    assert t.compact(spark, target_bytes=1 << 30, min_files=2) == [""]
+    assert t.file_stats(spark)[0][1] == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == before
+    # already compact — second run is a no-op
+    assert t.compact(spark, target_bytes=1 << 30, min_files=2) == []
+
+
+# ---------------------------------------------------------------------------
 # trimmed stats
 # ---------------------------------------------------------------------------
 
