@@ -77,7 +77,10 @@ def heavy_hitters(docs: DataFrame, phi: int = 50, k: int = 64,
             yield pd.DataFrame({"w": list(state.keys())})
 
     cand = ex.mapInPandas(mg_partition, "w string").distinct()
-    total = ex.agg(F.count(F.lit(1)).alias("n_total"))
+    # total tokens WITHOUT a third explode pass: one narrow
+    # sum(size(tokens)) projection over the documents scan
+    total = docs.agg(F.sum(F.size(tokens(text_col)))
+                     .cast("long").alias("n_total"))
     exact = (ex.join(F.broadcast(cand), "w")
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
     return (exact.crossJoin(F.broadcast(total))
