@@ -151,6 +151,82 @@ def test_bigram_novelty_excludes_single_token_docs(spark):
     assert [r.doc_id for r in rows] == [2]
 
 
+def test_interpolation_matches_numpy_on_random_series(spark):
+    """Seeded random series: every grid value equals numpy.interp's
+    linear blend (reference implementation replay)."""
+    import numpy as np
+    from kafka_connect_msk_demo_spark.operators.temporal import (
+        linear_interpolate_grid)
+    rng = np.random.default_rng(7)
+    rows = []
+    series = {}
+    for k in range(5):
+        ts = np.sort(rng.choice(np.arange(0, 5000), size=40,
+                                replace=False)).astype(int)
+        vs = np.round(rng.normal(0, 100, size=40), 3)
+        series[k] = (ts, vs)
+        rows += [(k, int(t), float(v)) for t, v in zip(ts, vs)]
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    got = linear_interpolate_grid(df, "k", "t", "v", step=37).collect()
+    assert got, "grid produced no rows"
+    import pytest as _pt
+    for r in got:
+        ts, vs = series[r.k]
+        assert ts[0] <= r.t <= ts[-1]
+        expect = float(np.interp(r.t, ts, vs))
+        assert r.v_interp == _pt.approx(expect, rel=1e-9, abs=1e-9), \
+            (r.k, r.t, r.v_interp, expect)
+
+
+def test_trimmed_stats_matches_pandas_replay(spark):
+    """Seeded random groups: trimmed mean/min/max equal a pandas
+    replay of the exact-rank trimming rule."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 6, size=500),
+        "v": np.round(rng.normal(50, 20, size=500), 2),
+        "id": np.arange(500)})
+    df = spark.createDataFrame(pdf.astype(
+        {"g": "int64", "v": "float64", "id": "int64"}))
+    got = {r.g: r for r in trimmed_stats(
+        df, ["g"], "v", "id", trim_pct=5).collect()}
+    for g, grp in pdf.groupby("g"):
+        s = grp.sort_values(["v", "id"]).reset_index(drop=True)
+        k = len(s) * 5 // 100
+        kept = s.iloc[k:len(s) - k]
+        r = got[g]
+        assert r.n_kept == len(kept) and r.n_total == len(s)
+        assert r.trimmed_min == kept["v"].min()
+        assert r.trimmed_max == kept["v"].max()
+        assert r.trimmed_mean == pytest.approx(kept["v"].mean(),
+                                               rel=1e-9)
+
+
+def test_heavy_hitters_random_zipf(spark):
+    """Seeded Zipf-distributed tokens: the two-pass operator equals
+    the exact answer (heavy tail + many singletons stresses the MG
+    prune path)."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    words = [f"w{z}" for z in rng.zipf(1.5, size=4000) if z < 10**6]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 40:(i + 1) * 40]))
+         for i in range(len(words) // 40)],
+        "doc_id long, text string")
+    n = sum(len(t.split()) for _, t in docs.collect())
+    tok = docs.select(F.explode(
+        F.split(F.lower(F.trim("text")), " ")).alias("w"))
+    expect = {(r.w, r.cnt) for r in
+              tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+              .filter(F.col("cnt") * 50 >= n).collect()}
+    got = {(r.word, r.cnt) for r in
+           freq.heavy_hitters(docs.repartition(13), phi=50, k=64)
+           .collect()}
+    assert got == expect and got
+
+
 # ---------------------------------------------------------------------------
 # compaction (table services)
 # ---------------------------------------------------------------------------
