@@ -283,3 +283,66 @@ def fixed_width_histogram(df: DataFrame, value_col: str,
             .agg(*aggs)
             .withColumn("bucket_lo", F.col("bucket") * F.lit(float(width)))
             .orderBy("bucket"))
+
+
+def weighted_median(df: DataFrame, group_cols: list[str],
+                    value_col: str, weight_col: str,
+                    order_cols: list[str]) -> DataFrame:
+    """Per-group WEIGHTED median: the smallest value whose cumulative
+    weight reaches half the group's total (lower weighted median —
+    a deterministic order statistic, no interpolation).
+
+    Weights are cast to int64 (exact for integral weights like
+    quantities) so the cumulative and total sums are order-independent
+    integers; the selection predicate ``2*cum >= total`` and the final
+    ``min(value)`` over the qualifying suffix never touch float
+    arithmetic, keeping the result hash-matchable cross-engine.
+    Because cumulative weight is nondecreasing along the
+    (value, order_cols) order, the qualifying rows form a suffix and
+    ``min`` picks exactly the first of them.
+
+    Scale shape: one shuffle on the group key; running and total sums
+    share a single window sort pass; then a partial/final hash-agg.
+    Same per-group-sort cost class as :func:`trimmed_stats`.
+    """
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(value_col, *order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy(*group_cols)
+    d = (df.withColumn("w_q", F.col(weight_col).cast("long"))
+         .withColumn("cum_w", F.sum("w_q").over(w))
+         .withColumn("tot_w", F.sum("w_q").over(wt)))
+    return (d.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+            .groupBy(*group_cols)
+            .agg(F.min(value_col).alias("weighted_median"),
+                 F.max("tot_w").alias("total_weight"))
+            .orderBy(*group_cols))
+
+
+def grouped_equidepth_bins(df: DataFrame, group_cols: list[str],
+                           value_col: str, order_col: str,
+                           n_bins: int = 10) -> DataFrame:
+    """Per-group equi-depth (equal-count) binning: ``ntile(n_bins)``
+    over the deterministic (value, order_col) total order, reporting
+    each bin's row count and [lo, hi] value bounds — the feature-
+    binning / boundary-discovery primitive (equi-WIDTH is
+    :func:`fixed_width_histogram`).
+
+    ntile over a composite unique ordering is pure integer rank
+    arithmetic, and the output carries raw min/max values — no float
+    aggregation anywhere, so bins hash-match on any engine.
+
+    Scale shape: one shuffle on the group key with an in-partition
+    sort shared by the ntile window, then a hash-agg on (group, bin)
+    that reuses the partitioning. Exact global ranks within a group
+    are inherently a per-group sort (same cost class as
+    :func:`trimmed_stats`); for huge single groups swap the exact
+    ntile for ``approx_percentile`` boundaries + a range join.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col, order_col)
+    return (df.withColumn("bin", F.ntile(n_bins).over(w))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(value_col).alias("lo"),
+                 F.max(value_col).alias("hi"))
+            .orderBy(*group_cols, "bin"))

@@ -211,3 +211,81 @@ def gap_fill_days(per_day: DataFrame, group_cols: list[str],
     out.count()
     per_day.unpersist()
     return out
+
+
+def rolling_zscore_anomalies(df: DataFrame, key_col: str,
+                             order_cols: list[str], value_col: str,
+                             lookback: int = 20, k: int = 2,
+                             scale: int = 10_000,
+                             min_obs: int = 8) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: flag an observation
+    whose deviation from its own trailing ``lookback``-row mean exceeds
+    ``k`` trailing population standard deviations.
+
+    The test runs ENTIRELY in int64 so it is bit-exact on any engine
+    (a cross-engine ``stddev`` would mix Welford vs sum-of-squares
+    float paths and never hash-match): values are quantized to
+    ``v = floor(value * scale)`` and the flag condition
+
+        (v - mean)^2 > k^2 * var_pop
+
+    is cleared of divisions by multiplying through by ``n^2``:
+
+        (n*v - s)^2 > k^2 * (n*ss - s^2)
+
+    with ``s = sum(v)``, ``ss = sum(v^2)`` over the trailing window —
+    every term an exact integer. Caller must size ``scale`` so
+    ``(n * v_max)^2`` fits int64 (asserted cheaply at plan build is
+    impossible; document per call site).
+
+    Scale shape: one shuffle on ``key_col`` with an in-partition sort
+    by ``order_cols``, then three running sums in a single window pass
+    — O(1) state per row, no self-join, no Python. The trailing window
+    is rows-based, so late/duplicate timestamps are handled by the
+    deterministic composite ordering, not dropped.
+    """
+    v = F.floor(F.col(value_col) * F.lit(float(scale))).cast("long")
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(-(lookback - 1), 0))
+    d = (df.withColumn("v_q", v)
+         .withColumn("n_w", F.count("v_q").over(w))
+         .withColumn("s_w", F.sum("v_q").over(w))
+         .withColumn("ss_w", F.sum(F.col("v_q") * F.col("v_q")).over(w)))
+    dev = F.col("n_w") * F.col("v_q") - F.col("s_w")
+    var_n2 = (F.col("n_w") * F.col("ss_w")
+              - F.col("s_w") * F.col("s_w"))
+    return (d.filter((F.col("n_w") >= min_obs)
+                     & (dev * dev > F.lit(k * k) * var_n2))
+            .select(key_col, *order_cols, "v_q", "n_w", "s_w")
+            .orderBy(key_col, *order_cols))
+
+
+def activity_islands(df: DataFrame, key_col: str, ts_col: str
+                     ) -> DataFrame:
+    """Gaps-and-islands over per-key activity days: collapse each
+    key's distinct active days into maximal runs of CONSECUTIVE days,
+    reporting per key the day count, island count, and longest run.
+
+    Days are fixed-width epoch buckets (``epoch_us // 86_400_000_000``)
+    — integer division on the stored instant, so the same row lands in
+    the same day on any engine in any session timezone (same contract
+    as ``retention_cohorts``). The island id is the classic
+    ``day - row_number()`` difference: constant within a consecutive
+    run, distinct across runs.
+
+    Scale shape: one shuffle on ``key_col`` carrying one row per
+    (key, active day) after a map-side-combinable distinct, an
+    in-partition sort for the row_number, then two hash-aggs that
+    reuse the same partitioning — no joins, no driver state.
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    days = df.select(F.col(key_col), day.alias("d")).distinct()
+    w = Window.partitionBy(key_col).orderBy("d")
+    runs = (days.withColumn("grp", F.col("d") - F.row_number().over(w))
+            .groupBy(key_col, "grp")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy(key_col)
+            .agg(F.sum("run_len").alias("n_active_days"),
+                 F.count(F.lit(1)).alias("n_islands"),
+                 F.max("run_len").alias("longest_run"))
+            .orderBy(key_col))

@@ -1070,6 +1070,133 @@ FROM f GROUP BY file_id ORDER BY file_id
 _SQL_ZORDER_LAYOUT = _sql_zorder_layout()
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly detection over the event
+    stream (operators/temporal.py rolling_zscore_anomalies): events
+    whose value deviates > 2 trailing-σ from their own 20-event
+    history. All-int64 test — no float stddev anywhere — so the flag
+    set is bit-exact cross-engine. scale=10⁴ bounds every term by
+    (20 · 5.7e6)² ≈ 1.3e16 < 2⁶³ for this table's value range."""
+    from .operators.temporal import rolling_zscore_anomalies
+    events = load_table(spark, sf_dir, "events")
+    return rolling_zscore_anomalies(
+        events, "user_id", ["ts", "event_id"], "value",
+        lookback=20, k=2, scale=10_000, min_obs=8).drop("ts")
+
+
+_SQL_ROLLING_ANOMALY = """
+WITH q AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 10000) AS BIGINT) AS v_q
+  FROM events
+), w AS (
+  SELECT user_id, event_id, v_q,
+         CAST(COUNT(v_q) OVER win AS BIGINT) AS n_w,
+         CAST(SUM(v_q) OVER win AS BIGINT) AS s_w,
+         CAST(SUM(v_q * v_q) OVER win AS BIGINT) AS ss_w
+  FROM q
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, v_q, n_w, s_w
+FROM w
+WHERE n_w >= 8
+  AND (n_w * v_q - s_w) * (n_w * v_q - s_w)
+      > 4 * (n_w * ss_w - s_w * s_w)
+ORDER BY user_id, event_id
+"""
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user (operators/temporal.py
+    activity_islands): consecutive-active-day runs from the events
+    table — day = fixed-width epoch bucket, island id = the
+    day − row_number difference trick."""
+    from .operators.temporal import activity_islands
+    events = load_table(spark, sf_dir, "events")
+    return activity_islands(events, "user_id", "ts")
+
+
+_SQL_ACTIVITY_ISLANDS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+  FROM events
+), r AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM d
+), runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_islands,
+       MAX(run_len) AS longest_run
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority weighted median line price, weight = quantity
+    (operators/aggregates.py weighted_median) — integer cumulative
+    weights, no interpolation, deterministic lower-median."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    from .operators.aggregates import weighted_median
+    return weighted_median(j, ["o_orderpriority"], "l_extendedprice",
+                           "l_quantity", ["l_orderkey", "l_linenumber"])
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH j AS (
+  SELECT o_orderpriority, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS w_q,
+         l_orderkey, l_linenumber
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), c AS (
+  SELECT o_orderpriority, l_extendedprice,
+         CAST(SUM(w_q) OVER (PARTITION BY o_orderpriority
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_w,
+         CAST(SUM(w_q) OVER (PARTITION BY o_orderpriority)
+              AS BIGINT) AS tot_w
+  FROM j
+)
+SELECT o_orderpriority,
+       MIN(l_extendedprice) AS weighted_median,
+       MAX(tot_w) AS total_weight
+FROM c WHERE cum_w * 2 >= tot_w
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority equi-depth price deciles (operators/aggregates.py
+    grouped_equidepth_bins): ntile(10) over the deterministic
+    (price, orderkey) order — the feature-binning boundary-discovery
+    primitive; equi-WIDTH twin is `price_histogram`."""
+    orders = load_table(spark, sf_dir, "orders")
+    from .operators.aggregates import grouped_equidepth_bins
+    return grouped_equidepth_bins(orders, ["o_orderpriority"],
+                                  "o_totalprice", "o_orderkey",
+                                  n_bins=10)
+
+
+_SQL_EQUIDEPTH_BINS = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT o_orderpriority, CAST(bin AS INT) AS bin, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _SQL_INCREMENTAL_AGG = """
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
@@ -1948,6 +2075,10 @@ BATCH_QUERIES = {
     "interpolated_series": (q_interpolated_series,
                             _SQL_INTERPOLATED_SERIES),
     "zorder_layout": (q_zorder_layout, _SQL_ZORDER_LAYOUT),
+    "rolling_anomaly": (q_rolling_anomaly, _SQL_ROLLING_ANOMALY),
+    "activity_islands": (q_activity_islands, _SQL_ACTIVITY_ISLANDS),
+    "weighted_median": (q_weighted_median, _SQL_WEIGHTED_MEDIAN),
+    "equidepth_bins": (q_equidepth_bins, _SQL_EQUIDEPTH_BINS),
 }
 
 # ---------------------------------------------------------------------------

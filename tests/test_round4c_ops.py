@@ -1,0 +1,147 @@
+"""Semantic tests for the round-4c additions: rolling z-score anomaly
+detection, gaps-and-islands activity runs, weighted median, and
+equi-depth binning. (Oracle parity for the registered queries runs via
+tests/test_oracle_parity.py.)"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.operators.aggregates import (
+    grouped_equidepth_bins,
+    weighted_median,
+)
+from kafka_connect_msk_demo_spark.operators.temporal import (
+    activity_islands,
+    rolling_zscore_anomalies,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomalies
+# ---------------------------------------------------------------------------
+
+
+def _ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+
+def test_rolling_anomaly_flags_planted_spike(spark):
+    """A flat series with one 100x spike flags exactly the spike."""
+    rows = [(1, i, _ts(i), 10.0 + (i % 3) * 0.1) for i in range(30)]
+    rows[20] = (1, 20, _ts(20), 1000.0)
+    out = rolling_zscore_anomalies(
+        _events(spark, rows), "user_id", ["ts", "event_id"], "value",
+        lookback=20, k=2, scale=10_000, min_obs=8).collect()
+    flagged = {r.event_id for r in out}
+    assert 20 in flagged
+    # the spike itself plus at most a couple of post-spike rows whose
+    # window variance the spike inflates asymmetrically — but the flat
+    # pre-spike region must stay clean
+    assert not {e for e in flagged if e < 20}
+
+
+def test_rolling_anomaly_respects_warmup(spark):
+    """Rows before min_obs observations are never flagged, even a
+    wild early outlier."""
+    rows = [(1, i, _ts(i), 10.0) for i in range(5)]
+    rows[3] = (1, 3, _ts(3), 9999.0)
+    out = rolling_zscore_anomalies(
+        _events(spark, rows), "user_id", ["ts", "event_id"], "value",
+        lookback=20, k=2, min_obs=8).collect()
+    assert out == []
+
+
+def test_rolling_anomaly_zero_variance_never_divides(spark):
+    """A constant series has zero window variance; the multiplied-out
+    integer predicate handles it without any division-by-zero."""
+    rows = [(1, i, _ts(i), 42.0) for i in range(15)]
+    out = rolling_zscore_anomalies(
+        _events(spark, rows), "user_id", ["ts", "event_id"], "value"
+        ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# activity islands
+# ---------------------------------------------------------------------------
+
+
+def test_activity_islands_counts_planted_streaks(spark):
+    """User 1: days {0,1,2, 5,6, 9} -> 3 islands, longest 3; multiple
+    same-day events collapse."""
+    def day(d, i=0):
+        return dt.datetime(2024, 1, 1 + d, 6 + i)
+
+    rows = [(1, 1, day(0), 0.0), (1, 2, day(0, 3), 0.0),
+            (1, 3, day(1), 0.0), (1, 4, day(2), 0.0),
+            (1, 5, day(5), 0.0), (1, 6, day(6), 0.0),
+            (1, 7, day(9), 0.0),
+            (2, 8, day(4), 0.0)]
+    out = {r.user_id: r for r in
+           activity_islands(_events(spark, rows), "user_id", "ts")
+           .collect()}
+    assert out[1].n_active_days == 6
+    assert out[1].n_islands == 3
+    assert out[1].longest_run == 3
+    assert (out[2].n_active_days, out[2].n_islands,
+            out[2].longest_run) == (1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# weighted median
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_hand_computed(spark):
+    """values 1..4 with weights (1,1,5,1): total 8, half 4 — cum
+    reaches 4 at value 3 (lower weighted median)."""
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0, 1), ("g", 2.0, 1.0, 2),
+         ("g", 3.0, 5.0, 3), ("g", 4.0, 1.0, 4)],
+        "g string, v double, w double, id int")
+    row = weighted_median(df, ["g"], "v", "w", ["id"]).collect()[0]
+    assert row.weighted_median == 3.0
+    assert row.total_weight == 8
+
+
+def test_weighted_median_reduces_to_plain_median(spark):
+    """Unit weights: lower median of 5 values is the 3rd."""
+    df = spark.createDataFrame(
+        [("g", float(v), 1.0, v) for v in (10, 20, 30, 40, 50)],
+        "g string, v double, w double, id int")
+    row = weighted_median(df, ["g"], "v", "w", ["id"]).collect()[0]
+    assert row.weighted_median == 30.0
+
+
+# ---------------------------------------------------------------------------
+# equi-depth bins
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_bins_balanced_and_ordered(spark):
+    """100 distinct values into 10 bins: each bin exactly 10 rows,
+    bin ranges contiguous and non-overlapping."""
+    df = spark.createDataFrame(
+        [("g", float(i), i) for i in range(100)],
+        "g string, v double, id int")
+    out = grouped_equidepth_bins(df, ["g"], "v", "id", n_bins=10) \
+        .collect()
+    assert [r.n for r in out] == [10] * 10
+    for a, b in zip(out, out[1:]):
+        assert a.hi < b.lo
+
+
+def test_equidepth_bins_remainder_goes_to_early_bins(spark):
+    """ntile semantics: 23 rows / 4 bins -> sizes 6,6,6,5."""
+    df = spark.createDataFrame(
+        [("g", float(i), i) for i in range(23)],
+        "g string, v double, id int")
+    out = grouped_equidepth_bins(df, ["g"], "v", "id", n_bins=4) \
+        .collect()
+    assert [r.n for r in out] == [6, 6, 6, 5]
