@@ -1705,6 +1705,108 @@ FROM calc ORDER BY tier
 """.format(punct=text_analysis.PUNCT_RE, stops=_STOP_SQL)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate via the deterministic
+    HyperLogLog sketch (pipeline/sketches.py hll_distinct) — fixed
+    256-register state, rho from binary-string length (no libm), an
+    exactly-replayable harmonic mean. KMV's fixed-memory sibling."""
+    from .sketches import hll_distinct
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events, "user_id", "event_type")
+
+
+def _sql_hll_distinct() -> str:
+    from .sketches import HLL_ALPHA, HLL_B, HLL_M, HLL_REM_BITS
+    alpha_m2 = repr(HLL_ALPHA * HLL_M * HLL_M)
+    rem_mod = 1 << HLL_REM_BITS
+    return f"""
+WITH src AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                             1, 12) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), d AS (
+  SELECT event_type, h // {rem_mod} AS reg, h % {rem_mod} AS rem
+  FROM src
+), r AS (
+  SELECT event_type, reg,
+         CASE WHEN rem = 0 THEN {HLL_REM_BITS + 1}
+              ELSE {HLL_REM_BITS + 1} - length(bin(rem)) END AS rho
+  FROM d
+), regs AS (
+  SELECT event_type, reg, MAX(rho) AS max_rho FROM r GROUP BY 1, 2
+), pg AS (
+  SELECT event_type, COUNT(*) AS n_hit,
+         SUM(CAST(1 AS DOUBLE) / (1::BIGINT << max_rho)) AS sum_pow
+  FROM regs GROUP BY 1
+), t AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_true
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), e AS (
+  SELECT pg.event_type AS event_type, n_true, n_hit,
+         {alpha_m2} / (sum_pow + ({HLL_M} - n_hit)) AS est_raw
+  FROM pg JOIN t USING (event_type)
+)
+SELECT event_type, n_true, n_hit, est_raw,
+       (est_raw - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE)
+         AS rel_err
+FROM e ORDER BY event_type
+"""
+
+
+_SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (pipeline/selection.py domain_cap):
+    keep <= 100 docs per source by deterministic md5 rank — the
+    no-single-domain-dominates mixture step."""
+    from .selection import domain_cap
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(docs, "source", "doc_id", cap=100)
+
+
+_SQL_DOMAIN_CAP = """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 100
+ORDER BY source, doc_id
+"""
+
+
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding audit (pipeline/similarity.py
+    embedding_dim_stats): count, int64-quantized exact mean, raw
+    min/max per dimension — the pre-normalization drift check."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(vecs)
+
+
+_SQL_EMBED_DIM_STATS = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+  FROM embeddings
+), d AS (
+  SELECT CAST(dim AS INT) AS dim, CAST(v AS DOUBLE) AS vd,
+         CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE))
+              AS BIGINT) AS v_q
+  FROM ex
+)
+SELECT dim, COUNT(*) AS n, CAST(SUM(v_q) AS BIGINT) AS sum_q,
+       (CAST(SUM(v_q) AS BIGINT)::DOUBLE / COUNT(*))
+         / CAST(1000000 AS DOUBLE) AS mean_q,
+       MIN(vd) AS v_min, MAX(vd) AS v_max
+FROM d GROUP BY dim ORDER BY dim
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -1752,4 +1854,7 @@ PIPELINE_QUERIES: dict = {
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "bigram_novelty": (q_bigram_novelty, _SQL_BIGRAM_NOVELTY),
     "mix_allocation": (q_mix_allocation, _SQL_MIX_ALLOCATION),
+    "hll_distinct": (q_hll_distinct, _SQL_HLL_DISTINCT),
+    "domain_cap": (q_domain_cap, _SQL_DOMAIN_CAP),
+    "embed_dim_stats": (q_embed_dim_stats, _SQL_EMBED_DIM_STATS),
 }

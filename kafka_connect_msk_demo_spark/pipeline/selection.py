@@ -28,7 +28,7 @@ the quantizer to 2^16 (documented, not silently scaled).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textprep import tokens
@@ -144,3 +144,32 @@ def mix_allocation(docs: DataFrame, budget_num: int = 1,
         rate.alias("sample_rate"),
         capped.alias("budget_capped"))
         .orderBy("tier"))
+
+
+def domain_cap(docs: DataFrame, group_col: str = "source",
+               id_col: str = "doc_id", cap: int = 100,
+               salt: str = "cap") -> DataFrame:
+    """Per-domain document cap — keep at most ``cap`` documents per
+    ``group_col``, chosen by deterministic hash rank (the per-domain
+    quota step every web-scale pretraining pipeline runs so no single
+    domain dominates the mixture).
+
+    Selection is a pure function of the row: rank within the domain by
+    ``md5(salt:id)`` (tie-broken by id), keep rank <= cap. Same
+    hash-not-rand reproducibility contract as `operators/sampling.py`
+    — reruns, retries, and cluster resizes keep the identical set, and
+    any engine can replay it.
+
+    Scale shape: one shuffle on the domain key with an in-partition
+    sort for the rank window — no joins, no driver state. A pathological
+    mega-domain sorts on one executor; for those, pre-filter with a
+    cheap ``pmod(hash) < p`` gate sized from domain counts so only
+    ~cap survivors per domain reach the exact window.
+    """
+    r = F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(r, id_col)
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cap)
+            .select(group_col, id_col, "rk")
+            .orderBy(group_col, id_col))

@@ -559,3 +559,40 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("q_id", "vec_id", "cos", "rank")
             .orderBy("q_id", "rank"))
+
+
+def embedding_dim_stats(vecs: DataFrame, vec_col: str = "embedding",
+                        quant: int = 1_000_000) -> DataFrame:
+    """Per-dimension embedding statistics — the normalization /
+    drift-audit pass before standardizing or indexing a vector corpus:
+    for each dimension, the vector count, the quantized-exact mean,
+    and the raw min/max.
+
+    Mean exactness: elements are quantized ``floor(double(v) * quant)``
+    to int64 (float32 -> double is exact; the double multiply is one
+    correctly-rounded op identical on any IEEE engine), summed as
+    integers (order-independent), and divided back out in one fixed
+    double-op sequence — no float accumulation anywhere, so the result
+    hash-matches cross-engine. int64 headroom: unit-scale embeddings
+    at quant=1e6 overflow only past ~9e12 vectors per dimension.
+
+    Scale shape: posexplode is a narrow, scan-speed row multiply
+    (x dim_count); the aggregate is a partial/final hash-agg keyed by
+    the dimension index — at most ``dims`` rows per partition cross
+    the wire. No UDFs, no driver state.
+    """
+    ex = vecs.select(F.posexplode(vec_col).alias("pos", "v"))
+    d = (ex.withColumn("dim", (F.col("pos") + 1).cast("int"))
+         .withColumn("vd", F.col("v").cast("double"))
+         .withColumn("v_q", F.floor(F.col("vd") * F.lit(float(quant)))
+                     .cast("long")))
+    return (d.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v_q").alias("sum_q"),
+                 F.min("vd").alias("v_min"),
+                 F.max("vd").alias("v_max"))
+            .withColumn("mean_q",
+                        (F.col("sum_q").cast("double") / F.col("n"))
+                        / F.lit(float(quant)))
+            .select("dim", "n", "sum_q", "mean_q", "v_min", "v_max")
+            .orderBy("dim"))

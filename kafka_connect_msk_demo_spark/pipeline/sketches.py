@@ -113,3 +113,82 @@ def kmv_distinct(df: DataFrame, key_col: str, group_col: str,
                         / F.col("n_true").cast("double"))
             .select(group_col, "n_true", "est_distinct", "rel_err")
             .orderBy(group_col))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — deterministic register sketch
+# ---------------------------------------------------------------------------
+
+#: register-index bits (m = 2^B registers) and remainder width.
+HLL_B = 8
+HLL_M = 1 << HLL_B
+HLL_REM_BITS = 48 - HLL_B
+#: Flajolet et al. 2007 bias constant for m >= 128.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_col: str,
+                 salt: str = "hll") -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate from the same
+    deterministic 48-bit md5 hash as :func:`kmv_distinct` — the
+    fixed-memory counterpart (m = 256 registers regardless of
+    cardinality, vs KMV's k minima): register = top ``HLL_B`` hash
+    bits, rho = leading-zero count of the remainder + 1.
+
+    Everything is engine-replayable integer/dyadic arithmetic:
+
+    * rho via the BINARY-STRING length of the remainder
+      (``48 - B - length(bin(rem)) + 1``) — no float log2, whose libm
+      rounding differs across engines near powers of two;
+    * the harmonic-mean denominator sums ``2^-max_rho`` terms, each an
+      exact dyadic rational in [2^-41, 1]; every partial sum fits a
+      49-bit significand, so double addition is EXACT in any order —
+      the same order-independence argument as the int64-quantized
+      k-means partials;
+    * the raw estimate ``alpha * m^2 / denom`` is one multiply and one
+      correctly-rounded division off a shared literal. The small-range
+      linear-counting correction is deliberately OMITTED (it needs
+      ``ln``, another libm dependency); ``est_raw`` is the pure HLL
+      estimator and ``n_true`` rides along for error accounting.
+
+    Scale shape: Spark's partial/final hash-agg combines (group,
+    register) maxima map-side, so the shuffle carries at most
+    ``m × groups`` rows per partition — fixed-size sketch state, the
+    100 TB answer when even KMV's per-group k×partitions rows are too
+    many. The exact ``n_true`` join is the validation path; drop it in
+    production.
+    """
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(key_col).cast("string"))), 1, 12),
+        16, 10).cast("long")
+    src = (df.filter(F.col(key_col).isNotNull())
+           .select(F.col(group_col), h.alias("h")))
+    rem_mod = 1 << HLL_REM_BITS
+    d = (src.withColumn("reg", F.expr(f"h div {rem_mod}"))
+         .withColumn("rem", F.col("h") % F.lit(rem_mod))
+         .withColumn("rho", F.when(F.col("rem") == 0,
+                                   F.lit(HLL_REM_BITS + 1))
+                     .otherwise(F.lit(HLL_REM_BITS + 1)
+                                - F.length(F.bin(F.col("rem"))))))
+    regs = (d.groupBy(group_col, "reg")
+            .agg(F.max("rho").alias("max_rho")))
+    per_group = (regs.groupBy(group_col)
+                 .agg(F.count(F.lit(1)).alias("n_hit"),
+                      F.sum(F.expr(
+                          "cast(1 as double) / cast(shiftleft(1L, max_rho) as double)"
+                      )).alias("sum_pow")))
+    denom = (F.col("sum_pow")
+             + (F.lit(HLL_M) - F.col("n_hit")).cast("double"))
+    true = (df.filter(F.col(key_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.count_distinct(F.col(key_col)).alias("n_true")))
+    return (per_group.join(true, group_col)
+            .withColumn("est_raw",
+                        F.lit(HLL_ALPHA * HLL_M * HLL_M) / denom)
+            .withColumn("rel_err",
+                        (F.col("est_raw")
+                         - F.col("n_true").cast("double"))
+                        / F.col("n_true").cast("double"))
+            .select(group_col, "n_true", "n_hit", "est_raw", "rel_err")
+            .orderBy(group_col))

@@ -145,3 +145,87 @@ def test_equidepth_bins_remainder_goes_to_early_bins(spark):
     out = grouped_equidepth_bins(df, ["g"], "v", "id", n_bins=4) \
         .collect()
     assert [r.n for r in out] == [6, 6, 6, 5]
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_bound(spark):
+    """256 registers -> ~1.04/sqrt(256) = 6.5% typical error; assert a
+    generous 4-sigma 26% bound on a 5000-distinct-key input."""
+    from kafka_connect_msk_demo_spark.pipeline.sketches import hll_distinct
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5000)], "g string, k long")
+    row = hll_distinct(df, "k", "g").collect()[0]
+    assert row.n_true == 5000
+    assert abs(row.rel_err) < 0.26
+
+
+def test_hll_partitioning_invariance(spark):
+    """Register maxima are a commutative aggregate: the estimate must
+    be bit-identical under any partition layout."""
+    from kafka_connect_msk_demo_spark.pipeline.sketches import hll_distinct
+    rows = [("g", i % 700) for i in range(3000)]
+    ests = []
+    for p in (1, 7, 32):
+        df = spark.createDataFrame(rows, "g string, k long").repartition(p)
+        ests.append(hll_distinct(df, "k", "g").collect()[0].est_raw)
+    assert ests[0] == ests[1] == ests[2]
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    """HLL state is per-register max -> replication-invariant."""
+    from kafka_connect_msk_demo_spark.pipeline.sketches import hll_distinct
+    base = [("g", i) for i in range(1000)]
+    e1 = hll_distinct(spark.createDataFrame(base, "g string, k long"),
+                      "k", "g").collect()[0].est_raw
+    e2 = hll_distinct(spark.createDataFrame(base * 5, "g string, k long"),
+                      "k", "g").collect()[0].est_raw
+    assert e1 == e2
+
+
+# ---------------------------------------------------------------------------
+# domain cap
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_respects_quota_and_determinism(spark):
+    from kafka_connect_msk_demo_spark.pipeline.selection import domain_cap
+    rows = [(f"s{i % 3}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = domain_cap(df, cap=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 10 for v in per.values())
+    # deterministic: same selection under a different partitioning
+    out2 = domain_cap(df.repartition(13), cap=10).collect()
+    assert {(r.source, r.doc_id) for r in out} == \
+        {(r.source, r.doc_id) for r in out2}
+
+
+def test_domain_cap_small_domain_kept_whole(spark):
+    from kafka_connect_msk_demo_spark.pipeline.selection import domain_cap
+    df = spark.createDataFrame(
+        [("tiny", i) for i in range(4)], "source string, doc_id long")
+    assert len(domain_cap(df, cap=100).collect()) == 4
+
+
+# ---------------------------------------------------------------------------
+# embedding dim stats
+# ---------------------------------------------------------------------------
+
+
+def test_embed_dim_stats_hand_computed(spark):
+    from kafka_connect_msk_demo_spark.pipeline.similarity import (
+        embedding_dim_stats,
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in embedding_dim_stats(df).collect()}
+    assert out[1].n == 2 and out[1].mean_q == 2.0
+    assert out[2].v_min == -2.0 and out[2].v_max == 4.0
+    assert out[1].sum_q == 4_000_000
