@@ -1705,6 +1705,125 @@ FROM calc ORDER BY tier
 """.format(punct=text_analysis.PUNCT_RE, stops=_STOP_SQL)
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (pipeline/sketches.py
+    cms_estimate) for the ~N/200-frequency tokens, with exact counts
+    alongside for error accounting — est >= exact always; the
+    deterministic md5 rows make the whole counter array SQL-replayable."""
+    from .sketches import cms_estimate
+    from .textprep import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(tokens("text")).alias("w"))
+    exact = ex.groupBy("w").agg(F.count(F.lit(1)).alias("cnt_exact"))
+    tot = ex.agg(F.count(F.lit(1)).alias("n_total"))
+    probes = (exact.crossJoin(F.broadcast(tot))
+              .filter(F.col("cnt_exact") * 200 >= F.col("n_total"))
+              .select("w", "cnt_exact"))
+    est = cms_estimate(ex, probes.select("w"), "w")
+    return (probes.join(est, "w")
+            .select(F.col("w").alias("word"), "cnt_exact", "cnt_cms",
+                    (F.col("cnt_cms") - F.col("cnt_exact"))
+                    .alias("overcount"))
+            .orderBy("word"))
+
+
+def _sql_cms_counts() -> str:
+    from .sketches import CMS_DEPTH, CMS_WIDTH
+    ds = ", ".join(str(d) for d in range(CMS_DEPTH))
+    b = ("CAST('0x' || substr(md5('cms' || CAST({d} AS VARCHAR) "
+         "|| ':' || {w}), 1, 12) AS BIGINT) % " + str(CMS_WIDTH))
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), c AS (SELECT w, COUNT(*) AS cnt_exact FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_total FROM tok),
+probes AS (
+  SELECT w, cnt_exact FROM c CROSS JOIN n
+  WHERE cnt_exact * 200 >= n_total
+), cells AS (
+  SELECT u.d AS d, {b.format(d='u.d', w='tok.w')} AS b
+  FROM tok, unnest([{ds}]) AS u(d)
+), counters AS (
+  SELECT d, b, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+), pc AS (
+  SELECT p.w, u.d AS d, {b.format(d='u.d', w='p.w')} AS b
+  FROM probes p, unnest([{ds}]) AS u(d)
+), est AS (
+  SELECT pc.w, MIN(coalesce(ct.cnt, 0)) AS cnt_cms
+  FROM pc LEFT JOIN counters ct USING (d, b) GROUP BY pc.w
+)
+SELECT p.w AS word, p.cnt_exact, e.cnt_cms,
+       e.cnt_cms - p.cnt_exact AS overcount
+FROM probes p JOIN est e USING (w) ORDER BY word
+"""
+
+
+_SQL_CMS_COUNTS = _sql_cms_counts()
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (pipeline/similarity.py
+    hard_negative_topk): per query vector, the top-5 most-similar
+    DIFFERENT-label vectors via the deterministic LSH index — the
+    contrastive-training data-prep step. Oracle replays planes,
+    multiprobe, label filter, and rerank."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(vecs, k=5, mod=20)
+
+
+def _sql_hard_negatives(nbits: int = 6, tables: int = 8, k: int = 5,
+                        mod: int = 20) -> str:
+    """Generated DuckDB twin of :func:`similarity.hard_negative_topk`
+    — :func:`_sql_ann_topk` plus the different-label candidate
+    constraint (which also removes self-matches)."""
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(((({_ann_dot_expr(t, j)}) > 0)::BIGINT) << {j})"
+            for j in range(nbits))
+
+    bexprs = ",\n       ".join(f"{bucket(t)} AS b{t}" for t in range(tables))
+    union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM bk"
+        for t in range(tables))
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(nbits)])
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM embeddings),
+bk AS (SELECT vec_id, {bexprs} FROM d),
+db AS ({union}),
+qp AS (
+  SELECT vec_id AS q_id, tbl, unnest([{probe_list}]) AS bucket
+  FROM db WHERE vec_id % {mod} = 0
+), cand AS (
+  SELECT DISTINCT qp.q_id, db.vec_id
+  FROM qp JOIN db USING (tbl, bucket)
+  JOIN d ql ON ql.vec_id = qp.q_id
+  JOIN d dl ON dl.vec_id = db.vec_id
+  WHERE dl.label <> ql.label
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(qv.v, dv.v) /
+           (sqrt(list_dot_product(qv.v, qv.v))
+            * sqrt(list_dot_product(dv.v, dv.v))) AS cos
+  FROM cand c
+  JOIN d qv ON qv.vec_id = c.q_id
+  JOIN d dv ON dv.vec_id = c.vec_id
+), r AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+_SQL_HARD_NEGATIVES = _sql_hard_negatives()
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user estimate via the deterministic
     HyperLogLog sketch (pipeline/sketches.py hll_distinct) — fixed
@@ -1857,4 +1976,6 @@ PIPELINE_QUERIES: dict = {
     "hll_distinct": (q_hll_distinct, _SQL_HLL_DISTINCT),
     "domain_cap": (q_domain_cap, _SQL_DOMAIN_CAP),
     "embed_dim_stats": (q_embed_dim_stats, _SQL_EMBED_DIM_STATS),
+    "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
+    "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
 }

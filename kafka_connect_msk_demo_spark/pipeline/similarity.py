@@ -596,3 +596,52 @@ def embedding_dim_stats(vecs: DataFrame, vec_col: str = "embedding",
                         / F.lit(float(quant)))
             .select("dim", "n", "sum_q", "mean_q", "v_min", "v_max")
             .orderBy("dim"))
+
+
+def hard_negative_topk(vectors: DataFrame, k: int = 5, nbits: int = 6,
+                       dim: int = 64, tables: int = 8, mod: int = 20,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector (the deterministic ``id % mod == 0`` subset), the top-k
+    most-cosine-similar vectors whose label DIFFERS from the query's —
+    the near-misses a metric-learning loss needs.
+
+    Same multi-table hyperplane LSH + 1-bit multiprobe candidate
+    generation as :func:`ann_topk` (deterministic SHA planes, (tbl,
+    bucket) shuffle key, nothing quadratic); the label constraint is
+    applied to candidates BEFORE the rank window, so the k survivors
+    are the best different-label matches, not a post-filtered rump.
+    Self-matches fall out for free (same label). Fully
+    oracle-replayable for the same reason ann_topk is.
+    """
+    spark = vectors.sparkSession
+    data = lsh_buckets(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       as_double(vec_col).alias("v"),
+                       F.col(label_col).alias("lbl"))
+        .repartition(spark.sparkContext.defaultParallelism),
+        "v", nbits, dim, tables)
+    qsrc = vectors.filter(F.col(id_col) % mod == 0).select(
+        F.col(id_col).alias("q_id"),
+        as_double(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_lbl"))
+    q = lsh_buckets(qsrc, "q_vec", nbits, dim, tables) \
+        .withColumnRenamed("bucket", "qb")
+    probes = q.select(
+        "q_id", "q_vec", "q_lbl", "tbl",
+        F.explode(F.array(
+            F.col("qb"),
+            *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
+        )).alias("bucket"))
+    cand = (data.join(F.broadcast(probes), ["tbl", "bucket"])
+            .filter(F.col("lbl") != F.col("q_lbl"))
+            .select("q_id", "q_vec", "vec_id", "v")
+            .dropDuplicates(["q_id", "vec_id"])
+            .withColumn("cos", cosine(F.col("q_vec"), F.col("v"), dim)))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cos", "rank")
+            .orderBy("q_id", "rank"))

@@ -192,3 +192,64 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str,
                         / F.col("n_true").cast("double"))
             .select(group_col, "n_true", "n_hit", "est_raw", "rel_err")
             .orderBy(group_col))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — deterministic frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 512
+
+
+def _cms_bucket(key: "F.Column", d: int, width: int, salt: str):
+    """Row-``d`` bucket of a key: 48-bit md5 prefix mod width — the
+    same conv/cast contract as KMV/HLL, so any engine replays it."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(f"{salt}{d}"), key)), 1, 12),
+        16, 10).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_estimate(items: DataFrame, probes: DataFrame, key_col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                 salt: str = "cms") -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): estimate the
+    frequency of each ``probes`` key from ``depth × width`` counters
+    built in ONE pass over ``items`` — never materializing the
+    distinct-key set. Estimate = min over rows of the key's counter;
+    guarantees est >= true always, and est <= true + εN (ε = e/width)
+    with probability 1 - e^-depth.
+
+    The hash rows are the deterministic 48-bit md5 prefix mod width,
+    so the counter array — and therefore every estimate — is
+    bit-identical on any engine, any partitioning: the whole sketch
+    replays in SQL.
+
+    Scale shape: one explode of each item into its ``depth`` (row,
+    bucket) cells feeding a partial/final hash-agg onto a FIXED
+    ``depth × width`` key space (map-side combine makes the shuffle
+    ≤ depth·width rows per partition); the probe lookup is a broadcast
+    join of probes-×-depth rows against the tiny counter table.
+    Memory is O(depth·width) no matter how many billions of items
+    stream by — the point of a sketch.
+    """
+    key = F.col(key_col).cast("string")
+    cells = items.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(key, d, width, salt).alias("b"))
+        for d in range(depth)])).alias("c"))
+    counters = (cells.select("c.d", "c.b")
+                .groupBy("d", "b")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    pkey = F.col(key_col).cast("string")
+    pcells = probes.select(F.col(key_col), F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(pkey, d, width, salt).alias("b"))
+        for d in range(depth)])).alias("c"))
+    return (pcells.select(key_col, "c.d", "c.b")
+            .join(F.broadcast(counters), ["d", "b"], "left")
+            .na.fill({"cnt": 0})
+            .groupBy(key_col)
+            .agg(F.min("cnt").alias("cnt_cms"))
+            .orderBy(key_col))

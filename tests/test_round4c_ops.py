@@ -229,3 +229,105 @@ def test_embed_dim_stats_hand_computed(spark):
     assert out[1].n == 2 and out[1].mean_q == 2.0
     assert out[2].v_min == -2.0 and out[2].v_max == 4.0
     assert out[1].sum_q == 4_000_000
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """est >= true for every probe (structural guarantee), and with
+    N=6000 items over width 512 the expected row overcount is
+    N/512 ~ 12; min over 3 rows stays well under 10x that."""
+    from kafka_connect_msk_demo_spark.pipeline.sketches import cms_estimate
+    rows = [(f"k{i % 600}",) for i in range(6000)]
+    items = spark.createDataFrame(rows, "w string")
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 600, 60)], "w string")
+    exact = {f"k{i}": 10 for i in range(0, 600, 60)}
+    out = {r.w: r.cnt_cms for r in
+           cms_estimate(items, probes, "w").collect()}
+    for w, est in out.items():
+        assert est >= exact[w]
+        assert est <= exact[w] + 120
+
+
+def test_cms_partitioning_invariance(spark):
+    """Counter cells are plain counts — estimates identical under any
+    partition layout."""
+    from kafka_connect_msk_demo_spark.pipeline.sketches import cms_estimate
+    rows = [(f"k{i % 97}",) for i in range(2000)]
+    probes = spark.createDataFrame([("k0",), ("k42",)], "w string")
+    outs = []
+    for p in (1, 13):
+        items = spark.createDataFrame(rows, "w string").repartition(p)
+        outs.append(sorted(
+            (r.w, r.cnt_cms)
+            for r in cms_estimate(items, probes, "w").collect()))
+    assert outs[0] == outs[1]
+
+
+def test_cms_absent_probe_small_estimate(spark):
+    """A key never inserted can only collide into noise: estimate is
+    bounded by the worst row collision, far below the big keys."""
+    from kafka_connect_msk_demo_spark.pipeline.sketches import cms_estimate
+    items = spark.createDataFrame(
+        [(f"k{i % 10}",) for i in range(1000)], "w string")
+    probes = spark.createDataFrame([("never-seen",)], "w string")
+    est = cms_estimate(items, probes, "w").collect()[0].cnt_cms
+    assert 0 <= est <= 200
+
+
+# ---------------------------------------------------------------------------
+# hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_small):
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline.similarity import (
+        hard_negative_topk,
+    )
+    vecs = load_table(spark, sf_small, "embeddings")
+    labels = {r.vec_id: r.label for r in
+              vecs.select("vec_id", "label").collect()}
+    out = hard_negative_topk(vecs, k=5, mod=20).collect()
+    assert out, "no hard negatives mined"
+    for r in out:
+        assert labels[r.q_id] != labels[r.vec_id]
+        assert r.q_id != r.vec_id
+
+
+def test_hard_negatives_are_hardest_in_candidate_set(spark, sf_small):
+    """Rank-1 different-label LSH candidate must beat every other
+    different-label EXACT neighbour that shares an LSH bucket — sanity
+    vs the brute-force different-label ranking restricted to rank 1."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline.similarity import (
+        brute_force_topk,
+        hard_negative_topk,
+        queries_by_mod,
+    )
+    vecs = load_table(spark, sf_small, "embeddings")
+    labels = {r.vec_id: r.label for r in
+              vecs.select("vec_id", "label").collect()}
+    mined = {(r.q_id, r.rank): (r.vec_id, r.cos) for r in
+             hard_negative_topk(vecs, k=1, mod=20).collect()}
+    # brute-force: top different-label neighbour per query
+    bf = brute_force_topk(vecs, queries_by_mod(vecs, 20), k=100)
+    best = {}
+    for r in sorted(bf.collect(), key=lambda r: (r.q_id, r.rank)):
+        if labels[r.q_id] != labels[r.vec_id] and r.q_id not in best:
+            best[r.q_id] = (r.vec_id, r.cos)
+    hits = sum(1 for (q, rk), (v, c) in mined.items()
+               if rk == 1 and best.get(q, (None, None))[0] == v)
+    # Hard negatives sit at moderate cosine, where per-table LSH hit
+    # rates are lower than the near-dup regime — exact-top-1 recall is
+    # honestly ~0.6-0.8 at these settings. Gate on that floor plus a
+    # quality ratio: even when the exact argmax is missed, the mined
+    # negative must be nearly as hard as the true hardest.
+    assert hits / max(len(best), 1) >= 0.6
+    ratios = [c / best[q][1] for (q, rk), (v, c) in mined.items()
+              if rk == 1 and q in best and best[q][1] > 0]
+    assert ratios and sum(ratios) / len(ratios) >= 0.9
