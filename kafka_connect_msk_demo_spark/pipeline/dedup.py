@@ -98,7 +98,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  prefix_filter: bool = True) -> DataFrame:
+                  prefix_filter: bool = True,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """All pairs (d1 < d2) with shingle-Jaccard ≥ threshold — EXACT.
 
     Plan shape: shingle explode → (optional) global-df ranking → prefix
@@ -112,7 +113,10 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
     prefix-sized (PPJoin implementations cache the same structures);
     MEMORY_AND_DISK, evicted LRU.
     """
-    sh = doc_shingles(docs, id_col, text_col, k).persist()
+    # caller-supplied shingles (already persisted) avoid re-running the
+    # shingle kernel when the caller also feeds other consumers from it
+    sh = shingles if shingles is not None \
+        else doc_shingles(docs, id_col, text_col, k).persist()
     ex = sh.select("doc_id", F.size("s").alias("n"),
                    F.explode("s").alias("sg"))
 
@@ -485,3 +489,86 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                     (F.col("doc_id")
                      == F.coalesce("component", "doc_id")).alias("keep"))
             .orderBy("doc_id"))
+
+
+def minhash_seed(tag: str, i: int) -> int:
+    """Deterministic 64-bit multiply-shift seed — sha256 of
+    ("minhash", tag, i); shared by the Spark kernels and the generated
+    SQL twins so both engines draw the identical hash family."""
+    import hashlib as _hl
+    return int.from_bytes(
+        _hl.sha256(f"minhash:{tag}:{i}".encode()).digest()[:8], "big")
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """(doc_id, sig): the full ``num_hashes``-component MinHash
+    signature per document — same base-fingerprint + multiply-shift
+    (mod 2^64) family as :func:`minhash_band_buckets`, minimum taken in
+    uint64 order, components emitted reinterpreted as int64 (equality
+    comparisons are bijection-safe).
+
+    Scale shape: one Arrow kernel pass over the shingle table; output
+    is |docs| rows of fixed ``num_hashes``-long arrays — the sketch a
+    signature store would persist for incremental dedup."""
+    import numpy as np
+    import pandas as pd
+
+    mult = np.array([minhash_seed("a", i) | 1 for i in range(num_hashes)],
+                    dtype=np.uint64)
+    add = np.array([minhash_seed("b", i) for i in range(num_hashes)],
+                   dtype=np.uint64)
+
+    def kernel(pdfs):
+        cache: dict = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vals, counts = _flat_base_hashes(pdf["s"], cache)
+            sigs = []
+            lo = 0
+            for d in range(len(pdf)):
+                base = vals[lo:lo + int(counts[d])]
+                lo += int(counts[d])
+                sig = (base[:, None] * mult[None, :]
+                       + add[None, :]).min(axis=0)
+                sigs.append(sig.astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "sig": sigs})
+
+    return sh.mapInPandas(kernel, "doc_id long, sig array<long>")
+
+
+def minhash_jaccard_estimates(docs: DataFrame, threshold: float = 0.5,
+                              k: int = 3, num_hashes: int = 128,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Sketch-accuracy audit: for every exact near-pair at
+    ``J >= threshold``, the MinHash-ESTIMATED Jaccard (matching
+    signature components / num_hashes) next to the exact value —
+    the error-accounting row a dedup-threshold tuning run needs.
+
+    The estimate is a rational (int match count over a constant), so
+    it replays bit-for-bit; the pair set is the exact
+    :func:`jaccard_pairs` output, keeping the oracle independent of
+    banding. E[est] = J with sd sqrt(J(1-J)/num_hashes) ~ 0.044 at
+    J = 0.5, k = 128.
+    """
+    sh = doc_shingles(docs, id_col, text_col, k).persist()
+    pairs = jaccard_pairs(docs, threshold=threshold, k=k,
+                          id_col=id_col, text_col=text_col,
+                          shingles=sh)
+    sigs = minhash_signatures(sh, num_hashes)
+    s1 = sigs.select(F.col("doc_id").alias("d1"),
+                     F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"),
+                     F.col("sig").alias("sig2"))
+    matches = F.aggregate(
+        F.zip_with("sig1", "sig2",
+                   lambda a, b: (a == b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (pairs.join(s1, "d1").join(s2, "d2")
+            .withColumn("matches", matches)
+            .withColumn("est_jac", F.col("matches").cast("double")
+                        / F.lit(float(num_hashes)))
+            .select("d1", "d2", "jac", "matches", "est_jac")
+            .orderBy("d1", "d2"))

@@ -93,3 +93,72 @@ def pagerank_topk(edges: DataFrame, iters: int = 3,
     finally:
         edeg.unpersist()
     return out
+
+
+def copart_supplier_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected supplier co-part edges: (u < v) when two suppliers
+    ship the same part. Per-part supplier lists are small and bounded
+    (TPC-H ships each part from ~4 suppliers), so the per-part pair
+    expansion is linear in |lineitem| — never a bipartite blow-up."""
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (ps.alias("a")
+            .join(ps.alias("b"),
+                  (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                  & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+            .select(F.col("a.l_suppkey").alias("u"),
+                    F.col("b.l_suppkey").alias("v"))
+            .distinct())
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle / wedge census of an undirected simple graph —
+    one row: (n_nodes, n_edges, n_wedges, n_triangles).
+
+    Uses the degree-ordered (compact-forward) orientation: each edge
+    is directed from its LOWER-(degree, id) endpoint to the higher
+    one, making every out-neighborhood at most O(sqrt(|E|)) — the
+    classic bound that keeps the wedge join from exploding on skewed
+    (celebrity) nodes. Each triangle is then counted exactly once as
+    a directed wedge u->v->w closed by the directed edge u->w.
+
+    Shuffle story: degree agg (key = node), wedge self-join
+    (key = shared middle vertex), closure semi-equi-join (key = the
+    (u, w) pair). All equi-joins; deterministic orientation makes the
+    census engine-replayable.
+    """
+    und = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orient: keep (a -> b) iff (deg_a, a) < (deg_b, b)
+    d1 = deg.select(F.col("u").alias("a"), F.col("deg").alias("da"))
+    d2 = deg.select(F.col("u").alias("b"), F.col("deg").alias("db"))
+    oriented = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+                .join(d1, "a").join(d2, "b")
+                .filter((F.col("da") < F.col("db"))
+                        | ((F.col("da") == F.col("db"))
+                           & (F.col("a") < F.col("b"))))
+                .select("a", "b")).persist()
+    wedges = (oriented.alias("e1")
+              .join(oriented.alias("e2"),
+                    F.col("e1.b") == F.col("e2.a"))
+              .select(F.col("e1.a").alias("x"),
+                      F.col("e1.b").alias("y"),
+                      F.col("e2.b").alias("z")))
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"])
+    # four single-row aggregates cross-joined (declared broadcast —
+    # each side is exactly one row); materialize the 1-row result, then
+    # release the oriented-edge cache (deterministic-release discipline,
+    # same as gap_fill_days / connected_components)
+    out = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+           .crossJoin(F.broadcast(
+               oriented.agg(F.count(F.lit(1)).alias("n_edges"))))
+           .crossJoin(F.broadcast(
+               wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+           .crossJoin(F.broadcast(
+               closed.agg(F.count(F.lit(1)).alias("n_triangles"))))
+           ).persist()
+    out.count()
+    oriented.unpersist()
+    return out

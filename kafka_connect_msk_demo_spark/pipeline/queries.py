@@ -1824,6 +1824,107 @@ ORDER BY q_id, rank
 _SQL_HARD_NEGATIVES = _sql_hard_negatives()
 
 
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy audit (pipeline/dedup.py
+    minhash_jaccard_estimates): estimated vs exact Jaccard for every
+    exact near-pair at J >= 0.5. The 128-component signature is
+    multiply-shift mod 2^64 off sha256 seeds; the twin replays it with
+    HUGEINT split-multiplication, so the match counts are exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_jaccard_estimates(docs, threshold=0.5)
+
+
+def _sql_minhash_est(num_hashes: int = 128,
+                     threshold: float = 0.5) -> str:
+    from .dedup import minhash_seed
+    rows = []
+    for i in range(num_hashes):
+        m = minhash_seed("a", i) | 1
+        a = minhash_seed("b", i)
+        rows.append(f"({i}, {m & 0xFFFFFFFF}, {m >> 32}, {a})")
+    vals = ",\n  ".join(rows)
+    m64 = 1 << 64
+    m32 = 1 << 32
+    return f"""
+WITH {duckdb_shingle_cte(3)},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+pairs0 AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2, inter::DOUBLE / (sa.n + sb.n - inter) AS jac
+  FROM pairs0
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {threshold}
+), mh(i, lo_m, hi_m, addc) AS (VALUES
+  {vals}
+), hv AS (
+  SELECT sg,
+         CAST(CAST('0x' || substr(md5(sg), 1, 16) AS UBIGINT)
+              AS HUGEINT) AS h
+  FROM (SELECT DISTINCT sg FROM ex)
+), sv AS (
+  SELECT e.doc_id, m.i,
+         MIN(((h * m.lo_m) % {m64}
+              + ((h * m.hi_m) % {m32}) * {m32}
+              + m.addc) % {m64}) AS comp
+  FROM ex e JOIN hv USING (sg) CROSS JOIN mh m
+  GROUP BY 1, 2
+), mm AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2,
+         CAST(SUM(CASE WHEN x.comp = y.comp THEN 1 ELSE 0 END)
+              AS BIGINT) AS matches
+  FROM (SELECT DISTINCT d1, d2 FROM pairs) p
+  JOIN sv x ON x.doc_id = p.d1
+  JOIN sv y ON y.doc_id = p.d2 AND y.i = x.i
+  GROUP BY 1, 2
+)
+SELECT p.d1, p.d2, p.jac, mm.matches,
+       CAST(mm.matches AS DOUBLE) / CAST({num_hashes} AS DOUBLE)
+         AS est_jac
+FROM pairs p JOIN mm USING (d1, d2)
+ORDER BY d1, d2
+"""
+
+
+_SQL_MINHASH_EST = _sql_minhash_est()
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-part graph (pipeline/graph.py
+    triangle_count): degree-ordered compact-forward orientation keeps
+    wedge volume O(E^1.5)-bounded; exact, engine-replayable counts."""
+    from .graph import copart_supplier_edges, triangle_count
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(copart_supplier_edges(lineitem))
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+), und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+o AS (
+  SELECT und.u AS a, und.v AS b
+  FROM und JOIN deg d1 ON d1.u = und.u JOIN deg d2 ON d2.u = und.v
+  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+), w AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1 JOIN o e2 ON e1.b = e2.a
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM o) AS n_edges,
+       (SELECT COUNT(*) FROM w) AS n_wedges,
+       (SELECT COUNT(*) FROM w JOIN o ON o.a = w.x AND o.b = w.z)
+         AS n_triangles
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user estimate via the deterministic
     HyperLogLog sketch (pipeline/sketches.py hll_distinct) — fixed
@@ -1978,4 +2079,6 @@ PIPELINE_QUERIES: dict = {
     "embed_dim_stats": (q_embed_dim_stats, _SQL_EMBED_DIM_STATS),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
+    "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),
+    "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
 }

@@ -331,3 +331,75 @@ def test_hard_negatives_are_hardest_in_candidate_set(spark, sf_small):
     ratios = [c / best[q][1] for (q, rk), (v, c) in mined.items()
               if rk == 1 and q in best and best[q][1] > 0]
     assert ratios and sum(ratios) / len(ratios) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# minhash jaccard estimation
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_signature_partitioning_invariance(spark, sf_small):
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline.dedup import (
+        minhash_signatures,
+    )
+    from kafka_connect_msk_demo_spark.pipeline.textprep import doc_shingles
+    docs = load_table(spark, sf_small, "documents")
+    sigs = []
+    for p in (1, 8):
+        sh = doc_shingles(docs.repartition(p))
+        sigs.append({r.doc_id: tuple(r.sig) for r in
+                     minhash_signatures(sh).collect()})
+    assert sigs[0] == sigs[1]
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_small):
+    """E[est] = J, sd ~ 0.044 at 128 hashes: mean |err| over the pair
+    set must stay within a loose 3-sigma envelope."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline.dedup import (
+        minhash_jaccard_estimates,
+    )
+    docs = load_table(spark, sf_small, "documents")
+    rows = minhash_jaccard_estimates(docs, threshold=0.5).collect()
+    assert rows, "no near-pairs at J>=0.5 in testdata"
+    errs = [abs(r.est_jac - r.jac) for r in rows]
+    assert sum(errs) / len(errs) < 0.13
+    assert all(0.0 <= r.est_jac <= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_k4_plus_tail(spark):
+    """K4 (4 triangles, 12 wedges closed subset) with a pendant tail:
+    counts must be exact."""
+    from kafka_connect_msk_demo_spark.pipeline.graph import triangle_count
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(k4 + [(4, 5)], "u long, v long")
+    row = triangle_count(edges).collect()[0]
+    assert row.n_triangles == 4
+    assert row.n_nodes == 5
+    assert row.n_edges == 7
+
+
+def test_triangle_count_triangle_free(spark):
+    from kafka_connect_msk_demo_spark.pipeline.graph import triangle_count
+    # a 6-cycle: wedges exist, no triangle
+    cyc = [(i, i % 6 + 1) for i in range(1, 7)]
+    row = triangle_count(
+        spark.createDataFrame(cyc, "u long, v long")).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_edges == 6
+
+
+def test_triangle_count_orientation_counts_once(spark):
+    """Two triangles sharing an edge -> exactly 2, not double-counted
+    by the shared edge."""
+    from kafka_connect_msk_demo_spark.pipeline.graph import triangle_count
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)], "u long, v long")
+    row = triangle_count(edges).collect()[0]
+    assert row.n_triangles == 2
