@@ -162,3 +162,41 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     out.count()
     oriented.unpersist()
     return out
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` rounds of removing nodes with
+    degree < ``k`` from the undirected graph, reporting per round how
+    many nodes were removed and how many remain — the standard
+    spam-subgraph / community-density probe, here with a FIXED round
+    count so the whole computation is one deterministic plan the SQL
+    twin unrolls as CTEs (full k-core = loop to fixpoint; at 100 TB
+    run this as a driver loop with a convergence probe, same shape as
+    connected_components' label propagation).
+
+    Per round: one degree aggregate (shuffle key = node) and two
+    semi joins filtering the edge list to surviving endpoints —
+    all equi-joins, integer-only state.
+    """
+    und = (edges.select("u", "v")
+           .union(edges.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))))
+    spark = edges.sparkSession
+    out_rows = []
+    cur = und.persist()
+    n_before = cur.select("u").distinct().count()
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u").persist()
+        nxt = (cur.join(keep, "u")
+               .join(keep.select(F.col("u").alias("v")), "v")
+               .select("u", "v").persist())
+        n_remaining = nxt.select("u").distinct().count()
+        out_rows.append((r, n_before - n_remaining, n_remaining))
+        cur.unpersist()
+        keep.unpersist()
+        cur = nxt
+        n_before = n_remaining
+    cur.unpersist()
+    return spark.createDataFrame(
+        out_rows, "round int, n_removed long, n_remaining long")

@@ -1925,6 +1925,67 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 """
 
 
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling of the supplier co-part graph
+    (pipeline/graph.py kcore_peel): 3 rounds of degree-< 3 removal —
+    per-round removed/remaining census, oracle-unrolled as CTEs."""
+    from .graph import copart_supplier_edges, kcore_peel
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return kcore_peel(copart_supplier_edges(lineitem), k=3, rounds=3)
+
+
+_SQL_KCORE_PEEL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+), g0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+k1 AS (SELECT u FROM g0 GROUP BY u HAVING COUNT(*) >= 3),
+g1 AS (SELECT g0.u, g0.v FROM g0
+       JOIN k1 a ON a.u = g0.u JOIN k1 b ON b.u = g0.v),
+k2 AS (SELECT u FROM g1 GROUP BY u HAVING COUNT(*) >= 3),
+g2 AS (SELECT g1.u, g1.v FROM g1
+       JOIN k2 a ON a.u = g1.u JOIN k2 b ON b.u = g1.v),
+k3 AS (SELECT u FROM g2 GROUP BY u HAVING COUNT(*) >= 3),
+g3 AS (SELECT g2.u, g2.v FROM g2
+       JOIN k3 a ON a.u = g2.u JOIN k3 b ON b.u = g2.v),
+n AS (
+  SELECT 0 AS round, (SELECT COUNT(DISTINCT u) FROM g0) AS rem
+  UNION ALL SELECT 1, (SELECT COUNT(DISTINCT u) FROM g1)
+  UNION ALL SELECT 2, (SELECT COUNT(DISTINCT u) FROM g2)
+  UNION ALL SELECT 3, (SELECT COUNT(DISTINCT u) FROM g3)
+)
+SELECT CAST(a.round AS INT) AS round,
+       b.rem - a.rem AS n_removed,
+       a.rem AS n_remaining
+FROM n a JOIN n b ON b.round = a.round - 1
+ORDER BY round
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 round-0 BPE merge candidates (pipeline/text_analysis.py
+    bpe_merge_candidates) — the corpus's most frequent in-token
+    character pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bpe_merge_candidates(docs, top=25)
+
+
+_SQL_BPE_MERGES = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+), t2 AS (SELECT w FROM tok WHERE length(w) >= 2),
+p AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM t2, unnest(range(1, length(w))) AS u(i)
+)
+SELECT pair, COUNT(*) AS cnt
+FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 25
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user estimate via the deterministic
     HyperLogLog sketch (pipeline/sketches.py hll_distinct) — fixed
@@ -2081,4 +2142,6 @@ PIPELINE_QUERIES: dict = {
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
+    "kcore_peel": (q_kcore_peel, _SQL_KCORE_PEEL),
+    "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
 }

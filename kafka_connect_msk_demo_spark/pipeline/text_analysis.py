@@ -433,3 +433,27 @@ def bigram_novelty(docs: DataFrame, k: int = 25,
                      / F.col("n_bigrams")).alias("avg_bigram_freq"))
             .orderBy("avg_bigram_freq", "doc_id")
             .limit(k))
+
+
+def bpe_merge_candidates(docs: DataFrame, top: int = 25,
+                         text_col: str = "text") -> DataFrame:
+    """Round-0 BPE merge candidates: the corpus's most frequent
+    adjacent CHARACTER pairs inside whitespace tokens — exactly the
+    statistic byte-pair-encoding training greedily merges first
+    (Sennrich et al. 2016). One round is registered because each merge
+    changes the pair distribution; a full trainer is this op in a
+    driver loop re-tokenizing against the growing merge table.
+
+    Scale shape: scan-speed substring explode (x avg token length)
+    into a partial/final hash-agg on the two-char pair key — the same
+    cost class as ``top_ngrams``; the top-k is a tiny final sort.
+    """
+    tok = (docs.select(F.explode(tokens(text_col)).alias("w"))
+           .filter(F.length("w") >= 2))
+    pairs = tok.select(F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1),"
+        " i -> substring(w, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(top))

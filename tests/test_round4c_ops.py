@@ -403,3 +403,64 @@ def test_triangle_count_orientation_counts_once(spark):
         [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)], "u long, v long")
     row = triangle_count(edges).collect()[0]
     assert row.n_triangles == 2
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peel_removes_tail_then_stabilizes(spark):
+    """K4 with a pendant path: round 1 strips the path (deg < 3),
+    K4 itself is a 3-core and survives every later round."""
+    from kafka_connect_msk_demo_spark.pipeline.graph import kcore_peel
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    tail = [(4, 5), (5, 6)]
+    out = {r.round: r for r in kcore_peel(
+        spark.createDataFrame(k4 + tail, "u long, v long"),
+        k=3, rounds=3).collect()}
+    assert out[1].n_remaining == 4
+    assert out[1].n_removed == 2
+    assert out[2].n_removed == 0 and out[3].n_removed == 0
+
+
+def test_kcore_peel_cascade(spark):
+    """A chain of triangles collapses progressively: peeling must
+    cascade across rounds, not just filter once."""
+    from kafka_connect_msk_demo_spark.pipeline.graph import kcore_peel
+    # path graph: every node deg <= 2 -> all gone in round 1 at k=3
+    path = [(i, i + 1) for i in range(1, 8)]
+    out = {r.round: r for r in kcore_peel(
+        spark.createDataFrame(path, "u long, v long"),
+        k=3, rounds=2).collect()}
+    assert out[1].n_remaining == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merges_hand_computed(spark):
+    from kafka_connect_msk_demo_spark.pipeline.text_analysis import (
+        bpe_merge_candidates,
+    )
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abc")], "doc_id long, text string")
+    out = {r.pair: r.cnt for r in
+           bpe_merge_candidates(docs, top=10).collect()}
+    # "abab" x2 tokens: ab,ba,ab each -> ab:2/token = 4 total + "abc" ab:1
+    assert out["ab"] == 5
+    assert out["ba"] == 2
+    assert out["bc"] == 1
+
+
+def test_bpe_merges_ignores_single_char_tokens(spark):
+    from kafka_connect_msk_demo_spark.pipeline.text_analysis import (
+        bpe_merge_candidates,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c xy")], "doc_id long, text string")
+    out = {r.pair: r.cnt for r in
+           bpe_merge_candidates(docs, top=10).collect()}
+    assert out == {"xy": 1}
