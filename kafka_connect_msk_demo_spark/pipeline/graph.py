@@ -176,27 +176,48 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
 
     Per round: one degree aggregate (shuffle key = node) and two
     semi joins filtering the edge list to surviving endpoints —
-    all equi-joins, integer-only state.
+    all equi-joins, integer-only state. The whole unrolled recurrence
+    plus the per-round node census stays ONE lazy plan (a union of
+    single-row aggregates + a 4-row lag window): an earlier
+    driver-loop formulation with per-round ``count()`` probes paid
+    ~12 scheduled jobs of latency for the same answer; at a true
+    fixpoint loop the count comes back as the convergence probe.
     """
+    from pyspark.sql import Window
+
+    # the unrolled recurrence references the base graph ~2^rounds
+    # times (each round's two semi-join legs + its census leg); the
+    # per-round joins are cheap against a CACHED base, but recomputing
+    # an expensive upstream edge derivation (distinct + self-join)
+    # that many times is not — persist, materialize the 4-row result,
+    # release (gap_fill_days discipline)
     und = (edges.select("u", "v")
            .union(edges.select(F.col("v").alias("u"),
-                               F.col("u").alias("v"))))
-    spark = edges.sparkSession
-    out_rows = []
-    cur = und.persist()
-    n_before = cur.select("u").distinct().count()
-    for r in range(1, rounds + 1):
+                               F.col("u").alias("v")))).persist()
+    gens = [und]
+    for _ in range(rounds):
+        cur = gens[-1]
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("u").persist()
-        nxt = (cur.join(keep, "u")
-               .join(keep.select(F.col("u").alias("v")), "v")
-               .select("u", "v").persist())
-        n_remaining = nxt.select("u").distinct().count()
-        out_rows.append((r, n_before - n_remaining, n_remaining))
-        cur.unpersist()
-        keep.unpersist()
-        cur = nxt
-        n_before = n_remaining
-    cur.unpersist()
-    return spark.createDataFrame(
-        out_rows, "round int, n_removed long, n_remaining long")
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        gens.append(cur.join(keep, "u")
+                    .join(keep.select(F.col("u").alias("v")), "v")
+                    .select("u", "v"))
+    counts = None
+    for i, g in enumerate(gens):
+        row = g.agg(F.count_distinct("u").alias("n_remaining")) \
+            .select(F.lit(i).alias("round"), "n_remaining")
+        counts = row if counts is None else counts.union(row)
+    # 4-row frame: the unpartitioned lag window is trivially fine
+    w = Window.orderBy("round")
+    out = (counts
+           .withColumn("n_removed",
+                       F.lag("n_remaining").over(w)
+                       - F.col("n_remaining"))
+           .filter(F.col("round") >= 1)
+           .select(F.col("round").cast("int").alias("round"),
+                   "n_removed", "n_remaining")
+           .orderBy("round")
+           .persist())
+    out.count()
+    und.unpersist()
+    return out
