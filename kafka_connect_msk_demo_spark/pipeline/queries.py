@@ -400,6 +400,22 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared quality-gate → exact-dedup → near-dup-removal chain
+    (all columns retained) feeding both `corpus_clean` and the full
+    `corpus_pipeline` census."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_analysis.quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(q.filter(F.col("quality") >= 0.45).select("doc_id"),
+                     "doc_id", "left_semi")
+    canon = dedup.exact_dedup(kept) \
+        .select(F.col("canonical_id").alias("doc_id"))
+    kept = kept.join(canon, "doc_id", "left_semi")
+    losers = dedup.jaccard_pairs(kept, 0.8) \
+        .select(F.col("d2").alias("doc_id")).distinct()
+    return kept.join(losers, "doc_id", "left_anti")
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning — the composition a real
     data pipeline runs, as ONE oracle-checked query:
@@ -412,16 +428,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage reuses the registered operators unchanged; the oracle
     composes their SQL twins, so the full pipeline, not just the
     stages, is hash-verified."""
-    docs = load_table(spark, sf_dir, "documents")
-    q = text_analysis.quality_score(docs).select("doc_id", "quality")
-    kept = docs.join(q.filter(F.col("quality") >= 0.45).select("doc_id"),
-                     "doc_id", "left_semi")
-    canon = dedup.exact_dedup(kept) \
-        .select(F.col("canonical_id").alias("doc_id"))
-    kept = kept.join(canon, "doc_id", "left_semi")
-    losers = dedup.jaccard_pairs(kept, 0.8) \
-        .select(F.col("d2").alias("doc_id")).distinct()
-    return (kept.join(losers, "doc_id", "left_anti")
+    return (_cleaned_docs(spark, sf_dir)
             .select("doc_id", "lang", "source", "n_chars")
             .orderBy("doc_id"))
 
@@ -464,6 +471,81 @@ SELECT doc_id, lang, source, n_chars
 FROM kept2
 WHERE doc_id NOT IN (SELECT doc_id FROM near)
 ORDER BY doc_id
+"""
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data retention pipeline as one oracle-checked
+    query — what a 100 TB pretraining run ships end-to-end:
+
+    1-3. quality gate -> exact dedup -> near-dup removal
+         (the `corpus_clean` chain, shared via `_cleaned_docs`);
+    4.   per-domain quota (<= 100 docs per source, deterministic
+         md5 rank — `selection.domain_cap`);
+    5.   final mixture census: per-source retained docs + token budget.
+
+    Every stage is the registered operator unchanged; the oracle
+    composes their SQL twins, so the whole retention decision — not
+    just the stages — is hash-verified."""
+    from .selection import domain_cap
+    from .textprep import tokens
+    cleaned = _cleaned_docs(spark, sf_dir)
+    capped_ids = domain_cap(cleaned, "source", "doc_id", cap=100) \
+        .select("doc_id")
+    final = cleaned.join(capped_ids, "doc_id", "left_semi")
+    return (final.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(tokens("text"))).cast("long")
+                 .alias("n_tokens"))
+            .orderBy("source"))
+
+
+_SQL_CORPUS_PIPELINE = f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS low,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         0.4 * (least(len(t), 64)::DOUBLE / 64.0)
+           + 0.3 * (1.0 - len(regexp_extract_all(low,
+                 '{text_analysis.PUNCT_RE}'))::DOUBLE / length(low))
+           + 0.3 * least(len(list_filter(t, x -> x IN ({_STOP_SQL})))::DOUBLE
+                         / len(t) * 5.0, 1.0) AS quality
+  FROM base
+), kept1 AS (
+  SELECT d.* FROM documents d
+  JOIN m ON d.doc_id = m.doc_id AND m.quality >= 0.45
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept1
+  GROUP BY md5(lower(trim(text)))
+), kept2 AS (
+  SELECT k.* FROM kept1 k JOIN canon c ON k.doc_id = c.doc_id
+), {duckdb_shingle_cte(3, rel="kept2")},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT d2 AS doc_id
+  FROM pairs
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+), clean AS (
+  SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+), capped AS (
+  SELECT * FROM (
+    SELECT clean.*, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM clean) WHERE rk <= 100
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+         AS n_tokens
+FROM capped GROUP BY source ORDER BY source
 """
 
 
@@ -2144,4 +2226,5 @@ PIPELINE_QUERIES: dict = {
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "kcore_peel": (q_kcore_peel, _SQL_KCORE_PEEL),
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
+    "corpus_pipeline": (q_corpus_pipeline, _SQL_CORPUS_PIPELINE),
 }
