@@ -295,6 +295,44 @@ ORDER BY user_id, event_type
 """
 
 
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling z-score anomaly detection
+    (streaming/stateful.py rolling_anomaly_stream): bounded per-user
+    state (last 20 quantized values) folded across real micro-batches;
+    emissions are final anomaly verdicts, bit-identical to the batch
+    operator — the shared integer-exact oracle checks exactly that."""
+    from .stateful import rolling_anomaly_stream
+
+    events = stream_table(spark, sf_dir, "events",
+                          max_files_per_trigger=1)
+    drained = run_to_memory(rolling_anomaly_stream(events), "update")
+    return drained.orderBy("user_id", "event_id")
+
+
+#: same integer predicate as the batch rolling_anomaly oracle
+_SQL_STREAM_ANOMALY = """
+WITH q AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 10000) AS BIGINT) AS v_q
+  FROM events
+), w AS (
+  SELECT user_id, event_id, v_q,
+         CAST(COUNT(v_q) OVER win AS BIGINT) AS n_w,
+         CAST(SUM(v_q) OVER win AS BIGINT) AS s_w,
+         CAST(SUM(v_q * v_q) OVER win AS BIGINT) AS ss_w
+  FROM q
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, v_q, n_w, s_w
+FROM w
+WHERE n_w >= 8
+  AND (n_w * v_q - s_w) * (n_w * v_q - s_w)
+      > 4 * (n_w * ss_w - s_w * s_w)
+ORDER BY user_id, event_id
+"""
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -307,4 +345,5 @@ STREAMING_QUERIES = {
     "stream_stream_join": (stream_stream_join, _SQL_STREAM_STREAM_JOIN),
     "stream_session_agg": (stream_session_agg, _SQL_STREAM_SESSION_AGG),
     "stream_dedup_keys": (stream_dedup_keys, _SQL_STREAM_DEDUP_KEYS),
+    "stream_anomaly": (stream_anomaly, _SQL_STREAM_ANOMALY),
 }

@@ -85,3 +85,64 @@ def latest_emission(df: DataFrame, key: str = "user_id",
     w = Window.partitionBy(key).orderBy(F.col(monotone).desc())
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+ANOMALY_STATE_SCHEMA = "vals array<bigint>"
+ANOMALY_OUTPUT_SCHEMA = ("user_id bigint, event_id bigint, v_q bigint, "
+                         "n_w bigint, s_w bigint")
+
+
+def rolling_anomaly_stream(stream: DataFrame, lookback: int = 20,
+                           k: int = 2, scale: int = 10_000,
+                           min_obs: int = 8,
+                           key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           value_col: str = "value") -> DataFrame:
+    """Streaming twin of ``operators/temporal.rolling_zscore_anomalies``
+    — the same all-int64 trailing-window test, maintained in BOUNDED
+    per-key state (the last ``lookback`` quantized values, nothing
+    else) across micro-batches.
+
+    Emission is final, not reconciled: a row's flag depends only on
+    its own prefix of the per-key series, and each event is delivered
+    exactly once per drain, so every emitted row is an anomaly verdict
+    identical to the batch operator's — which is what the shared
+    oracle checks. Cross-batch order holds because the staged stream
+    chunks are event-time-ordered (catalog.STREAM_CHUNKS); within a
+    batch, rows are sorted by (ts, id) before folding.
+    """
+    wire = stream.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.unix_micros(ts_col).alias("us"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.floor(F.col(value_col) * F.lit(float(scale)))
+        .cast("long").alias("v_q"))
+    kk = k * k
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        vals = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for eid, vq in zip(pdf["event_id"], pdf["v_q"]):
+                vq = int(vq)
+                vals.append(vq)
+                if len(vals) > lookback:
+                    vals.pop(0)
+                n = len(vals)
+                s = sum(vals)
+                ss = sum(x * x for x in vals)
+                dev = n * vq - s
+                if n >= min_obs and dev * dev > kk * (n * ss - s * s):
+                    out.append((key[0], eid, vq, n, s))
+        state.update((vals,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "v_q", "n_w", "s_w"])
+
+    return (wire.groupBy("user_id")
+            .applyInPandasWithState(update, ANOMALY_OUTPUT_SCHEMA,
+                                    ANOMALY_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -106,3 +106,33 @@ def test_session_windows_merge_across_batches(spark, sf_small):
                                         "n_events").collect())) == \
         sorted(map(tuple, truth.select("user_id", "s_us", "e_us",
                                        "n_events").collect()))
+
+
+def test_rolling_anomaly_stream_spans_batches_and_matches_batch(
+        spark, sf_small):
+    """The streaming anomaly detector must fold its bounded state
+    across >=3 real micro-batches and emit EXACTLY the batch
+    operator's flag set — same rows, same integer diagnostics."""
+    from kafka_connect_msk_demo_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+    from kafka_connect_msk_demo_spark.streaming.stateful import (
+        rolling_anomaly_stream,
+    )
+
+    events = stream_table(spark, sf_small, "events",
+                          max_files_per_trigger=1)
+    progress: list = []
+    drained = run_to_memory(rolling_anomaly_stream(events), "update",
+                            collect_progress=progress)
+    data_batches = [p for p in progress if _input_rows(p) > 0]
+    assert len(data_batches) >= min(3, STREAM_CHUNKS)
+
+    got = {(r.user_id, r.event_id, r.v_q, r.n_w, r.s_w)
+           for r in drained.collect()}
+    batch = rolling_zscore_anomalies(
+        load_table(spark, sf_small, "events"),
+        "user_id", ["ts", "event_id"], "value")
+    want = {(r.user_id, r.event_id, r.v_q, r.n_w, r.s_w)
+            for r in batch.collect()}
+    assert got == want and want
