@@ -78,3 +78,39 @@ def limit_offset(df: DataFrame, order_cols: list[Column], limit: int,
     if offset == 0:
         return df.orderBy(*order_cols).limit(limit)
     return df.orderBy(*order_cols).offset(offset).limit(limit)
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str,
+               order_col: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows where no other row is >= on
+    BOTH dimensions with at least one strictly greater — "best
+    customers" / "best offers" style queries.
+
+    Two phases, neither quadratic:
+
+    1. per-x reduction — only the max-y row per x value can be on the
+       frontier (same x, lower y is dominated); ties on (x, y) keep
+       the min ``order_col`` as the deterministic representative.
+       One hash aggregate, shuffle key = x.
+    2. frontier scan over the reduced set — sorted by x DESC, a row
+       survives iff its y strictly exceeds the running y-max of all
+       earlier (higher-x) rows. The window input is one row per
+       DISTINCT x, so the unpartitioned running max is over the
+       reduced set, not the corpus; with a continuous x, swap phase 2
+       for per-range local frontiers + a frontier-of-frontiers merge.
+
+    The SQL twin keeps the NOT-EXISTS dominance form — quadratic but
+    unambiguous — exactly the cross-check a clever-plan operator needs.
+    """
+    best = (df.groupBy(x_col)
+            .agg(F.max(F.struct(F.col(y_col).alias("y"),
+                                (-F.col(order_col)).alias("no")))
+                 .alias("m"))
+            .select(x_col, F.col("m.y").alias(y_col),
+                    (-F.col("m.no")).alias(order_col)))
+    w = (Window.orderBy(F.col(x_col).desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (best.withColumn("_pm", F.max(y_col).over(w))
+            .filter(F.col("_pm").isNull() | (F.col(y_col) > F.col("_pm")))
+            .drop("_pm")
+            .orderBy(F.col(x_col).desc()))

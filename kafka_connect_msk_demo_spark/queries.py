@@ -1197,6 +1197,88 @@ FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier customers over (order count, exact-decimal total
+    spend) — operators/relational.py skyline_2d: per-x max-y reduction
+    + a frontier scan over the reduced set, O(n log n) vs the oracle's
+    quadratic NOT-EXISTS dominance check."""
+    from .operators.aggregates import dec
+    from .operators.relational import skyline_2d
+    orders = load_table(spark, sf_dir, "orders")
+    per = (orders.groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum(dec("o_totalprice", 25, 8)).cast("double")
+                .alias("spend")))
+    return skyline_2d(per, "n_orders", "spend", "o_custkey")
+
+
+_SQL_SKYLINE_CUSTOMERS = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+           AS spend
+  FROM orders GROUP BY 1
+)
+SELECT n_orders, spend, o_custkey
+FROM per p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per q
+  WHERE q.n_orders >= p.n_orders AND q.spend >= p.spend
+    AND (q.n_orders > p.n_orders OR q.spend > p.spend
+         OR (q.n_orders = p.n_orders AND q.spend = p.spend
+             AND q.o_custkey < p.o_custkey))
+)
+ORDER BY n_orders DESC
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud/data-entry
+    anomaly screen: per leading digit, observed count and share next
+    to the Benford expectation log10(1 + 1/d). Digit extraction is
+    floor -> int64 -> string (identical on any engine — no log10 of
+    data values anywhere; the expectations are shared literals)."""
+    import math
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (orders
+              .select(F.substring(F.floor("o_totalprice").cast("string"),
+                                  1, 1).alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.agg(F.sum("n").alias("tot"))
+    exp = spark.createDataFrame(
+        [(str(i), math.log10(1 + 1 / i)) for i in range(1, 10)],
+        "digit string, benford double")
+    share = F.col("n").cast("double") / F.col("tot")
+    return (counts.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(exp), "digit")
+            .select("digit", "n", share.alias("share"), "benford",
+                    (share - F.col("benford")).alias("dev"))
+            .orderBy("digit"))
+
+
+def _sql_benford_audit() -> str:
+    import math
+    vals = ", ".join(f"('{i}', {math.log10(1 + 1 / i)!r})"
+                     for i in range(1, 10))
+    return f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit
+  FROM orders
+), c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+e(digit, benford) AS (VALUES {vals})
+SELECT c.digit AS digit, n,
+       CAST(n AS DOUBLE) / tot AS share, benford,
+       CAST(n AS DOUBLE) / tot - benford AS dev
+FROM c CROSS JOIN t JOIN e USING (digit)
+ORDER BY digit
+"""
+
+
+_SQL_BENFORD_AUDIT = _sql_benford_audit()
+
+
 _SQL_INCREMENTAL_AGG = """
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
@@ -2079,6 +2161,8 @@ BATCH_QUERIES = {
     "activity_islands": (q_activity_islands, _SQL_ACTIVITY_ISLANDS),
     "weighted_median": (q_weighted_median, _SQL_WEIGHTED_MEDIAN),
     "equidepth_bins": (q_equidepth_bins, _SQL_EQUIDEPTH_BINS),
+    "skyline_customers": (q_skyline_customers, _SQL_SKYLINE_CUSTOMERS),
+    "benford_audit": (q_benford_audit, _SQL_BENFORD_AUDIT),
 }
 
 # ---------------------------------------------------------------------------

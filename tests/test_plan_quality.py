@@ -33,12 +33,14 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 #: the ONE-ROW total-token frame (scalar-subquery plan, like tfidf)
 #: cms_counts broadcasts the same ONE-ROW total-token frame as
 #: heavy_hitters (probe-set threshold — scalar-subquery plan);
-#: triangle_count cross-joins four ONE-ROW census aggregates
+#: triangle_count cross-joins four ONE-ROW census aggregates;
+#: benford_audit cross-joins the ONE-ROW grand-total frame
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
                 "fuzzy_match", "knn_classify", "bm25_topk",
                 "dsir_select", "semdedup", "heavy_hitters",
-                "mix_allocation", "cms_counts", "triangle_count"}
+                "mix_allocation", "cms_counts", "triangle_count",
+                "benford_audit"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

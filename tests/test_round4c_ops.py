@@ -464,3 +464,60 @@ def test_bpe_merges_ignores_single_char_tokens(spark):
     out = {r.pair: r.cnt for r in
            bpe_merge_candidates(docs, top=10).collect()}
     assert out == {"xy": 1}
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_hand_computed(spark):
+    """Points (1,10) (2,9) (2,8) (3,5) (0,20): frontier is
+    (3,5), (2,9), (1,10), (0,20); the (2,8) point is dominated by
+    (2,9)."""
+    from kafka_connect_msk_demo_spark.operators.relational import (
+        skyline_2d,
+    )
+    pts = [(1, 10.0, 1), (2, 9.0, 2), (2, 8.0, 3), (3, 5.0, 4),
+           (0, 20.0, 5)]
+    df = spark.createDataFrame(pts, "x long, y double, id long")
+    out = [(r.x, r.y) for r in skyline_2d(df, "x", "y", "id").collect()]
+    assert out == [(3, 5.0), (2, 9.0), (1, 10.0), (0, 20.0)]
+
+
+def test_skyline_duplicate_point_keeps_one_representative(spark):
+    from kafka_connect_msk_demo_spark.operators.relational import (
+        skyline_2d,
+    )
+    pts = [(5, 5.0, 9), (5, 5.0, 2), (1, 1.0, 3)]
+    df = spark.createDataFrame(pts, "x long, y double, id long")
+    out = skyline_2d(df, "x", "y", "id").collect()
+    assert [(r.x, r.y, r.id) for r in out] == [(5, 5.0, 2)]
+
+
+def test_skyline_dominated_interior_dropped(spark):
+    from kafka_connect_msk_demo_spark.operators.relational import (
+        skyline_2d,
+    )
+    pts = [(10, 10.0, 1), (5, 5.0, 2), (1, 20.0, 3)]
+    df = spark.createDataFrame(pts, "x long, y double, id long")
+    out = {(r.x, r.y) for r in skyline_2d(df, "x", "y", "id").collect()}
+    assert out == {(10, 10.0), (1, 20.0)}
+
+
+# ---------------------------------------------------------------------------
+# Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_counts_and_shares(spark, sf_small):
+    import math
+
+    from kafka_connect_msk_demo_spark.queries import q_benford_audit
+    rows = q_benford_audit(spark, sf_small).collect()
+    assert {r.digit for r in rows} <= {str(d) for d in range(1, 10)}
+    total = sum(r.n for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.benford == math.log10(1 + 1 / int(r.digit))
+        assert abs(r.dev - (r.n / total - r.benford)) < 1e-12
