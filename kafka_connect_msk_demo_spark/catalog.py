@@ -196,6 +196,15 @@ _TS_COLUMNS: dict[str, dict[str, str]] = {
     "events": {"ts": "ns"},
 }
 
+#: deterministic id tiebreaks for the stream-staging sort (see
+#: _stream_dir): tied event times must land in the same total order a
+#: batch (ts, id)-ordered window uses
+_STREAM_TIEBREAK: dict[str, tuple[str, ...]] = {
+    "events": ("event_id",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+}
+
 #: explicit read schemas (timestamps as LongType) for tables that have them
 _RAW_FIELDS: dict[str, list[tuple[str, T.DataType]]] = {
     "orders": [("o_orderkey", T.LongType()), ("o_custkey", T.LongType()),
@@ -342,7 +351,9 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     os.makedirs(d, exist_ok=True)
     target = f"{sf_dir}/{name}.parquet"
     st = os.stat(target)
-    stamp = f"{st.st_mtime_ns}:{st.st_size}:{chunks}"
+    # v2: composite (ts, id) staging order — bump on layout changes so
+    # previously staged dirs restage instead of serving the old order
+    stamp = f"{st.st_mtime_ns}:{st.st_size}:{chunks}:v2"
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -354,7 +365,16 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     t = pq.read_table(target)
     order_col = next(iter(_TS_COLUMNS.get(name, {})), None)
     if order_col is not None:
-        t = t.sort_by(order_col)
+        # composite (ts, id) order: a ts-only stable sort preserves the
+        # FILE order of tied-ts rows, so a chunk boundary between two
+        # tied rows with out-of-order ids would deliver them to
+        # stateful operators in a different order than a batch
+        # (ts, id)-ordered window sees — the id tiebreak pins both
+        # sides to the same total order
+        tiebreak = [c for c in _STREAM_TIEBREAK.get(name, ())
+                    if c in t.column_names]
+        t = t.sort_by([(order_col, "ascending")]
+                      + [(c, "ascending") for c in tiebreak])
     n = max(1, min(chunks, t.num_rows or 1))
     step = -(-max(t.num_rows, 1) // n)
     for i in range(n):

@@ -289,3 +289,30 @@ def activity_islands(df: DataFrame, key_col: str, ts_col: str
                  F.count(F.lit(1)).alias("n_islands"),
                  F.max("run_len").alias("longest_run"))
             .orderBy(key_col))
+
+
+#: DuckDB twin of :func:`rolling_zscore_anomalies` with the registered
+#: parameters (lookback=20, k=2, scale=1e4, min_obs=8) on the events
+#: table — ONE source of truth shared by the batch query and the
+#: streaming stateful twin (their outputs are defined to be identical).
+ROLLING_ANOMALY_ORACLE_SQL = """
+WITH q AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 10000) AS BIGINT) AS v_q
+  FROM events
+), w AS (
+  SELECT user_id, event_id, v_q,
+         CAST(COUNT(v_q) OVER win AS BIGINT) AS n_w,
+         CAST(SUM(v_q) OVER win AS BIGINT) AS s_w,
+         CAST(SUM(v_q * v_q) OVER win AS BIGINT) AS ss_w
+  FROM q
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, v_q, n_w, s_w
+FROM w
+WHERE n_w >= 8
+  AND (n_w * v_q - s_w) * (n_w * v_q - s_w)
+      > 4 * (n_w * ss_w - s_w * s_w)
+ORDER BY user_id, event_id
+"""

@@ -187,13 +187,12 @@ def minhash_band_buckets(sh: DataFrame, num_hashes: int = 128,
 
     rows = num_hashes // bands
 
-    def _seed(tag: str, i: int) -> int:
-        return int.from_bytes(
-            _hl.sha256(f"minhash:{tag}:{i}".encode()).digest()[:8], "big")
-
-    mult = np.array([_seed("a", i) | 1 for i in range(num_hashes)],
+    # ONE hash family for banding and for full signatures: both draw
+    # from module-level minhash_seed, so minhash_signatures' estimates
+    # describe exactly the family the band buckets hashed
+    mult = np.array([minhash_seed("a", i) | 1 for i in range(num_hashes)],
                     dtype=np.uint64)
-    add = np.array([_seed("b", i) for i in range(num_hashes)],
+    add = np.array([minhash_seed("b", i) for i in range(num_hashes)],
                    dtype=np.uint64)
 
     def kernel(pdfs):

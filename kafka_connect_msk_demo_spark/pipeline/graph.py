@@ -126,6 +126,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     (u, w) pair). All equi-joins; deterministic orientation makes the
     census engine-replayable.
     """
+    # the census references `edges` five times (und x2 via deg legs,
+    # the orientation, the final node count); cache the input so an
+    # expensive upstream derivation (copart: distinct + self-join) is
+    # computed once — same discipline as kcore_peel
+    edges = edges.persist()
     und = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -161,6 +166,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
            ).persist()
     out.count()
     oriented.unpersist()
+    edges.unpersist()
     return out
 
 

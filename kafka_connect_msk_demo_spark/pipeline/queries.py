@@ -433,7 +433,11 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-_SQL_CORPUS_CLEAN = f"""
+#: shared WITH-clause prefix — the quality → exact-dedup → near-dup
+#: chain, ending with the `near` CTE; ONE source of truth for both
+#: corpus twins (thresholds edited here change both oracles together,
+#: mirroring the shared `_cleaned_docs` on the Spark side)
+_SQL_CLEAN_CHAIN = f"""
 WITH base AS (
   SELECT doc_id, lower(trim(text)) AS low,
          string_split(lower(trim(text)), ' ') AS t
@@ -466,7 +470,9 @@ pairs AS (
   JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
   JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
   WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
-)
+)"""
+
+_SQL_CORPUS_CLEAN = _SQL_CLEAN_CHAIN + """
 SELECT doc_id, lang, source, n_chars
 FROM kept2
 WHERE doc_id NOT IN (SELECT doc_id FROM near)
@@ -490,9 +496,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .selection import domain_cap
     from .textprep import tokens
     cleaned = _cleaned_docs(spark, sf_dir)
-    capped_ids = domain_cap(cleaned, "source", "doc_id", cap=100) \
-        .select("doc_id")
-    final = cleaned.join(capped_ids, "doc_id", "left_semi")
+    # full_rows keeps one lineage: the expensive cleaning chain
+    # (shingle self-join) is referenced once, not re-joined against
+    # its own capped-id projection
+    final = domain_cap(cleaned, "source", "doc_id", cap=100,
+                       full_rows=True)
     return (final.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.size(tokens("text"))).cast("long")
@@ -500,40 +508,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
-_SQL_CORPUS_PIPELINE = f"""
-WITH base AS (
-  SELECT doc_id, lower(trim(text)) AS low,
-         string_split(lower(trim(text)), ' ') AS t
-  FROM documents
-), m AS (
-  SELECT doc_id,
-         0.4 * (least(len(t), 64)::DOUBLE / 64.0)
-           + 0.3 * (1.0 - len(regexp_extract_all(low,
-                 '{text_analysis.PUNCT_RE}'))::DOUBLE / length(low))
-           + 0.3 * least(len(list_filter(t, x -> x IN ({_STOP_SQL})))::DOUBLE
-                         / len(t) * 5.0, 1.0) AS quality
-  FROM base
-), kept1 AS (
-  SELECT d.* FROM documents d
-  JOIN m ON d.doc_id = m.doc_id AND m.quality >= 0.45
-), canon AS (
-  SELECT MIN(doc_id) AS doc_id FROM kept1
-  GROUP BY md5(lower(trim(text)))
-), kept2 AS (
-  SELECT k.* FROM kept1 k JOIN canon c ON k.doc_id = c.doc_id
-), {duckdb_shingle_cte(3, rel="kept2")},
-ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-pairs AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), near AS (
-  SELECT DISTINCT d2 AS doc_id
-  FROM pairs
-  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
-  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
-  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
-), clean AS (
+_SQL_CORPUS_PIPELINE = _SQL_CLEAN_CHAIN + """, clean AS (
   SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM near)
 ), capped AS (
   SELECT * FROM (
@@ -1797,7 +1772,10 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(F.explode(tokens("text")).alias("w"))
     exact = ex.groupBy("w").agg(F.count(F.lit(1)).alias("cnt_exact"))
-    tot = ex.agg(F.count(F.lit(1)).alias("n_total"))
+    # total from the per-word counts — not a third corpus explode
+    # (same fix heavy_hitters got: the sum over the grouped frame is
+    # exactly the token total)
+    tot = exact.agg(F.sum("cnt_exact").alias("n_total"))
     probes = (exact.crossJoin(F.broadcast(tot))
               .filter(F.col("cnt_exact") * 200 >= F.col("n_total"))
               .select("w", "cnt_exact"))

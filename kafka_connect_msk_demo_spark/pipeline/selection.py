@@ -148,7 +148,7 @@ def mix_allocation(docs: DataFrame, budget_num: int = 1,
 
 def domain_cap(docs: DataFrame, group_col: str = "source",
                id_col: str = "doc_id", cap: int = 100,
-               salt: str = "cap") -> DataFrame:
+               salt: str = "cap", full_rows: bool = False) -> DataFrame:
     """Per-domain document cap — keep at most ``cap`` documents per
     ``group_col``, chosen by deterministic hash rank (the per-domain
     quota step every web-scale pretraining pipeline runs so no single
@@ -165,11 +165,18 @@ def domain_cap(docs: DataFrame, group_col: str = "source",
     mega-domain sorts on one executor; for those, pre-filter with a
     cheap ``pmod(hash) < p`` gate sized from domain counts so only
     ~cap survivors per domain reach the exact window.
+
+    ``full_rows=True`` keeps every input column on the survivors (one
+    lineage — composites avoid re-joining the capped ids back against
+    the same upstream plan twice); the default returns the compact
+    (group, id, rank) selection.
     """
     r = F.md5(F.concat_ws(":", F.lit(salt),
                           F.col(id_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(r, id_col)
-    return (docs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= cap)
-            .select(group_col, id_col, "rk")
+    capped = (docs.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= cap))
+    if full_rows:
+        return capped
+    return (capped.select(group_col, id_col, "rk")
             .orderBy(group_col, id_col))

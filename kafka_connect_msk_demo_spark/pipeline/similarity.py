@@ -256,30 +256,50 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     key (tbl, bucket) is the shuffle key; nothing quadratic. Tuning
     nbits up / tables down trades recall for candidate volume at
     100 TB."""
-    spark = vectors.sparkSession
-    data = lsh_buckets(
+    cand = (_lsh_probe_candidates(
         vectors.select(F.col(id_col).alias("vec_id"),
-                       as_double(vec_col).alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism),
-        "v", nbits, dim, tables)
-    q = lsh_buckets(
+                       as_double(vec_col).alias("v")),
         queries.select("q_id", as_double("q_vec").alias("q_vec")),
-        "q_vec", nbits, dim, tables) \
+        nbits, dim, tables)
+        .filter(F.col("vec_id") != F.col("q_id")))
+    return _rerank_topk(cand, k, dim)
+
+
+def _lsh_probe_candidates(data_src: DataFrame, q_src: DataFrame,
+                          nbits: int, dim: int,
+                          tables: int) -> DataFrame:
+    """Shared multi-table LSH + 1-bit-multiprobe candidate generator:
+    bucket both sides through the SAME plane kernel, probe each query
+    bucket plus every single-bit flip, equi-join on (tbl, bucket), and
+    dedup collisions to one row per (q_id, vec_id). ``data_src`` must
+    carry (vec_id, v, ...), ``q_src`` (q_id, q_vec, ...); extra columns
+    ride along — the one probe scheme serves ann_topk AND
+    hard_negative_topk, so tuning changes cannot drift between them."""
+    spark = data_src.sparkSession
+    data = lsh_buckets(
+        data_src.repartition(spark.sparkContext.defaultParallelism),
+        "v", nbits, dim, tables)
+    q = lsh_buckets(q_src, "q_vec", nbits, dim, tables) \
         .withColumnRenamed("bucket", "qb")
     probes = q.select(
-        "q_id", "q_vec", "tbl",
+        *q_src.columns, "tbl",
         F.explode(F.array(
             F.col("qb"),
             *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
         )).alias("bucket"))
-    cand = (data.join(F.broadcast(probes), ["tbl", "bucket"])
-            .select("q_id", "q_vec", "vec_id", "v")
+    return (data.join(F.broadcast(probes), ["tbl", "bucket"])
+            .drop("tbl", "bucket")
             # a pair can collide in several tables/probes
-            .dropDuplicates(["q_id", "vec_id"])
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .withColumn("cos", cosine(F.col("q_vec"), F.col("v"), dim)))
+            .dropDuplicates(["q_id", "vec_id"]))
+
+
+def _rerank_topk(cand: DataFrame, k: int, dim: int) -> DataFrame:
+    """Exact-cosine rerank + per-query top-k of a candidate frame
+    carrying (q_id, q_vec, vec_id, v)."""
+    scored = cand.withColumn("cos",
+                             cosine(F.col("q_vec"), F.col("v"), dim))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "vec_id", "cos", "rank")
             .orderBy("q_id", "rank"))
@@ -614,34 +634,17 @@ def hard_negative_topk(vectors: DataFrame, k: int = 5, nbits: int = 6,
     applied to candidates BEFORE the rank window, so the k survivors
     are the best different-label matches, not a post-filtered rump.
     Self-matches fall out for free (same label). Fully
-    oracle-replayable for the same reason ann_topk is.
+    oracle-replayable for the same reason ann_topk is — it shares
+    :func:`_lsh_probe_candidates` and :func:`_rerank_topk` with
+    ann_topk verbatim, plus the label constraint.
     """
-    spark = vectors.sparkSession
-    data = lsh_buckets(
-        vectors.select(F.col(id_col).alias("vec_id"),
-                       as_double(vec_col).alias("v"),
-                       F.col(label_col).alias("lbl"))
-        .repartition(spark.sparkContext.defaultParallelism),
-        "v", nbits, dim, tables)
-    qsrc = vectors.filter(F.col(id_col) % mod == 0).select(
+    data_src = vectors.select(F.col(id_col).alias("vec_id"),
+                              as_double(vec_col).alias("v"),
+                              F.col(label_col).alias("lbl"))
+    q_src = vectors.filter(F.col(id_col) % mod == 0).select(
         F.col(id_col).alias("q_id"),
         as_double(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_lbl"))
-    q = lsh_buckets(qsrc, "q_vec", nbits, dim, tables) \
-        .withColumnRenamed("bucket", "qb")
-    probes = q.select(
-        "q_id", "q_vec", "q_lbl", "tbl",
-        F.explode(F.array(
-            F.col("qb"),
-            *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
-        )).alias("bucket"))
-    cand = (data.join(F.broadcast(probes), ["tbl", "bucket"])
-            .filter(F.col("lbl") != F.col("q_lbl"))
-            .select("q_id", "q_vec", "vec_id", "v")
-            .dropDuplicates(["q_id", "vec_id"])
-            .withColumn("cos", cosine(F.col("q_vec"), F.col("v"), dim)))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "vec_id", "cos", "rank")
-            .orderBy("q_id", "rank"))
+    cand = (_lsh_probe_candidates(data_src, q_src, nbits, dim, tables)
+            .filter(F.col("lbl") != F.col("q_lbl")))
+    return _rerank_topk(cand, k, dim)

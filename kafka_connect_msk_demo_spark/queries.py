@@ -1081,30 +1081,12 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return rolling_zscore_anomalies(
         events, "user_id", ["ts", "event_id"], "value",
-        lookback=20, k=2, scale=10_000, min_obs=8).drop("ts")
+        lookback=20, k=2, scale=10_000, min_obs=8) \
+        .drop("ts").orderBy("user_id", "event_id")
 
 
-_SQL_ROLLING_ANOMALY = """
-WITH q AS (
-  SELECT user_id, event_id, ts,
-         CAST(floor(value * 10000) AS BIGINT) AS v_q
-  FROM events
-), w AS (
-  SELECT user_id, event_id, v_q,
-         CAST(COUNT(v_q) OVER win AS BIGINT) AS n_w,
-         CAST(SUM(v_q) OVER win AS BIGINT) AS s_w,
-         CAST(SUM(v_q * v_q) OVER win AS BIGINT) AS ss_w
-  FROM q
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-)
-SELECT user_id, event_id, v_q, n_w, s_w
-FROM w
-WHERE n_w >= 8
-  AND (n_w * v_q - s_w) * (n_w * v_q - s_w)
-      > 4 * (n_w * ss_w - s_w * s_w)
-ORDER BY user_id, event_id
-"""
+from .operators.temporal import \
+    ROLLING_ANOMALY_ORACLE_SQL as _SQL_ROLLING_ANOMALY  # noqa: E402
 
 
 def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -521,3 +521,31 @@ def test_benford_counts_and_shares(spark, sf_small):
     for r in rows:
         assert r.benford == math.log10(1 + 1 / int(r.digit))
         assert abs(r.dev - (r.n / total - r.benford)) < 1e-12
+
+
+def test_band_buckets_digest_the_signature_slices(spark):
+    """minhash_band_buckets and minhash_signatures must draw the SAME
+    hash family (shared minhash_seed): every band bucket equals the
+    md5-prefix digest of the corresponding signature slice."""
+    import hashlib
+
+    import numpy as np
+
+    from kafka_connect_msk_demo_spark.pipeline.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+    from kafka_connect_msk_demo_spark.pipeline.textprep import doc_shingles
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    sh = doc_shingles(docs)
+    sigs = {r.doc_id: np.array(r.sig, dtype=np.int64).astype(np.uint64)
+            for r in minhash_signatures(sh, 128).collect()}
+    rows = 128 // 16
+    for r in minhash_band_buckets(sh, 128, 16).collect():
+        sl = sigs[r.doc_id][r.band * rows:(r.band + 1) * rows]
+        want = int.from_bytes(hashlib.md5(sl.tobytes()).digest()[:8],
+                              "big", signed=True)
+        assert r.bh == want
