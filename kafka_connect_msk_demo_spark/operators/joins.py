@@ -86,3 +86,45 @@ def anti_join_not_exists(df: DataFrame, keys: DataFrame, left_key: str,
     emit only probe misses — no null-aware fallback needed because the
     anti condition is a plain equality, not ``NOT IN``."""
     return df.join(keys, df[left_key] == keys[right_key], "left_anti")
+
+
+def bloom_semi_join(fact: DataFrame, dim_keys: DataFrame, key: str,
+                    bits: int = 1 << 16, hashes: int = 3,
+                    salt: str = "bloom") -> DataFrame:
+    """Semi join with an explicit Bloom pre-filter — the declarative
+    form of the runtime row-group filter a warehouse pushes to its
+    scans: the fact side is first reduced by a ``bits``-wide Bloom
+    membership test built from the dim keys, then verified with the
+    exact semi join, so the OUTPUT equals a plain left-semi join
+    (false positives are removed; the oracle is the plain semi join)
+    while the expensive exact-join shuffle sees only the pre-filtered
+    fraction.
+
+    All Bloom positions are deterministic md5 buckets, and the filter
+    is built WITHOUT driver state: dim positions (<= bits distinct
+    rows) broadcast into the position probe; a fact row survives when
+    all ``hashes`` of its positions hit. At 100 TB, bits scales to
+    keep the false-positive rate ~ (1-e^{-kn/m})^k manageable, and the
+    broadcast stays <= bits rows regardless of dim cardinality.
+    """
+    def positions(col):
+        return F.array(*[
+            F.pmod(F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"{salt}{i}"),
+                                  F.col(col).cast("string"))), 1, 12),
+                16, 10).cast("long"), F.lit(bits))
+            for i in range(hashes)])
+
+    dim_pos = (dim_keys.select(F.explode(positions(key)).alias("_p"))
+               .distinct())
+    # membership test on DISTINCT fact keys (narrow), not full rows:
+    # a key passes when all `hashes` positions hit the dim set
+    passing = (fact.select(key).distinct()
+               .withColumn("_p", F.explode(positions(key)))
+               .join(F.broadcast(dim_pos), "_p", "left_semi")
+               .groupBy(key)
+               .agg(F.count(F.lit(1)).alias("_nhit"))
+               .filter(F.col("_nhit") >= hashes)
+               .select(key))
+    return (fact.join(passing, key, "left_semi")
+            .join(dim_keys.select(key).distinct(), key, "left_semi"))

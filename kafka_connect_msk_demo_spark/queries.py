@@ -1261,6 +1261,118 @@ ORDER BY digit
 _SQL_BENFORD_AUDIT = _sql_benford_audit()
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/joins.py
+    bloom_semi_join): lineitem reduced by a 2^16-bit Bloom built from
+    high-value order keys, then exactly verified — output equals the
+    plain semi join (the oracle), the shuffle sees the filtered
+    fraction. Aggregated per return flag for a compact check."""
+    from .operators.aggregates import dec
+    from .operators.joins import bloom_semi_join
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    dim = (t["orders"].filter(F.col("o_totalprice") > 400000)
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    kept = bloom_semi_join(t["lineitem"], dim, "l_orderkey")
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+                 F.sum(dec("l_extendedprice", 25, 8)).cast("double")
+                 .alias("revenue"))
+            .orderBy("l_returnflag"))
+
+
+_SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 behavioral event-type trigrams: per user in (ts,
+    event_id) order, the 3-step paths users actually take — two lead
+    windows + a hash-agg, the path-mining primitive."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (events
+           .withColumn("e2", F.lead("event_type", 1).over(w))
+           .withColumn("e3", F.lead("event_type", 2).over(w))
+           .filter(F.col("e3").isNotNull()))
+    tri = F.concat_ws(">", "event_type", "e2", "e3")
+    return (seq.groupBy(tri.alias("trigram"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "trigram")
+            .limit(25))
+
+
+_SQL_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+       COUNT(*) AS cnt
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 25
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median absolute deviation
+    (two exact percentile passes), flag |v - med| > 3 * MAD — the
+    outlier screen that, unlike z-scores, a few extreme values cannot
+    drag. Exact percentiles share the `price_quantiles` interpolation
+    contract (quantile_cont semantics both engines)."""
+    events = load_table(spark, sf_dir, "events")
+    med = (events.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med")))
+    dev = (events.join(med, "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.max("med").alias("med"),
+                F.percentile("adev", F.lit(0.5)).alias("mad")))
+    flagged = (dev.drop("med").join(mad, "event_type")
+               .withColumn("is_out",
+                           F.abs(F.col("value") - F.col("med"))
+                           > F.lit(3.0) * F.col("mad")))
+    return (flagged.groupBy("event_type")
+            .agg(F.max("med").alias("med"), F.max("mad").alias("mad"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("is_out").cast("long")).alias("n_outliers"))
+            .orderBy("event_type"))
+
+
+_SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, MAX(med) AS med,
+         quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type AS event_type, MAX(a.med) AS med,
+       MAX(a.mad) AS mad, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN abs(d.value - a.med) > 3.0 * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM (SELECT event_type, value FROM events) d
+JOIN mad a USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _SQL_INCREMENTAL_AGG = """
 WITH final AS (
   SELECT CASE WHEN o_orderkey % 10 IN (1, 2) THEN 'U'
@@ -2145,6 +2257,9 @@ BATCH_QUERIES = {
     "equidepth_bins": (q_equidepth_bins, _SQL_EQUIDEPTH_BINS),
     "skyline_customers": (q_skyline_customers, _SQL_SKYLINE_CUSTOMERS),
     "benford_audit": (q_benford_audit, _SQL_BENFORD_AUDIT),
+    "bloom_semi_join": (q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
+    "event_trigrams": (q_event_trigrams, _SQL_EVENT_TRIGRAMS),
+    "mad_outliers": (q_mad_outliers, _SQL_MAD_OUTLIERS),
 }
 
 # ---------------------------------------------------------------------------

