@@ -64,7 +64,8 @@ HEADLINE = [
 #: + checkpoint restore dominate; they are correctness-gated instead).
 SKIP = {"cdc_upsert", "stream_anomaly", "stream_sales_by_type", "stream_windowed_by_type",
         "stream_enriched_windowed", "stream_running_user_stats",
-        "stream_stream_join", "stream_session_agg", "stream_dedup_keys"}
+        "stream_stream_join", "stream_session_agg", "stream_dedup_keys",
+        "stream_hll"}
 
 
 def _force(df) -> None:

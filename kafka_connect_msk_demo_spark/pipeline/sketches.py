@@ -158,6 +158,21 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str,
     many. The exact ``n_true`` join is the validation path; drop it in
     production.
     """
+    regs = (hll_register_rows(df, key_col, group_col, salt)
+            .groupBy(group_col, "reg")
+            .agg(F.max("rho").alias("max_rho")))
+    true = (df.filter(F.col(key_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.count_distinct(F.col(key_col)).alias("n_true")))
+    return hll_estimate(regs, true, group_col)
+
+
+def hll_register_rows(df: DataFrame, key_col: str, group_col: str,
+                      salt: str = "hll") -> DataFrame:
+    """(group, reg, rho) per input row — the pre-aggregate HLL wire
+    format. MAX(rho) per (group, reg) is the sketch state; it is
+    commutative/idempotent, so the same rows feed the batch hash-agg
+    and a streaming complete-mode aggregation identically."""
     h = F.conv(F.substring(
         F.md5(F.concat_ws(":", F.lit(salt),
                           F.col(key_col).cast("string"))), 1, 12),
@@ -165,14 +180,19 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str,
     src = (df.filter(F.col(key_col).isNotNull())
            .select(F.col(group_col), h.alias("h")))
     rem_mod = 1 << HLL_REM_BITS
-    d = (src.withColumn("reg", F.expr(f"h div {rem_mod}"))
-         .withColumn("rem", F.col("h") % F.lit(rem_mod))
-         .withColumn("rho", F.when(F.col("rem") == 0,
-                                   F.lit(HLL_REM_BITS + 1))
-                     .otherwise(F.lit(HLL_REM_BITS + 1)
-                                - F.length(F.bin(F.col("rem"))))))
-    regs = (d.groupBy(group_col, "reg")
-            .agg(F.max("rho").alias("max_rho")))
+    return (src.withColumn("reg", F.expr(f"h div {rem_mod}"))
+            .withColumn("rem", F.col("h") % F.lit(rem_mod))
+            .withColumn("rho", F.when(F.col("rem") == 0,
+                                      F.lit(HLL_REM_BITS + 1))
+                        .otherwise(F.lit(HLL_REM_BITS + 1)
+                                   - F.length(F.bin(F.col("rem")))))
+            .select(group_col, "reg", "rho"))
+
+
+def hll_estimate(regs: DataFrame, true: DataFrame,
+                 group_col: str) -> DataFrame:
+    """Finalize (group, reg, max_rho) register maxima into the raw HLL
+    estimate, joined with the exact count for error accounting."""
     per_group = (regs.groupBy(group_col)
                  .agg(F.count(F.lit(1)).alias("n_hit"),
                       F.sum(F.expr(
@@ -180,9 +200,6 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str,
                       )).alias("sum_pow")))
     denom = (F.col("sum_pow")
              + (F.lit(HLL_M) - F.col("n_hit")).cast("double"))
-    true = (df.filter(F.col(key_col).isNotNull())
-            .groupBy(group_col)
-            .agg(F.count_distinct(F.col(key_col)).alias("n_true")))
     return (per_group.join(true, group_col)
             .withColumn("est_raw",
                         F.lit(HLL_ALPHA * HLL_M * HLL_M) / denom)

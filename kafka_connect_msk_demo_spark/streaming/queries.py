@@ -315,6 +315,36 @@ from ..operators.temporal import \
     ROLLING_ANOMALY_ORACLE_SQL as _SQL_STREAM_ANOMALY  # noqa: E402
 
 
+def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: the register maxima (MAX rho per (group,
+    register)) run as a complete-mode streaming aggregation — HLL
+    state is commutative and idempotent, so micro-batch order cannot
+    change it — and the harmonic estimate + exact-count join finalize
+    batch-side on the drained sketch. Same oracle as the batch
+    `hll_distinct`: streaming the sketch must not move the estimate."""
+    from ..pipeline.sketches import hll_estimate, hll_register_rows
+
+    events = stream_table(spark, sf_dir, "events",
+                          max_files_per_trigger=1)
+    regs = (hll_register_rows(events, "user_id", "event_type")
+            .groupBy("event_type", "reg")
+            .agg(F.max("rho").alias("max_rho")))
+    drained = run_to_memory(regs, "complete")
+    true = (load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n_true")))
+    return hll_estimate(drained, true, "event_type")
+
+
+def _sql_stream_hll() -> str:
+    from ..pipeline.queries import _SQL_HLL_DISTINCT
+    return _SQL_HLL_DISTINCT
+
+
+_SQL_STREAM_HLL = _sql_stream_hll()
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -328,4 +358,5 @@ STREAMING_QUERIES = {
     "stream_session_agg": (stream_session_agg, _SQL_STREAM_SESSION_AGG),
     "stream_dedup_keys": (stream_dedup_keys, _SQL_STREAM_DEDUP_KEYS),
     "stream_anomaly": (stream_anomaly, _SQL_STREAM_ANOMALY),
+    "stream_hll": (stream_hll, _SQL_STREAM_HLL),
 }
