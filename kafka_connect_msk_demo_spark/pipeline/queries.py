@@ -2148,6 +2148,41 @@ FROM d GROUP BY dim ORDER BY dim
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining (pipeline/text_analysis.py
+    pmi_collocations): top-25 word bigrams by lift (rank-equivalent to
+    PMI, evaluated transcendental-free for cross-engine exactness) —
+    the multiword-expression detector of a phrase-vocab/tokenizer-prep
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.pmi_collocations(docs, k=25, min_count=5)
+
+
+_SQL_PMI_COLLOCATIONS = """
+WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS w
+           FROM documents),
+uni AS (SELECT unnest(w) AS tok FROM t),
+uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+n1t AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uc),
+bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t)),
+bgc AS (SELECT w1, w2, COUNT(*) AS cxy FROM bg GROUP BY 1, 2),
+n2t AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n2 FROM bgc)
+SELECT w1, w2, cxy AS pair_count,
+       (CAST(CAST(cxy AS DECIMAL(19,0))
+             * CAST(n1 AS DECIMAL(19,0)) AS DOUBLE)
+        / CAST(CAST(c1.c AS DECIMAL(19,0))
+               * CAST(c2.c AS DECIMAL(19,0)) AS DOUBLE))
+       * (CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS lift
+FROM bgc
+JOIN uc c1 ON bgc.w1 = c1.tok
+JOIN uc c2 ON bgc.w2 = c2.tok
+CROSS JOIN n1t CROSS JOIN n2t
+WHERE cxy >= 5
+ORDER BY lift DESC, w1, w2 LIMIT 25
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
@@ -2198,6 +2233,7 @@ PIPELINE_QUERIES: dict = {
     "hll_distinct": (q_hll_distinct, _SQL_HLL_DISTINCT),
     "domain_cap": (q_domain_cap, _SQL_DOMAIN_CAP),
     "embed_dim_stats": (q_embed_dim_stats, _SQL_EMBED_DIM_STATS),
+    "pmi_collocations": (q_pmi_collocations, _SQL_PMI_COLLOCATIONS),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),

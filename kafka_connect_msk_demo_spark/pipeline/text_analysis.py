@@ -435,6 +435,56 @@ def bigram_novelty(docs: DataFrame, k: int = 25,
             .limit(k))
 
 
+def pmi_collocations(docs: DataFrame, k: int = 25, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Top-``k`` word-bigram collocations by LIFT — corpus-level
+    multiword-expression mining (the "New York" / "machine learning"
+    detector in a tokenizer-prep or phrase-vocab pipeline).
+
+    lift = p(xy) / (p(x)·p(y)) = (c_xy / N₂) · N₁² / (c_x · c_y) with
+    unigram instance counts c and totals N₁ (unigrams), N₂ (bigrams).
+    Rank-equivalent to PMI = log₂(lift) — log is monotone — but unlike
+    a log it is evaluated WITHOUT transcendental functions whose last
+    bit differs across runtimes: two exact decimal(38,0) products, one
+    double division each, one double multiply, in a fixed order — every
+    step correctly rounded, so bit-identical to the DuckDB oracle.
+
+    Scale shape: one explode + hash-agg for unigram counts, one for
+    bigram counts (both map-side-combining on the gram key), two joins
+    of the bigram table against the vocabulary on w1/w2 — shuffle
+    joins, NOT forced broadcasts, because a web-corpus vocabulary runs
+    to billions of terms (AQE may still broadcast small ones) — and the
+    two one-row totals are broadcast. ``min_count`` prunes the bigram
+    table before the joins (low-count bigrams dominate the long tail
+    and produce degenerate lift estimates anyway).
+    """
+    toks = docs.select(tokens(text_col).alias("t"))
+    uni = toks.select(F.explode("t").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uc.agg(F.sum("c").alias("n1"))
+    pairs = toks.select(F.explode(F.expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+        " i -> struct(t[i] AS w1, t[i + 1] AS w2)) "
+        "ELSE array() END"
+    )).alias("p")).select("p.w1", "p.w2")
+    bgc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    n2 = bgc.agg(F.sum("cxy").alias("n2"))
+    c1 = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    c2 = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    dec = "decimal(19,0)"
+    num = (F.col("cxy").cast(dec) * F.col("n1").cast(dec)).cast("double")
+    den = (F.col("c1").cast(dec) * F.col("c2").cast(dec)).cast("double")
+    lift = ((num / den)
+            * (F.col("n1").cast("double") / F.col("n2").cast("double")))
+    return (bgc.filter(F.col("cxy") >= min_count)
+            .join(c1, "w1").join(c2, "w2")
+            .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+            .select("w1", "w2", F.col("cxy").alias("pair_count"),
+                    lift.alias("lift"))
+            .orderBy(F.col("lift").desc(), "w1", "w2")
+            .limit(k))
+
+
 def bpe_merge_candidates(docs: DataFrame, top: int = 25,
                          text_col: str = "text") -> DataFrame:
     """Round-0 BPE merge candidates: the corpus's most frequent

@@ -2189,6 +2189,39 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining (operators/basket.py): top-25
+    co-purchased part pairs by support with exact-arithmetic lift,
+    apriori-prefiltered before the per-order self-join. The association
+    mining a retailer runs over the same denormalized order feed the
+    reference streams through Kafka."""
+    from .operators.basket import copurchase_pairs
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_pairs(li, k=25, min_support=2)
+
+
+_SQL_COPURCHASE_PAIRS = """
+WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem),
+ifreq AS (SELECT part, COUNT(*) AS c_item FROM li GROUP BY 1),
+fli AS (SELECT okey, part, c_item FROM li JOIN ifreq USING (part)
+        WHERE c_item >= 2),
+pairs AS (
+  SELECT a.part AS p1, b.part AS p2, a.c_item AS c1, b.c_item AS c2
+  FROM fli a JOIN fli b ON a.okey = b.okey AND a.part < b.part),
+sup AS (SELECT p1, p2, c1, c2, COUNT(*) AS support
+        FROM pairs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li)
+SELECT p1, p2, support,
+       CAST(CAST(support AS DECIMAL(19,0))
+            * CAST(n_orders AS DECIMAL(19,0)) AS DOUBLE)
+       / CAST(CAST(c1 AS DECIMAL(19,0))
+              * CAST(c2 AS DECIMAL(19,0)) AS DOUBLE) AS lift
+FROM sup CROSS JOIN n
+ORDER BY support DESC, lift DESC, p1, p2 LIMIT 25
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_country_decimal": (q_sales_by_country_decimal,
@@ -2260,19 +2293,29 @@ BATCH_QUERIES = {
     "bloom_semi_join": (q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
     "event_trigrams": (q_event_trigrams, _SQL_EVENT_TRIGRAMS),
     "mad_outliers": (q_mad_outliers, _SQL_MAD_OUTLIERS),
+    "copurchase_pairs": (q_copurchase_pairs, _SQL_COPURCHASE_PAIRS),
 }
 
 # ---------------------------------------------------------------------------
 # Registry order IS the driver-verification order: the correctness driver
-# checks a 50-query prefix of ALL_QUERIES per round. Lead with queries
-# that still lack a driver-green row — the round-3 tail (18 pipeline +
-# 6 streaming, none of which fit inside round 3's window) and anything
-# new this round — so CORRECTNESS_r04 covers them; the long-green batch
-# parity set trails. tests/test_plan_quality.py pins this ordering.
+# checks a DRIVER_WINDOW-query prefix of ALL_QUERIES per round, and the
+# registry (124 queries) outgrew the window (50), so the order ROTATES:
+# it is computed from the CORRECTNESS_r*.json files the driver leaves at
+# the repo root. Queries that have never had a fully-green driver row
+# (rows+schema+hash, no err) come first — seeded by _DRIVER_PRIORITY so
+# the judge-named round-4 set (lang_stats, the stream_* family,
+# dedup_clusters_lsh, ...) stays inside the window — then everything
+# else ordered stalest-verification-first. After each round the newly
+# green prefix moves to the back of its staleness class automatically,
+# so every query cycles through driver verification without manual
+# reordering. Deterministic per round: depends only on the JSON files
+# present at import. tests/test_plan_quality.py pins the invariants.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
 
+#: tie-break seed among never-driver-verified queries (judge-named
+#: round-4 coverage set); names absent from the registry are ignored.
 _DRIVER_PRIORITY = [
     # r2 driver FAIL whose fix has never seen a driver row — first.
     "lang_stats",
@@ -2299,11 +2342,59 @@ _DRIVER_PRIORITY = [
     "trimmed_mean",
 ]
 
+
+def _driver_green_rounds() -> dict[str, int]:
+    """name -> latest round with a FULLY green driver row.
+
+    Scans the repo-root ``CORRECTNESS_r*.json`` files the correctness
+    driver writes each round. A row counts only when rows_match,
+    schema_match and hash_match are all True with no err — the weaker
+    rows-only check (``err: no_oracle``) does not retire a query from
+    the front of the rotation.
+    """
+    import glob
+    import json as _json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (isinstance(row, dict) and not row.get("err")
+                    and row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                    and row.get("hash_match") is True):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}
 
-ALL_QUERIES: dict = {name: _MERGED[name] for name in _DRIVER_PRIORITY}
-ALL_QUERIES.update(
-    {name: v for name, v in _MERGED.items() if name not in ALL_QUERIES})
+
+def _rotation_order(merged: dict, green: dict[str, int]) -> list[str]:
+    """Never-green first (priority-seeded), then stalest-green first."""
+    canon = list(merged)
+    seed = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    return sorted(canon, key=lambda n: (green.get(n, -1),
+                                        seed.get(n, len(seed)),
+                                        canon.index(n)))
+
+
+ALL_QUERIES: dict = {name: _MERGED[name]
+                     for name in _rotation_order(_MERGED,
+                                                 _driver_green_rounds())}
 
 
 def queries() -> dict:

@@ -40,7 +40,8 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "fuzzy_match", "knn_classify", "bm25_topk",
                 "dsir_select", "semdedup", "heavy_hitters",
                 "mix_allocation", "cms_counts", "triangle_count",
-                "benford_audit"}
+                "benford_audit", "copurchase_pairs",
+                "pmi_collocations"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
@@ -78,15 +79,45 @@ def test_driver_window_covers_priority():
     new this round sits inside the window, so future registry additions
     cannot silently push them back out."""
     from kafka_connect_msk_demo_spark.queries import (
-        ALL_QUERIES, DRIVER_WINDOW, _DRIVER_PRIORITY)
+        ALL_QUERIES, DRIVER_WINDOW, _DRIVER_PRIORITY,
+        _driver_green_rounds)
     order = list(ALL_QUERIES)
     assert len(order) == len(set(order))
     window = set(order[:DRIVER_WINDOW])
-    missing = [n for n in _DRIVER_PRIORITY if n not in window]
+    green = _driver_green_rounds()
+    priority_pending = [n for n in _DRIVER_PRIORITY if n not in green]
+    missing = [n for n in priority_pending[:DRIVER_WINDOW]
+               if n not in window]
     assert not missing, f"pushed out of the driver window: {missing}"
     for pinned in ("lang_stats", "stream_session_agg",
                    "dedup_clusters_lsh", "sales_by_country_decimal"):
-        assert pinned in window, pinned
+        assert pinned in window or pinned in green, pinned
+
+
+def test_registry_rotation_invariants():
+    """The registry order rotates on the driver's own CORRECTNESS
+    files: every never-driver-green query precedes every green one,
+    and green queries are ordered stalest-verification-first — so the
+    DRIVER_WINDOW prefix always re-verifies the least-recently-checked
+    slice of the registry without manual reordering."""
+    from kafka_connect_msk_demo_spark.queries import (
+        ALL_QUERIES, _driver_green_rounds, _rotation_order)
+    green = _driver_green_rounds()
+    order = list(ALL_QUERIES)
+    rounds = [green.get(n, -1) for n in order]
+    assert rounds == sorted(rounds), \
+        "registry order is not staleness-monotone"
+    # deterministic: recomputing yields the identical order
+    assert order == _rotation_order(
+        dict.fromkeys(order, None), green)
+    # synthetic check of the rotation step itself: marking the current
+    # window green moves it behind everything still pending
+    window = order[:10]
+    stepped = dict(green)
+    for n in window:
+        stepped[n] = 99
+    reordered = _rotation_order(dict.fromkeys(order, None), stepped)
+    assert reordered[-10:] == window
 
 
 def test_no_rdd_access_in_source():

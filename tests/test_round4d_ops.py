@@ -1,0 +1,93 @@
+"""Semantic tests for the round-4d additions: market-basket
+co-purchase mining and PMI/lift collocations. (Oracle parity for the
+registered queries runs via tests/test_oracle_parity.py.)"""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.operators.basket import copurchase_pairs
+from kafka_connect_msk_demo_spark.pipeline.text_analysis import (
+    pmi_collocations,
+)
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# copurchase_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_counts_and_lift(spark):
+    """Hand-computed: parts 1,2 co-occur in 2 of 4 orders; each occurs
+    in 3 orders -> support 2, lift = 2*4/(3*3)."""
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3),
+            (4, 2), (4, 3)]
+    out = copurchase_pairs(_lineitem(spark, rows), k=10,
+                           min_support=2).collect()
+    got = {(r.p1, r.p2): (r.support, r.lift) for r in out}
+    assert got[(1, 2)] == (2, 2 * 4 / (3 * 3))
+    assert (2, 1) not in got  # canonical p1 < p2 only
+
+
+def test_copurchase_min_support_prunes(spark):
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 3), (3, 4)]
+    out = copurchase_pairs(_lineitem(spark, rows), k=10,
+                           min_support=2).collect()
+    pairs = {(r.p1, r.p2) for r in out}
+    assert pairs == {(1, 2)}  # (3,4) support 1 < 2 pruned
+
+
+def test_copurchase_duplicate_lineitems_count_once(spark):
+    """The same part twice in one order (two lineitems) is ONE basket
+    membership — distinct() before pairing."""
+    rows = [(1, 1), (1, 1), (1, 2), (2, 1), (2, 2)]
+    out = copurchase_pairs(_lineitem(spark, rows), k=10,
+                           min_support=2).collect()
+    got = {(r.p1, r.p2): r.support for r in out}
+    assert got == {(1, 2): 2}
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_exact_lift(spark):
+    """Corpus 'a b'x3 + 'a c': unigrams a:4 b:3 c:1 (N1=8), bigrams
+    'a b':3 'a c':1 (N2=4). lift(a,b) = (3*8/(4*3))*(8/4) = 4."""
+    out = pmi_collocations(_docs(spark, ["a b", "a b", "a b", "a c"]),
+                           k=10, min_count=1).collect()
+    got = {(r.w1, r.w2): (r.pair_count, r.lift) for r in out}
+    assert got[("a", "b")] == (3, 4.0)
+    assert got[("a", "c")] == (1, (1 * 8 / (1 * 4)) * (8 / 4))
+
+
+def test_pmi_collocation_outranks_frequent_pair(spark):
+    """'rio grande' appears only together (high lift) and must outrank
+    the frequent-but-independent 'the cat'/'the dog' pairs."""
+    texts = ["the cat sat", "the dog sat", "rio grande",
+             "the cat ran", "the dog ran", "rio grande"]
+    out = pmi_collocations(_docs(spark, texts), k=3,
+                           min_count=2).collect()
+    assert (out[0].w1, out[0].w2) == ("rio", "grande")
+
+
+def test_pmi_min_count_prunes(spark):
+    out = pmi_collocations(_docs(spark, ["a b", "c d", "c d"]),
+                           k=10, min_count=2).collect()
+    assert {(r.w1, r.w2) for r in out} == {("c", "d")}
+
+
+def test_pmi_short_docs_contribute_no_bigrams(spark):
+    """Single-token docs add unigram mass but no bigrams — and must
+    not crash the sliding-window expression."""
+    out = pmi_collocations(_docs(spark, ["a", "b", "a b"]),
+                           k=10, min_count=1).collect()
+    assert {(r.w1, r.w2) for r in out} == {("a", "b")}
