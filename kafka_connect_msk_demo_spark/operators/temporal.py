@@ -316,3 +316,82 @@ WHERE n_w >= 8
       > 4 * (n_w * ss_w - s_w * s_w)
 ORDER BY user_id, event_id
 """
+
+
+def ewma_halving(df: DataFrame, key_col: str, order_cols: list[str],
+                 value_col: str, frame: int = 32,
+                 scale: int = 100) -> DataFrame:
+    """Per-key trailing EWMA with decay α = 1/2 over the last ``frame``
+    observations — the smoothing/forecast-baseline pass of a metrics
+    pipeline, expressed so the result is BIT-EXACT across engines.
+
+    A float EWMA is a sequential recurrence whose rounding depends on
+    the summation path, so a naive port never hash-matches. With
+    α = 1/2 every weight is a power of two: the windowed sum
+
+        s_t = Σ_{k=0}^{min(t,frame)-1}  q_{t-k} · 2^-(k+1)
+
+    over quantized values ``q = round(value·scale)`` is a sum of exact
+    dyadic rationals, and stays EXACT in double as long as
+    ``log2(max|q|) + frame ≤ 53`` (the events table: |q| < 2^16,
+    frame 32 → 48 bits; caller must size scale/frame accordingly).
+    Exact partial sums are order- and association-independent, so ANY
+    evaluation strategy — the left fold here, the weighted self-join in
+    the oracle — produces the identical double. The result is
+    normalized by the exact-dyadic weight total (1 − 2^-n) and
+    de-quantized; those two final divisions are each correctly rounded,
+    hence still bit-identical cross-engine.
+
+    Scale shape: ONE shuffle on ``key_col`` with an in-partition sort
+    by ``order_cols``; ``collect_list`` over a rows-frame window holds
+    ≤ ``frame`` int64 values per row (bounded state, no skew pitfall —
+    hot keys cost O(frame) memory, not O(history)), and the fold is a
+    whole-stage-codegen higher-order expression. No self-join, no
+    Python, no unbounded state.
+    """
+    q = F.round(F.col(value_col) * F.lit(float(scale))).cast("long")
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(-(frame - 1), 0))
+    lst = F.collect_list("q_v").over(w)
+    d = (df.withColumn("q_v", q)
+         .withColumn("lst", lst)
+         .withColumn("n_window", F.size("lst")))
+    folded = F.aggregate(
+        F.col("lst"), F.lit(0.0),
+        lambda acc, x: (x.cast("double") + acc) / F.lit(2.0))
+    norm = F.lit(1.0) - F.pow(F.lit(2.0), -F.col("n_window"))
+    # timestamps go out as epoch micros (the repo's tz-proof compare
+    # convention); ordering uses the emitted names (same total order).
+    names = [f"{c}_us"
+             if dict(df.dtypes).get(c, "").startswith("timestamp") else c
+             for c in order_cols]
+    order_out = [F.unix_micros(c).alias(n) if n != c else F.col(c)
+                 for c, n in zip(order_cols, names)]
+    return (d.select(key_col, *order_out, value_col, "n_window",
+                     ((folded / norm) / F.lit(float(scale)))
+                     .alias("ewma"))
+            .orderBy(key_col, *names))
+
+
+#: DuckDB twin of :func:`ewma_halving` on the events table — the
+#: weighted self-join evaluation of the same exact-dyadic sum (see the
+#: docstring: exactness makes the two strategies bit-identical).
+EWMA_HALVING_ORACLE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         CAST(round(value * 100) AS BIGINT) AS q_v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), s AS (
+  SELECT a.user_id, a.event_id, a.ts_us, a.value,
+         CAST(COUNT(*) AS INT) AS n_window,
+         SUM(b.q_v * power(2.0, -(a.rn - b.rn + 1))) AS swt
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 31 AND a.rn
+  GROUP BY 1, 2, 3, 4
+)
+SELECT user_id, ts_us, event_id, value, n_window,
+       (swt / (1 - power(2.0, -n_window))) / 100.0 AS ewma
+FROM s ORDER BY user_id, ts_us, event_id
+"""

@@ -2189,6 +2189,20 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing EWMA (α=1/2, 32-event frame) of event values
+    (operators/temporal.py ewma_halving) — exact dyadic arithmetic
+    makes the sequential recurrence hash-matchable cross-engine."""
+    from .operators.temporal import ewma_halving
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_halving(ev, "user_id", ["ts", "event_id"], "value",
+                        frame=32, scale=100)
+
+
+from .operators.temporal import (  # noqa: E402
+    EWMA_HALVING_ORACLE_SQL as _SQL_EWMA_SMOOTH)
+
+
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent-pair mining (operators/basket.py): top-25
     co-purchased part pairs by support with exact-arithmetic lift,
@@ -2294,6 +2308,7 @@ BATCH_QUERIES = {
     "event_trigrams": (q_event_trigrams, _SQL_EVENT_TRIGRAMS),
     "mad_outliers": (q_mad_outliers, _SQL_MAD_OUTLIERS),
     "copurchase_pairs": (q_copurchase_pairs, _SQL_COPURCHASE_PAIRS),
+    "ewma_smooth": (q_ewma_smooth, _SQL_EWMA_SMOOTH),
 }
 
 # ---------------------------------------------------------------------------

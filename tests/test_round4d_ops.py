@@ -91,3 +91,59 @@ def test_pmi_short_docs_contribute_no_bigrams(spark):
     out = pmi_collocations(_docs(spark, ["a", "b", "a b"]),
                            k=10, min_count=1).collect()
     assert {(r.w1, r.w2) for r in out} == {("a", "b")}
+
+
+# ---------------------------------------------------------------------------
+# ewma_halving
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+
+from kafka_connect_msk_demo_spark.operators.temporal import ewma_halving
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+def _t(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+
+def test_ewma_hand_computed(spark):
+    """values 100, 200: first row = itself; second row has normalized
+    weights (2/3 newest, 1/3 older) -> 500/3."""
+    out = ewma_halving(
+        _ev(spark, [(1, 1, _t(0), 100.0), (1, 2, _t(1), 200.0)]),
+        "user_id", ["ts", "event_id"], "value").collect()
+    assert out[0].ewma == 100.0 and out[0].n_window == 1
+    assert abs(out[1].ewma - 500.0 / 3.0) < 1e-12
+    assert out[1].n_window == 2
+
+
+def test_ewma_constant_series_is_exact(spark):
+    """Any normalized weighting of a constant is the constant — and the
+    dyadic arithmetic must deliver it EXACTLY, beyond the frame too."""
+    rows = [(1, i, _t(i), 10.0) for i in range(40)]
+    out = ewma_halving(_ev(spark, rows), "user_id",
+                       ["ts", "event_id"], "value").collect()
+    assert all(r.ewma == 10.0 for r in out)
+    assert out[-1].n_window == 32  # frame-truncated
+
+
+def test_ewma_frame_drops_old_history(spark):
+    """A huge value 32+ rows back must have exactly zero influence."""
+    rows = [(1, 0, _t(0), 99999.0)] + [
+        (1, i, _t(i), 7.0) for i in range(1, 34)]
+    out = ewma_halving(_ev(spark, rows), "user_id",
+                       ["ts", "event_id"], "value").collect()
+    assert out[-1].ewma == 7.0
+
+
+def test_ewma_keys_independent(spark):
+    rows = [(1, 1, _t(0), 4.0), (2, 1, _t(0), 8.0)]
+    out = {r.user_id: r.ewma
+           for r in ewma_halving(_ev(spark, rows), "user_id",
+                                 ["ts", "event_id"], "value").collect()}
+    assert out == {1: 4.0, 2: 8.0}
