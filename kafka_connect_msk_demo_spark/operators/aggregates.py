@@ -346,3 +346,56 @@ def grouped_equidepth_bins(df: DataFrame, group_cols: list[str],
                  F.min(value_col).alias("lo"),
                  F.max(value_col).alias("hi"))
             .orderBy(*group_cols, "bin"))
+
+
+def winsorized_stats(df: DataFrame, group_cols: list[str],
+                     value_col: str, order_col: str,
+                     pct: int = 10) -> DataFrame:
+    """Per-group WINSORIZED mean: the lowest/highest ``pct`` percent of
+    rows by exact rank are CLAMPED to the boundary order statistics
+    (:func:`trimmed_stats`'s sibling — that one drops, this one clamps,
+    preserving the row count the way robust-metrics pipelines usually
+    want).
+
+    Exact-rank boundaries, no percentile interpolation: ``k = (n·pct)
+    div 100`` rows clamp on each side; ``lo``/``hi`` are the values at
+    ranks ``k+1`` and ``n−k`` under the deterministic ``(value,
+    order_col)`` ordering. The winsorized sum is assembled WITHOUT a
+    second pass over the data:
+
+        Σ clamp(v) = Σ_{k<rn≤n−k} v  +  k·lo  +  k·hi
+
+    — one conditional DECIMAL(19,2) sum plus two DECIMAL products
+    sized (12,0)×(19,2) → (32,2) so no engine hits the precision-38
+    rescale path; every term is exact, and the single cast-to-double
+    at the end is correctly rounded, keeping the result hash-exact
+    cross-engine.
+
+    Scale shape: identical to :func:`trimmed_stats` — one shuffle on
+    the group key, rank+count in one window pass over the in-partition
+    sort, then a partial/final hash-agg. No joins, no second scan.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col, order_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = (df.select(*group_cols, value_col, order_col)
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn))
+              .withColumn("k", F.floor(F.col("n") * pct / 100)
+                          .cast("long")))
+    v = F.col(value_col)
+    in_mid = ((F.col("rn") > F.col("k"))
+              & (F.col("rn") <= F.col("n") - F.col("k")))
+    g = (ranked.groupBy(*group_cols)
+         .agg(F.max("n").alias("n_total"),
+              F.max("k").alias("k_clamped"),
+              F.max(F.when(F.col("rn") == F.col("k") + 1, v)).alias("lo"),
+              F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), v))
+              .alias("hi"),
+              F.sum(F.when(in_mid, dec(v, 19, 2))).alias("mid_sum")))
+    kd = F.col("k_clamped").cast("decimal(12,0)")
+    total = (F.col("mid_sum") + kd * dec("lo", 19, 2)
+             + kd * dec("hi", 19, 2))
+    return (g.select(*group_cols, "n_total", "k_clamped", "lo", "hi",
+                     (total.cast("double") / F.col("n_total"))
+                     .alias("win_mean"))
+            .orderBy(*group_cols))

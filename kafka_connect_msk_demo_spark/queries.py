@@ -2189,6 +2189,54 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-country winsorized order-value mean at 10% (operators/
+    aggregates.py winsorized_stats): the clamping robust statistic —
+    trimmed_mean's sibling — assembled in one window pass + one
+    hash-agg with exact-rank boundaries and decimal arithmetic."""
+    from .operators.aggregates import winsorized_stats
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (t["orders"]
+              .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .withColumnRenamed("n_name", "country"))
+    return winsorized_stats(joined, ["country"], "o_totalprice",
+                            "o_orderkey", pct=10)
+
+
+_SQL_WINSORIZED_MEAN = """
+WITH j AS (
+  SELECT n_name AS country, o_totalprice AS amount, o_orderkey
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+), r AS (
+  SELECT country, amount, o_orderkey,
+         row_number() OVER (PARTITION BY country
+                            ORDER BY amount, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY country) AS n
+  FROM j
+), rk AS (
+  SELECT *, CAST(floor(n * 10 / 100) AS BIGINT) AS k FROM r
+), g AS (
+  SELECT country, MAX(n) AS n_total, MAX(k) AS k_clamped,
+         MAX(CASE WHEN rn = k + 1 THEN amount END) AS lo,
+         MAX(CASE WHEN rn = n - k THEN amount END) AS hi,
+         SUM(CASE WHEN rn > k AND rn <= n - k
+                  THEN CAST(amount AS DECIMAL(19,2)) END) AS mid_sum
+  FROM rk GROUP BY country
+)
+SELECT country, n_total, k_clamped, lo, hi,
+       CAST(mid_sum + CAST(k_clamped AS DECIMAL(12,0))
+                      * CAST(lo AS DECIMAL(19,2))
+                    + CAST(k_clamped AS DECIMAL(12,0))
+                      * CAST(hi AS DECIMAL(19,2)) AS DOUBLE)
+       / n_total AS win_mean
+FROM g ORDER BY country
+"""
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trailing EWMA (α=1/2, 32-event frame) of event values
     (operators/temporal.py ewma_halving) — exact dyadic arithmetic
@@ -2309,6 +2357,7 @@ BATCH_QUERIES = {
     "mad_outliers": (q_mad_outliers, _SQL_MAD_OUTLIERS),
     "copurchase_pairs": (q_copurchase_pairs, _SQL_COPURCHASE_PAIRS),
     "ewma_smooth": (q_ewma_smooth, _SQL_EWMA_SMOOTH),
+    "winsorized_mean": (q_winsorized_mean, _SQL_WINSORIZED_MEAN),
 }
 
 # ---------------------------------------------------------------------------

@@ -147,3 +147,47 @@ def test_ewma_keys_independent(spark):
            for r in ewma_halving(_ev(spark, rows), "user_id",
                                  ["ts", "event_id"], "value").collect()}
     assert out == {1: 4.0, 2: 8.0}
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.operators.aggregates import (
+    winsorized_stats,
+)
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, amount double, oid long")
+
+
+def test_winsorized_clamps_outlier(spark):
+    """1..9 plus a 100 outlier, pct=10 -> k=1: both tails clamp to the
+    rank-2/rank-9 values (2 and 9), mean = 55/10, vs raw mean 14.5."""
+    rows = [("a", float(v), i) for i, v in
+            enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    out = winsorized_stats(_vals(spark, rows), ["g"], "amount", "oid",
+                           pct=10).collect()
+    r = out[0]
+    assert (r.n_total, r.k_clamped, r.lo, r.hi) == (10, 1, 2.0, 9.0)
+    assert r.win_mean == 5.5
+
+
+def test_winsorized_small_group_noop(spark):
+    """n=5 at pct=10 -> k=0: nothing clamps, mean is the plain mean,
+    lo/hi degrade to min/max."""
+    rows = [("a", float(v), v) for v in (10, 20, 30, 40, 500)]
+    r = winsorized_stats(_vals(spark, rows), ["g"], "amount", "oid",
+                         pct=10).collect()[0]
+    assert (r.k_clamped, r.lo, r.hi) == (0, 10.0, 500.0)
+    assert r.win_mean == 120.0
+
+
+def test_winsorized_groups_independent(spark):
+    rows = ([("a", float(v), v) for v in range(1, 11)]
+            + [("b", 7.0, 1)])
+    out = {r.g: r for r in winsorized_stats(
+        _vals(spark, rows), ["g"], "amount", "oid", pct=10).collect()}
+    assert out["b"].win_mean == 7.0 and out["b"].n_total == 1
+    assert out["a"].n_total == 10
