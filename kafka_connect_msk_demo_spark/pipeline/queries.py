@@ -2148,6 +2148,45 @@ FROM d GROUP BY dim ORDER BY dim
 """
 
 
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-confusion audit of the embedding space (pipeline/
+    similarity.py label_centroid_similarity): exact pairwise cosine
+    between per-label centroids via int64-quantized sum vectors."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_similarity(vecs)
+
+
+_SQL_LABEL_CENTROID_SIM = """
+WITH ex AS (
+  SELECT label AS lbl, unnest(range(len(embedding))) AS pos,
+         embedding AS e
+  FROM embeddings
+), q AS (
+  SELECT lbl, pos,
+         CAST(round(CAST(e[pos + 1] AS DOUBLE) * 1048576.0) AS BIGINT)
+           AS qv
+  FROM ex
+), s AS (
+  SELECT lbl, pos, CAST(SUM(qv) AS BIGINT) AS sv FROM q GROUP BY 1, 2
+), d AS (
+  SELECT a.lbl AS la, b.lbl AS lb,
+         SUM(CAST(a.sv AS DECIMAL(19,0))
+             * CAST(b.sv AS DECIMAL(19,0))) AS dot
+  FROM s a JOIN s b ON a.pos = b.pos AND a.lbl <= b.lbl
+  GROUP BY 1, 2
+)
+SELECT d.la AS label_a, d.lb AS label_b,
+       CAST(d.dot AS DOUBLE)
+       / (sqrt(CAST(na.dot AS DOUBLE)) * sqrt(CAST(nb.dot AS DOUBLE)))
+         AS cosine
+FROM d
+JOIN d na ON na.la = d.la AND na.lb = d.la
+JOIN d nb ON nb.la = d.lb AND nb.lb = d.lb
+WHERE d.la < d.lb
+ORDER BY label_a, label_b
+"""
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining (pipeline/text_analysis.py
     pmi_collocations): top-25 word bigrams by lift (rank-equivalent to
@@ -2234,6 +2273,8 @@ PIPELINE_QUERIES: dict = {
     "domain_cap": (q_domain_cap, _SQL_DOMAIN_CAP),
     "embed_dim_stats": (q_embed_dim_stats, _SQL_EMBED_DIM_STATS),
     "pmi_collocations": (q_pmi_collocations, _SQL_PMI_COLLOCATIONS),
+    "label_centroid_sim": (q_label_centroid_sim,
+                           _SQL_LABEL_CENTROID_SIM),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),

@@ -648,3 +648,64 @@ def hard_negative_topk(vectors: DataFrame, k: int = 5, nbits: int = 6,
     cand = (_lsh_probe_candidates(data_src, q_src, nbits, dim, tables)
             .filter(F.col("lbl") != F.col("q_lbl")))
     return _rerank_topk(cand, k, dim)
+
+
+def label_centroid_similarity(vecs: DataFrame, quant: int = 1 << 20,
+                              label_col: str = "label",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label CENTROID
+    embeddings — the class-confusion audit of an embedding space (two
+    labels whose centroids nearly coincide are what a probe classifier
+    will mix up; retrieval pipelines use the same matrix to pick hard
+    negative classes).
+
+    Exactness: cosine(μ_a, μ_b) is scale-invariant, so the vector
+    counts cancel and the centroid dot products can be computed on the
+    per-label SUM vectors directly — and those sums are exact int64
+    over ``round(double(v)·2^20)`` quantized elements (float32→double
+    exact, one correctly-rounded multiply, round-half-away identical in
+    both engines; headroom ~8·10^12 unit-scale vectors per label).
+    Sum-vector dot products run in DECIMAL(19,0)×(19,0)→(38,0) —
+    exact — and the final ``dot / (sqrt(naa)·sqrt(nbb))`` is a fixed
+    three-op double sequence, correctly rounded at every step, so the
+    matrix hash-matches the DuckDB oracle bit for bit.
+
+    Scale shape: ONE heavy stage — posexplode (scan-speed row
+    multiply × dims) into a partial/final hash-agg keyed by
+    (label, dim), shipping at most |labels|·dims partial rows per
+    partition. Everything after operates on the |labels|·dims sum
+    table (tiny by construction: label sets are enum-sized), pairing
+    via a broadcast self-join on the dimension index. No N² over
+    vectors, no UDFs, no driver math.
+    """
+    ex = vecs.select(F.col(label_col).alias("lbl"),
+                     F.posexplode(vec_col).alias("pos", "v"))
+    qv = F.round(F.col("v").cast("double") * F.lit(float(quant))) \
+        .cast("long")
+    s = (ex.withColumn("qv", qv)
+         .groupBy("lbl", "pos").agg(F.sum("qv").alias("sv")))
+    a = s.select(F.col("lbl").alias("la"), "pos",
+                 F.col("sv").alias("sa"))
+    b = s.select(F.col("lbl").alias("lb"), F.col("pos").alias("pos_b"),
+                 F.col("sv").alias("sb"))
+    dec19 = "decimal(19,0)"
+    dots = (a.join(F.broadcast(b),
+                   (F.col("pos") == F.col("pos_b"))
+                   & (F.col("la") <= F.col("lb")))
+            .groupBy("la", "lb")
+            .agg(F.sum(F.col("sa").cast(dec19)
+                       * F.col("sb").cast(dec19)).alias("dot")))
+    na = dots.filter(F.col("la") == F.col("lb")) \
+        .select(F.col("la").alias("n_la"), F.col("dot").alias("naa"))
+    nb = dots.filter(F.col("la") == F.col("lb")) \
+        .select(F.col("lb").alias("n_lb"), F.col("dot").alias("nbb"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("naa").cast("double"))
+              * F.sqrt(F.col("nbb").cast("double"))))
+    return (dots.filter(F.col("la") < F.col("lb"))
+            .join(F.broadcast(na), F.col("la") == F.col("n_la"))
+            .join(F.broadcast(nb), F.col("lb") == F.col("n_lb"))
+            .select(F.col("la").alias("label_a"),
+                    F.col("lb").alias("label_b"),
+                    cos.alias("cosine"))
+            .orderBy("label_a", "label_b"))

@@ -191,3 +191,47 @@ def test_winsorized_groups_independent(spark):
         _vals(spark, rows), ["g"], "amount", "oid", pct=10).collect()}
     assert out["b"].win_mean == 7.0 and out["b"].n_total == 1
     assert out["a"].n_total == 10
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_similarity
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.pipeline.similarity import (
+    label_centroid_similarity,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_centroid_orthogonal_and_parallel(spark):
+    """(1,0)-centroid vs (0,1)-centroid -> 0; scale-invariance makes
+    (2,0) vs (1,0) -> 1."""
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 1), (4, [2.0, 0.0], 2)]
+    out = {(r.label_a, r.label_b): r.cosine
+           for r in label_centroid_similarity(_emb(spark, rows)).collect()}
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == 1.0
+    assert out[(1, 2)] == 0.0
+
+
+def test_centroid_is_the_mean_vector(spark):
+    """label 1 = {(1,1), (-1,1)} has centroid (0,1): cosine 1 against a
+    (0,2) singleton and 0 against a (1,0) singleton."""
+    rows = [(1, [1.0, 1.0], 1), (2, [-1.0, 1.0], 1),
+            (3, [0.0, 2.0], 2), (4, [1.0, 0.0], 3)]
+    out = {(r.label_a, r.label_b): r.cosine
+           for r in label_centroid_similarity(_emb(spark, rows)).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+def test_centroid_pairs_canonical_and_complete(spark):
+    rows = [(i, [float(i), 1.0], i % 3) for i in range(9)]
+    out = label_centroid_similarity(_emb(spark, rows)).collect()
+    pairs = [(r.label_a, r.label_b) for r in out]
+    assert pairs == [(0, 1), (0, 2), (1, 2)]  # a<b only, sorted
