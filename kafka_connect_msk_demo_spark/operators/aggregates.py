@@ -399,3 +399,64 @@ def winsorized_stats(df: DataFrame, group_cols: list[str],
                      (total.cast("double") / F.col("n_total"))
                      .alias("win_mean"))
             .orderBy(*group_cols))
+
+
+def ks_drift(df: DataFrame, group_col: str, ts_col: str,
+             value_col: str, scale: int = 100) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov drift statistic between
+    the EARLY and LATE halves of the stream — the train/serve skew
+    detector of a feature pipeline: D = max_x |F₁(x) − F₂(x)| over the
+    empirical CDFs of the two halves.
+
+    The split instant is the integer midpoint of the global event-time
+    range (deterministic, data-derived, no clock). All arithmetic to
+    the final division is exact: values quantize to ``round(v·scale)``
+    int64 support points, the CDF gap comparison is cleared of
+    divisions by cross-multiplying —
+
+        D·n₁·n₂ = max |cum₁(x)·n₂ − cum₂(x)·n₁|
+
+    — with the products in DECIMAL(19,0)×(19,0)→(38,0) so 10^12-row
+    halves cannot overflow, and the single ``Dnum / (n₁·n₂)`` double
+    division at the end is correctly rounded: hash-exact cross-engine.
+    Groups with an empty half have no defined D and are excluded.
+
+    Scale shape: one hash-agg to per-(group, support-point) half
+    counts — the shuffle carries distinct support points, not rows —
+    then ONE window pass per group (running sums in support order) and
+    a final hash-agg for the max. The global min/max bound is a
+    broadcast one-row aggregate. No joins over the fact, no UDFs.
+    """
+    t_us = F.unix_micros(F.col(ts_col))
+    cents = F.round(F.col(value_col) * F.lit(float(scale))).cast("long")
+    bounds = df.agg(F.min(t_us).alias("t_lo"), F.max(t_us).alias("t_hi"))
+    mid = (F.col("t_lo") + F.col("t_hi")) / F.lit(2)
+    early = (t_us.cast("double") <= mid).cast("long")
+    pts = (df.crossJoin(F.broadcast(bounds))
+           .select(F.col(group_col).alias("grp"), cents.alias("q"),
+                   early.alias("e"))
+           .groupBy("grp", "q")
+           .agg(F.sum("e").alias("c1"),
+                F.sum(F.lit(1) - F.col("e")).alias("c2")))
+    w_cum = (Window.partitionBy("grp").orderBy("q")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("grp")
+    dec19 = "decimal(19,0)"
+    cum1 = F.sum("c1").over(w_cum).cast(dec19)
+    cum2 = F.sum("c2").over(w_cum).cast(dec19)
+    n1 = F.sum("c1").over(w_all).cast(dec19)
+    n2 = F.sum("c2").over(w_all).cast(dec19)
+    gap = F.abs(cum1 * n2 - cum2 * n1)
+    g = (pts.select("grp", gap.alias("gap"),
+                    n1.alias("n1"), n2.alias("n2"))
+         .groupBy("grp")
+         .agg(F.max("gap").alias("dnum"),
+              F.max("n1").alias("n1"), F.max("n2").alias("n2"))
+         .filter((F.col("n1") > 0) & (F.col("n2") > 0)))
+    d_stat = (F.col("dnum").cast("double")
+              / (F.col("n1") * F.col("n2")).cast("double"))
+    return (g.select(F.col("grp").alias(group_col),
+                     F.col("n1").cast("long").alias("n_early"),
+                     F.col("n2").cast("long").alias("n_late"),
+                     d_stat.alias("d_stat"))
+            .orderBy(group_col))

@@ -2189,6 +2189,50 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KS drift between the early and late halves of
+    the event stream (operators/aggregates.py ks_drift) — exact
+    cross-multiplied CDF gap, the train/serve skew audit."""
+    from .operators.aggregates import ks_drift
+    ev = load_table(spark, sf_dir, "events")
+    return ks_drift(ev, "event_type", "ts", "value", scale=100)
+
+
+_SQL_KS_DRIFT = """
+WITH b AS (SELECT MIN(epoch_us(ts)) AS t_lo, MAX(epoch_us(ts)) AS t_hi
+           FROM events),
+pts AS (
+  SELECT event_type AS grp,
+         CAST(round(value * 100) AS BIGINT) AS q,
+         CASE WHEN CAST(epoch_us(ts) AS DOUBLE) <= (t_lo + t_hi) / 2
+              THEN 1 ELSE 0 END AS e
+  FROM events CROSS JOIN b
+), c AS (
+  SELECT grp, q, CAST(SUM(e) AS BIGINT) AS c1,
+         CAST(SUM(1 - e) AS BIGINT) AS c2
+  FROM pts GROUP BY 1, 2
+), w AS (
+  SELECT grp,
+         CAST(SUM(c1) OVER win AS DECIMAL(19,0)) AS cum1,
+         CAST(SUM(c2) OVER win AS DECIMAL(19,0)) AS cum2,
+         CAST(SUM(c1) OVER wall AS DECIMAL(19,0)) AS n1,
+         CAST(SUM(c2) OVER wall AS DECIMAL(19,0)) AS n2
+  FROM c
+  WINDOW win AS (PARTITION BY grp ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY grp)
+), g AS (
+  SELECT grp, MAX(abs(cum1 * n2 - cum2 * n1)) AS dnum,
+         MAX(n1) AS n1, MAX(n2) AS n2
+  FROM w GROUP BY grp
+)
+SELECT grp AS event_type, CAST(n1 AS BIGINT) AS n_early,
+       CAST(n2 AS BIGINT) AS n_late,
+       CAST(dnum AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat
+FROM g WHERE n1 > 0 AND n2 > 0 ORDER BY event_type
+"""
+
+
 def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-country winsorized order-value mean at 10% (operators/
     aggregates.py winsorized_stats): the clamping robust statistic —
@@ -2358,6 +2402,7 @@ BATCH_QUERIES = {
     "copurchase_pairs": (q_copurchase_pairs, _SQL_COPURCHASE_PAIRS),
     "ewma_smooth": (q_ewma_smooth, _SQL_EWMA_SMOOTH),
     "winsorized_mean": (q_winsorized_mean, _SQL_WINSORIZED_MEAN),
+    "ks_drift": (q_ks_drift, _SQL_KS_DRIFT),
 }
 
 # ---------------------------------------------------------------------------

@@ -235,3 +235,48 @@ def test_centroid_pairs_canonical_and_complete(spark):
     out = label_centroid_similarity(_emb(spark, rows)).collect()
     pairs = [(r.label_a, r.label_b) for r in out]
     assert pairs == [(0, 1), (0, 2), (1, 2)]  # a<b only, sorted
+
+
+# ---------------------------------------------------------------------------
+# ks_drift
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.operators.aggregates import ks_drift
+
+
+def test_ks_identical_halves_zero(spark):
+    """Same value multiset in early and late half -> D = 0."""
+    rows = ([(1, i, _t(i), float(v)) for i, v in enumerate([1, 2, 3])]
+            + [(1, 10 + i, _t(100 + i), float(v))
+               for i, v in enumerate([1, 2, 3])])
+    out = ks_drift(_ev(spark, rows), "user_id", "ts", "value").collect()
+    assert len(out) == 1 and out[0].d_stat == 0.0
+
+
+def test_ks_disjoint_halves_one(spark):
+    """Early all-1s, late all-9s -> CDFs never overlap -> D = 1."""
+    rows = ([(1, i, _t(i), 1.0) for i in range(3)]
+            + [(1, 10 + i, _t(100 + i), 9.0) for i in range(3)])
+    out = ks_drift(_ev(spark, rows), "user_id", "ts", "value").collect()
+    assert out[0].d_stat == 1.0
+    assert (out[0].n_early, out[0].n_late) == (3, 3)
+
+
+def test_ks_hand_computed_quarter(spark):
+    """early {1,1,2,2}, late {1,2,2,3}: max CDF gap at x=1 is
+    0.5 - 0.25 = 0.25."""
+    rows = ([(1, i, _t(i), float(v))
+             for i, v in enumerate([1, 1, 2, 2])]
+            + [(1, 10 + i, _t(100 + i), float(v))
+               for i, v in enumerate([1, 2, 2, 3])])
+    out = ks_drift(_ev(spark, rows), "user_id", "ts", "value").collect()
+    assert out[0].d_stat == 0.25
+
+
+def test_ks_group_with_empty_half_excluded(spark):
+    """A group entirely in the early half has no defined D."""
+    rows = ([(1, i, _t(i), 1.0) for i in range(2)]
+            + [(1, 10, _t(100), 2.0)]
+            + [(2, 20, _t(0), 5.0)])  # user 2: early only
+    out = ks_drift(_ev(spark, rows), "user_id", "ts", "value").collect()
+    assert [r.user_id for r in out] == [1]
