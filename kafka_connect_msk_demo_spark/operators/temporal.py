@@ -395,3 +395,59 @@ SELECT user_id, ts_us, event_id, value, n_window,
        (swt / (1 - power(2.0, -n_window))) / 100.0 AS ewma
 FROM s ORDER BY user_id, ts_us, event_id
 """
+
+
+def day_island_intervals(df: DataFrame, key_col: str,
+                         ts_col: str) -> DataFrame:
+    """:func:`activity_islands`' interval-producing half: maximal runs
+    of CONSECUTIVE active days per key as ``(key, start_day,
+    end_day)`` rows (epoch-day integers, inclusive ends) — the
+    reusable building block when downstream wants the intervals
+    themselves (overlap joins, coverage maps) rather than run
+    statistics. Same tz-proof day bucketing and ``day − row_number``
+    run id; same single-shuffle scale shape.
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    days = df.select(F.col(key_col), day.alias("d")).distinct()
+    w = Window.partitionBy(key_col).orderBy("d")
+    return (days.withColumn("grp", F.col("d") - F.row_number().over(w))
+            .groupBy(key_col, "grp")
+            .agg(F.min("d").alias("start_day"),
+                 F.max("d").alias("end_day"))
+            .drop("grp"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          key_col: str, start_col: str = "start_day",
+                          end_col: str = "end_day",
+                          left_prefix: str = "a_",
+                          right_prefix: str = "b_") -> DataFrame:
+    """Per-key interval OVERLAP join: every (left, right) interval pair
+    of the same key with ``s₁ ≤ e₂ AND s₂ ≤ e₁`` (inclusive ends) plus
+    the overlap length — the interval-algebra primitive behind
+    concurrent-session analysis, promo-window attribution, and
+    schedule conflict checks.
+
+    Scale shape: the key is the shuffle key — a plain hash equi-join
+    with the overlap predicate applied post-match, NEVER a nested-loop
+    over unrelated keys. The fan-out per key is |L_k|·|R_k| interval
+    PAIRS, bounded in practice because interval sets per key are
+    coarse (day-runs, sessions) — for pathological hot keys, pre-split
+    the key by a time-bucket salt (both sides bucket an interval by
+    the buckets it covers and dedup on the first shared bucket).
+    Intervals must be integral (epoch days/seconds).
+    """
+    lcols = [c for c in left.columns if c != key_col]
+    rcols = [c for c in right.columns if c != key_col]
+    l = left.select(key_col, *[F.col(c).alias(f"{left_prefix}{c}")
+                               for c in lcols])
+    r = right.select(key_col, *[F.col(c).alias(f"{right_prefix}{c}")
+                                for c in rcols])
+    ls, le = f"{left_prefix}{start_col}", f"{left_prefix}{end_col}"
+    rs, re_ = f"{right_prefix}{start_col}", f"{right_prefix}{end_col}"
+    return (l.join(r, key_col)
+            .filter((F.col(ls) <= F.col(re_))
+                    & (F.col(rs) <= F.col(le)))
+            .withColumn("overlap_len",
+                        F.least(F.col(le), F.col(re_))
+                        - F.greatest(F.col(ls), F.col(rs)) + 1))

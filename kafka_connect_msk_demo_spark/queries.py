@@ -2189,6 +2189,52 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-activity analysis (operators/temporal.py
+    day_island_intervals + interval_overlap_join): per user, every
+    overlapping pair of click-activity and purchase-activity day-runs
+    with the overlap length — the interval-algebra join Spark lacks as
+    a built-in, keyed so it stays a hash equi-join."""
+    from .operators.temporal import (day_island_intervals,
+                                     interval_overlap_join)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = day_island_intervals(
+        ev.filter(F.col("event_type") == "click"), "user_id", "ts")
+    buys = day_island_intervals(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", "ts")
+    return (interval_overlap_join(clicks, buys, "user_id")
+            .orderBy("user_id", "a_start_day", "a_end_day",
+                     "b_start_day", "b_end_day"))
+
+
+_SQL_SESSION_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT user_id, event_type,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE event_type IN ('click', 'purchase')
+), runs AS (
+  SELECT user_id, event_type,
+         d - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY d) AS grp,
+         d
+  FROM d
+), iv AS (
+  SELECT user_id, event_type,
+         MIN(d) AS start_day, MAX(d) AS end_day
+  FROM runs GROUP BY user_id, event_type, grp
+)
+SELECT a.user_id AS user_id,
+       a.start_day AS a_start_day, a.end_day AS a_end_day,
+       b.start_day AS b_start_day, b.end_day AS b_end_day,
+       least(a.end_day, b.end_day)
+         - greatest(a.start_day, b.start_day) + 1 AS overlap_len
+FROM iv a JOIN iv b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND a.start_day <= b.end_day AND b.start_day <= a.end_day
+ORDER BY user_id, a_start_day, a_end_day, b_start_day, b_end_day
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type KS drift between the early and late halves of
     the event stream (operators/aggregates.py ks_drift) — exact
@@ -2403,6 +2449,7 @@ BATCH_QUERIES = {
     "ewma_smooth": (q_ewma_smooth, _SQL_EWMA_SMOOTH),
     "winsorized_mean": (q_winsorized_mean, _SQL_WINSORIZED_MEAN),
     "ks_drift": (q_ks_drift, _SQL_KS_DRIFT),
+    "session_overlap": (q_session_overlap, _SQL_SESSION_OVERLAP),
 }
 
 # ---------------------------------------------------------------------------

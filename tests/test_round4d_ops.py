@@ -280,3 +280,50 @@ def test_ks_group_with_empty_half_excluded(spark):
             + [(2, 20, _t(0), 5.0)])  # user 2: early only
     out = ks_drift(_ev(spark, rows), "user_id", "ts", "value").collect()
     assert [r.user_id for r in out] == [1]
+
+
+# ---------------------------------------------------------------------------
+# day_island_intervals + interval_overlap_join
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.operators.temporal import (
+    day_island_intervals,
+    interval_overlap_join,
+)
+
+
+def _day(d):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+
+
+def test_day_islands_split_on_gap(spark):
+    rows = [(1, i, _day(d), 0.0)
+            for i, d in enumerate([0, 1, 2, 6, 10, 11])]
+    out = sorted((r.start_day, r.end_day) for r in
+                 day_island_intervals(_ev(spark, rows),
+                                      "user_id", "ts").collect())
+    base = out[0][0]
+    assert [(s - base, e - base) for s, e in out] == \
+        [(0, 2), (6, 6), (10, 11)]
+
+
+def test_overlap_join_inclusive_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 3), (1, 10, 12)], "user_id long, start_day long, end_day long")
+    right = spark.createDataFrame(
+        [(1, 3, 5), (1, 6, 9), (2, 1, 3)],
+        "user_id long, start_day long, end_day long")
+    out = interval_overlap_join(left, right, "user_id").collect()
+    got = {(r.a_start_day, r.b_start_day): r.overlap_len for r in out}
+    # [1,3]x[3,5] touch at day 3 (inclusive) -> overlap 1; nothing else
+    # overlaps, and user 2's intervals never pair with user 1's.
+    assert got == {(1, 3): 1}
+
+
+def test_overlap_join_length(spark):
+    left = spark.createDataFrame(
+        [(1, 5, 10)], "user_id long, start_day long, end_day long")
+    right = spark.createDataFrame(
+        [(1, 8, 20)], "user_id long, start_day long, end_day long")
+    out = interval_overlap_join(left, right, "user_id").collect()
+    assert out[0].overlap_len == 3  # days 8,9,10
