@@ -2148,6 +2148,82 @@ FROM d GROUP BY dim ORDER BY dim
 """
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience overlap (pipeline/sketches.py
+    kmv_set_ops): pairwise union/intersection cardinality estimates
+    between event-type user sets from deterministic KMV sketches, with
+    exact counts alongside — the distinct-join-free overlap audit."""
+    from .sketches import kmv_set_ops
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_set_ops(events, "user_id", "event_type", k=64,
+                       salt="kmv")
+
+
+_SQL_KMV_SET_OPS = """
+WITH e AS (
+  SELECT DISTINCT event_type AS g, user_id AS u
+  FROM events WHERE user_id IS NOT NULL
+), h AS (
+  SELECT DISTINCT g,
+         CAST(concat('0x', substr(md5('kmv:' || CAST(u AS VARCHAR)),
+                                  1, 12)) AS BIGINT) AS h
+  FROM e
+), sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+    FROM h
+  ) WHERE rk <= 64
+), pairs AS (
+  SELECT a.g AS ta, b.g AS tb
+  FROM (SELECT DISTINCT g FROM sk) a
+  JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+), u AS (
+  SELECT DISTINCT ta, tb, h FROM (
+    SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.g = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.g = p.tb
+  )
+), uk AS (
+  SELECT ta, tb, h, rk FROM (
+    SELECT ta, tb, h,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+    FROM u
+  ) WHERE rk <= 64
+), stats AS (
+  SELECT ta, tb, COUNT(*) AS n_h,
+         MAX(CASE WHEN rk = 64 THEN h END) AS kth
+  FROM uk GROUP BY 1, 2
+), nboth AS (
+  SELECT uk.ta, uk.tb, COUNT(*) AS n_both
+  FROM uk
+  JOIN sk sa ON sa.g = uk.ta AND sa.h = uk.h
+  JOIN sk sb ON sb.g = uk.tb AND sb.h = uk.h
+  GROUP BY 1, 2
+), pt AS (
+  SELECT g, COUNT(*) AS n_t FROM e GROUP BY 1
+), inter AS (
+  SELECT a.g AS ta, b.g AS tb, COUNT(*) AS n_true_inter
+  FROM e a JOIN e b ON a.u = b.u AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT s.ta AS type_a, s.tb AS type_b,
+       pa.n_t + pb.n_t - COALESCE(i.n_true_inter, 0) AS n_true_union,
+       COALESCE(i.n_true_inter, 0) AS n_true_inter,
+       CASE WHEN s.n_h < 64 THEN CAST(s.n_h AS DOUBLE)
+            ELSE CAST(17732923532771328 AS DOUBLE) / s.kth END AS est_union,
+       CASE WHEN s.n_h < 64 THEN CAST(COALESCE(b.n_both, 0) AS DOUBLE)
+            ELSE (CAST(COALESCE(b.n_both, 0) AS DOUBLE) / 64.0)
+                 * (CAST(17732923532771328 AS DOUBLE) / s.kth) END AS est_inter
+FROM stats s
+LEFT JOIN nboth b ON b.ta = s.ta AND b.tb = s.tb
+JOIN pt pa ON pa.g = s.ta
+JOIN pt pb ON pb.g = s.tb
+LEFT JOIN inter i ON i.ta = s.ta AND i.tb = s.tb
+ORDER BY type_a, type_b
+"""
+
+
 def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-confusion audit of the embedding space (pipeline/
     similarity.py label_centroid_similarity): exact pairwise cosine
@@ -2275,6 +2351,7 @@ PIPELINE_QUERIES: dict = {
     "pmi_collocations": (q_pmi_collocations, _SQL_PMI_COLLOCATIONS),
     "label_centroid_sim": (q_label_centroid_sim,
                            _SQL_LABEL_CENTROID_SIM),
+    "kmv_set_ops": (q_kmv_set_ops, _SQL_KMV_SET_OPS),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),

@@ -270,3 +270,104 @@ def cms_estimate(items: DataFrame, probes: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min("cnt").alias("cnt_cms"))
             .orderBy(key_col))
+
+
+def kmv_set_ops(df: DataFrame, key_col: str, group_col: str,
+                k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Pairwise UNION / INTERSECTION / Jaccard estimates between every
+    two groups' key sets from their KMV sketches — audience-overlap /
+    dataset-contamination accounting WITHOUT an exact distinct join
+    (Beyer et al., "On synopses for distinct-value estimation under
+    multiset operations", SIGMOD 2007: k-min sketches are closed under
+    union, and the union sketch's members double as a Bernoulli sample
+    for the intersection ratio):
+
+        est_union = (k−1)·H / h_k(A ∪ B)
+        ĵ          = |union-k ∩ sketch(A) ∩ sketch(B)| / k
+        est_inter  = ĵ · est_union
+
+    When the union has fewer than ``k`` distinct hashes the sketch IS
+    the distinct hash set and both estimates collapse to exact counts
+    (mirrored branch). ĵ's division by the power-of-two ``k`` is
+    exact; every other step is the one-division / one-multiply
+    correctly-rounded sequence, so results hash-match cross-engine.
+    Exact pair counts ride along for error accounting.
+
+    Scale shape: the ONLY pass over the fact table is the bounded KMV
+    partial kernel (≤ k rows per group per partition) plus one exact
+    distinct pair-count for the audit columns; everything pairwise
+    operates on the |groups|·k sketch table — tiny by construction —
+    so the pair stage is a census-scale self-join, never a fact-table
+    blowup. Drop the audit columns to skip the exact pass entirely at
+    true scale.
+    """
+    src = df.select(F.col(group_col), F.col(key_col))
+    partials = src.mapInPandas(
+        _kmv_partial_kernel(key_col, group_col, k, salt),
+        f"{group_col} string, h long")
+    w = Window.partitionBy(group_col).orderBy("h")
+    sk = (partials.distinct()
+          .withColumn("rk", F.row_number().over(w))
+          .filter(F.col("rk") <= k)
+          .select(F.col(group_col).alias("g"), "h"))
+    types = sk.select("g").distinct()
+    pairs = (types.select(F.col("g").alias("ta"))
+             .join(types.select(F.col("g").alias("tb")),
+                   F.col("ta") < F.col("tb")))
+    ua = pairs.join(sk.withColumnRenamed("g", "ta"), "ta")
+    ub = pairs.join(sk.withColumnRenamed("g", "tb"), "tb")
+    u = (ua.select("ta", "tb", "h")
+         .unionByName(ub.select("ta", "tb", "h"))
+         .distinct())
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    uk = (u.withColumn("rk", F.row_number().over(wu))
+          .filter(F.col("rk") <= k))
+    # membership via semi joins on (type, hash)
+    both = (uk
+            .join(sk.select(F.col("g").alias("ta"),
+                            F.col("h").alias("h")),
+                  ["ta", "h"], "semi")
+            .join(sk.select(F.col("g").alias("tb"),
+                            F.col("h").alias("h")),
+                  ["tb", "h"], "semi"))
+    stats = (uk.groupBy("ta", "tb")
+             .agg(F.count(F.lit(1)).alias("n_h"),
+                  F.max(F.when(F.col("rk") == k, F.col("h")))
+                  .alias("kth")))
+    nboth = (both.groupBy("ta", "tb")
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    # exact audit counts
+    e = (df.filter(F.col(key_col).isNotNull())
+         .select(F.col(group_col).alias("g"), F.col(key_col).alias("u"))
+         .distinct())
+    per_type = e.groupBy("g").agg(F.count(F.lit(1)).alias("n_t"))
+    inter = (e.select(F.col("g").alias("ta"), "u")
+             .join(e.select(F.col("g").alias("tb"), "u"), "u")
+             .filter(F.col("ta") < F.col("tb"))
+             .groupBy("ta", "tb")
+             .agg(F.count(F.lit(1)).alias("n_true_inter")))
+    est_union = F.when(
+        F.col("n_h") < k, F.col("n_h").cast("double")).otherwise(
+        F.lit(float(k - 1) * HASH_SPACE) / F.col("kth"))
+    jac = F.col("n_both").cast("double") / F.lit(float(k))
+    est_inter = F.when(
+        F.col("n_h") < k, F.col("n_both").cast("double")).otherwise(
+        jac * F.col("est_union"))
+    return (stats
+            .join(nboth, ["ta", "tb"], "left")
+            .na.fill({"n_both": 0})
+            .join(F.broadcast(per_type.select(
+                F.col("g").alias("ta"), F.col("n_t").alias("na"))), "ta")
+            .join(F.broadcast(per_type.select(
+                F.col("g").alias("tb"), F.col("n_t").alias("nb"))), "tb")
+            .join(inter, ["ta", "tb"], "left")
+            .na.fill({"n_true_inter": 0})
+            .withColumn("n_true_union",
+                        F.col("na") + F.col("nb") - F.col("n_true_inter"))
+            .withColumn("est_union", est_union)
+            .withColumn("est_inter", est_inter)
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb").alias("type_b"),
+                    "n_true_union", "n_true_inter",
+                    "est_union", "est_inter")
+            .orderBy("type_a", "type_b"))

@@ -327,3 +327,54 @@ def test_overlap_join_length(spark):
         [(1, 8, 20)], "user_id long, start_day long, end_day long")
     out = interval_overlap_join(left, right, "user_id").collect()
     assert out[0].overlap_len == 3  # days 8,9,10
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_ops
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.pipeline.sketches import kmv_set_ops
+
+
+def _typed(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def test_kmv_setops_degenerate_is_exact(spark):
+    """Union under k distinct hashes -> the sketch IS the set: both
+    estimates collapse to the exact counts."""
+    rows = ([("a", u) for u in range(1, 11)]
+            + [("b", u) for u in range(5, 15)])
+    r = kmv_set_ops(_typed(spark, rows), "user_id", "event_type",
+                    k=64).collect()[0]
+    assert (r.n_true_union, r.n_true_inter) == (14, 6)
+    assert r.est_union == 14.0 and r.est_inter == 6.0
+
+
+def test_kmv_setops_estimates_track_truth(spark):
+    """200-user union with 50-user overlap at k=64: estimates land
+    within the sketch's error envelope (~3/sqrt(k) ≈ 38%)."""
+    rows = ([("a", u) for u in range(125)]
+            + [("b", u) for u in range(75, 200)])
+    r = kmv_set_ops(_typed(spark, rows), "user_id", "event_type",
+                    k=64).collect()[0]
+    assert (r.n_true_union, r.n_true_inter) == (200, 50)
+    assert abs(r.est_union - 200) <= 0.38 * 200
+    assert abs(r.est_inter - 50) <= 0.5 * 50 + 10
+
+
+def test_kmv_setops_disjoint_sets(spark):
+    rows = ([("a", u) for u in range(10)]
+            + [("b", u) for u in range(100, 110)])
+    r = kmv_set_ops(_typed(spark, rows), "user_id", "event_type",
+                    k=64).collect()[0]
+    assert r.n_true_inter == 0 and r.est_inter == 0.0
+    assert r.est_union == 20.0
+
+
+def test_kmv_setops_all_pairs_emitted(spark):
+    rows = [(t, u) for t in "abc" for u in range(5)]
+    out = kmv_set_ops(_typed(spark, rows), "user_id", "event_type",
+                      k=8).collect()
+    assert [(r.type_a, r.type_b) for r in out] == \
+        [("a", "b"), ("a", "c"), ("b", "c")]
