@@ -2148,6 +2148,19 @@ FROM d GROUP BY dim ORDER BY dim
 """
 
 
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-direction audit (pipeline/similarity.py
+    pca_power_topk): top-25 vectors by |projection| onto the first
+    principal component, power-iterated on the exact integer centered
+    scatter — the second iterative trainer (after Lloyd) with a fully
+    replayable oracle."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_power_topk(vecs, k=25, dims=16, iters=8)
+
+
+_SQL_PCA_POWER = similarity._sql_pca_power_topk(k=25, dims=16, iters=8)
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based audience overlap (pipeline/sketches.py
     kmv_set_ops): pairwise union/intersection cardinality estimates
@@ -2352,6 +2365,7 @@ PIPELINE_QUERIES: dict = {
     "label_centroid_sim": (q_label_centroid_sim,
                            _SQL_LABEL_CENTROID_SIM),
     "kmv_set_ops": (q_kmv_set_ops, _SQL_KMV_SET_OPS),
+    "pca_power": (q_pca_power, _SQL_PCA_POWER),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),

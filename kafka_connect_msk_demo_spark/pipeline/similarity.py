@@ -709,3 +709,151 @@ def label_centroid_similarity(vecs: DataFrame, quant: int = 1 << 20,
                     F.col("lb").alias("label_b"),
                     cos.alias("cosine"))
             .orderBy("label_a", "label_b"))
+
+
+def pca_power_topk(vecs: DataFrame, k: int = 25, dims: int = 16,
+                   iters: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Top-``k`` vectors by |projection| onto the corpus's FIRST
+    PRINCIPAL COMPONENT, trained distributedly by power iteration on
+    the exact centered scatter matrix — the "dominant direction" audit
+    of an embedding space (the vectors a whitening or de-biasing pass
+    would touch first), and the generalization of the
+    :func:`kmeans_centroids` pattern to a second iterative trainer
+    with an exactly-replayable oracle.
+
+    Exactness pipeline (every step engine-replayable, see
+    ``_sql_pca_power_topk``):
+
+    1. elements quantize to ``floor(v·2^14 + 0.5)`` int64 over the
+       first ``dims`` coordinates;
+    2. first/second moments accumulate exactly (decimal / hugeint);
+       the CENTERED scatter ``C = n·S₂ − S₁S₁ᵀ`` is computed in exact
+       integers — scaling by n merely scales eigenvalues, so no
+       division ever enters the trainer;
+    3. each power step is an exact integer matvec ``w = C·v`` followed
+       by an L∞ re-quantization ``v' = floor(w/‖w‖∞ · 2^10 + 0.5)``
+       whose three double ops are correctly rounded and identically
+       ordered on both engines (``m = 0`` keeps the previous vector,
+       mirrored); the constant seed v₀ = 2^10·1 is deterministic;
+    4. the final projection ``Σ qᵢ·wᵢ`` is an exact ≤ 2^27 integer per
+       vector — sorted by |proj| with the id tiebreak.
+
+    Integer headroom: |q| < 2^13.1, so S₂ entries ≤ n·2^26 and matvec
+    terms ≤ n²·2^26·2^10·dims — under the 1.7e38 hugeint/decimal(38)
+    ceiling for corpora to ~10^12 vectors (document and shrink the
+    vector quantum for more).
+
+    Scale shape: the moments are ONE self equi-join on the vector id
+    (16 rows a side per vector, shuffle key = id) into a (dims²)-cell
+    hash-agg; the trainer then runs on the DRIVER over dims² exact
+    ints — O(dims²) traffic ONCE, no per-iteration cluster round-trip
+    at all (cheaper than Lloyd's per-iteration partials); the final
+    projection is a scan-speed narrow map with the trained component
+    inlined as literals. At 100 TB nothing but the two scans and one
+    bounded join touches the data.
+    """
+    import math
+
+    arr = F.slice(as_double(vec_col), 1, dims)
+    src = vecs.filter(F.size(F.col(vec_col)) >= dims)
+    ex = (src.select(F.col(id_col).alias("vid"),
+                     F.posexplode(arr).alias("pos", "v"))
+          .withColumn("q", F.floor(F.col("v") * F.lit(16384.0)
+                                   + F.lit(0.5)).cast("long")))
+    mom1 = (ex.groupBy("pos")
+            .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")).collect())
+    a = ex.select(F.col("vid"), F.col("pos").alias("i"),
+                  F.col("q").alias("qa"))
+    b = ex.select(F.col("vid"), F.col("pos").alias("j"),
+                  F.col("q").alias("qb"))
+    mom2 = (a.join(b, "vid")
+            .groupBy("i", "j")
+            .agg(F.sum((F.col("qa") * F.col("qb"))
+                       .cast("decimal(38,0)")).alias("s2")).collect())
+    n = int(mom1[0]["n"]) if mom1 else 0
+    s1 = {int(r["pos"]): int(r["s"]) for r in mom1}
+    s2 = {(int(r["i"]), int(r["j"])): int(r["s2"]) for r in mom2}
+    C = [[n * s2.get((i, j), 0) - s1.get(i, 0) * s1.get(j, 0)
+          for j in range(dims)] for i in range(dims)]
+    v = [1024] * dims
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dims))
+             for i in range(dims)]
+        wd = [float(x) for x in w]
+        m = max(abs(x) for x in wd)
+        if m != 0.0:
+            v = [math.floor(x / m * 1024.0 + 0.5) for x in wd]
+    el = [F.floor(F.element_at(arr, i + 1) * F.lit(16384.0)
+                  + F.lit(0.5)).cast("long") * F.lit(v[i])
+          for i in range(dims)]
+    proj_q = el[0]
+    for term in el[1:]:
+        proj_q = proj_q + term
+    return (src.select(F.col(id_col), F.col(label_col),
+                       proj_q.alias("proj_q"))
+            .withColumn("proj", F.col("proj_q").cast("double")
+                        / F.lit(16777216.0))
+            .orderBy(F.abs(F.col("proj_q")).desc(), id_col)
+            .limit(k))
+
+
+def _sql_pca_power_topk(k: int = 25, dims: int = 16,
+                        iters: int = 8) -> str:
+    """DuckDB twin of :func:`pca_power_topk`: the power iteration
+    unrolled as CTE triples (matvec, L∞ norm, requantize) over the
+    same exact integer scatter — hugeint on the oracle side, Python
+    ints on the driver, equal wherever both are exact."""
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""w{t} AS MATERIALIZED (
+  SELECT cov.i AS i, SUM(cov.c * {prev}.v) AS w
+  FROM cov JOIN {prev} ON {prev}.i = cov.j GROUP BY 1
+), m{t} AS MATERIALIZED (
+  SELECT MAX(abs(CAST(w AS DOUBLE))) AS m FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT w{t}.i AS i,
+         CASE WHEN m{t}.m = 0 THEN {prev}.v
+              ELSE CAST(floor(CAST(w{t}.w AS DOUBLE) / m{t}.m * 1024.0
+                              + 0.5) AS HUGEINT) END AS v
+  FROM w{t} JOIN {prev} ON {prev}.i = w{t}.i CROSS JOIN m{t}
+)""")
+        prev = f"v{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding AS e,
+         unnest(range({dims})) AS pos
+  FROM embeddings WHERE len(embedding) >= {dims}
+), ex AS MATERIALIZED (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(e[pos + 1] AS DOUBLE) * 16384.0 + 0.5)
+              AS BIGINT) AS q
+  FROM base
+), mom1 AS (
+  SELECT pos AS i, SUM(q) AS s, COUNT(*) AS n FROM ex GROUP BY 1
+), mom2 AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.q * b.q) AS s2
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+), cov AS MATERIALIZED (
+  SELECT mom2.i AS i, mom2.j AS j,
+         si.n * mom2.s2 - si.s * sj.s AS c
+  FROM mom2
+  JOIN mom1 si ON si.i = mom2.i
+  JOIN mom1 sj ON sj.i = mom2.j
+), v0 AS (
+  SELECT i, CAST(1024 AS HUGEINT) AS v FROM mom1
+),
+{chain},
+proj AS (
+  SELECT ex.vec_id, CAST(SUM(ex.q * {prev}.v) AS BIGINT) AS proj_q
+  FROM ex JOIN {prev} ON {prev}.i = ex.pos GROUP BY 1
+)
+SELECT p.vec_id, emb.label, p.proj_q,
+       CAST(p.proj_q AS DOUBLE) / 16777216.0 AS proj
+FROM proj p JOIN embeddings emb ON emb.vec_id = p.vec_id
+ORDER BY abs(p.proj_q) DESC, p.vec_id LIMIT {k}
+"""

@@ -378,3 +378,50 @@ def test_kmv_setops_all_pairs_emitted(spark):
                       k=8).collect()
     assert [(r.type_a, r.type_b) for r in out] == \
         [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+# ---------------------------------------------------------------------------
+# pca_power_topk
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.pipeline.similarity import pca_power_topk
+
+
+def _vecs16(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_pca_finds_planted_axis(spark):
+    """Variance planted on dim 3 only: top-|projection| ids are the
+    extreme dim-3 vectors, in |value| order."""
+    def vec(t):
+        v = [0.0] * 16
+        v[3] = t
+        return v
+    rows = [(i, vec((i - 10) / 10.0), 0) for i in range(21)]
+    out = pca_power_topk(_vecs16(spark, rows), k=4).collect()
+    assert {r.vec_id for r in out} == {0, 20, 1, 19}
+    assert abs(out[0].proj) >= abs(out[-1].proj)
+
+
+def test_pca_centering_ignores_common_offset(spark):
+    """A constant offset on an otherwise variance-free dim must not
+    steal the component: variance lives on dim 5."""
+    def vec(t):
+        v = [0.5] * 16         # big common offset everywhere
+        v[5] = 0.5 + t
+        return v
+    rows = [(i, vec((i - 5) / 20.0), 0) for i in range(11)]
+    out = pca_power_topk(_vecs16(spark, rows), k=2).collect()
+    # extremes of the dim-5 spread win, not arbitrary offset vectors
+    assert {r.vec_id for r in out} <= {0, 1, 9, 10}
+
+
+def test_pca_zero_matrix_guard(spark):
+    """All-identical vectors -> zero scatter -> m=0 branch: no crash,
+    every projection equal (ties broken by id)."""
+    rows = [(i, [1.0] * 16, 0) for i in range(5)]
+    out = pca_power_topk(_vecs16(spark, rows), k=3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]
+    assert len({r.proj_q for r in out}) == 1
