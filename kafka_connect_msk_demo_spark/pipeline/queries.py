@@ -2148,6 +2148,72 @@ FROM d GROUP BY dim ORDER BY dim
 """
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (pipeline/text_analysis.py
+    rrf_retrieval_fusion): BM25 retrieval for the fixed query fused
+    with the corpus quality prior via rrf = Σ 1/(60+rank) — the
+    calibration-free scorer combiner of a retrieval pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.rrf_retrieval_fusion(
+        docs, ["join", "merge", "spark", "window"], k=25, pool=100)
+
+
+_SQL_RRF_FUSION = f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t,
+         len(string_split(lower(trim(text)), ' ')) AS dl,
+         lower(trim(text)) AS low
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens FROM d
+), q AS (
+  SELECT unnest(['join', 'merge', 'spark', 'window']) AS term
+), hits AS (
+  SELECT doc_id, dl, term,
+         len(list_filter(t, x -> x = term)) AS tf
+  FROM d, q WHERE list_contains(t, term)
+), dft AS (
+  SELECT term, COUNT(*) AS dft FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         CAST(floor(
+           CAST(22 * s.s_tokens * h.tf * (s.n_docs + 1) AS DOUBLE)
+           / CAST((10 * s.s_tokens * h.tf + 3 * s.s_tokens
+                   + 9 * h.dl * s.n_docs) * (f.dft + 1) AS DOUBLE)
+           * 1000000.0) AS BIGINT) AS score_q
+  FROM hits h JOIN dft f USING (term) CROSS JOIN stats s
+), perdoc AS (
+  SELECT doc_id, CAST(SUM(score_q) AS BIGINT) AS score_q
+  FROM scored GROUP BY doc_id
+), ra AS (
+  SELECT doc_id, r_bm25 FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id)
+           AS r_bm25
+    FROM perdoc
+  ) WHERE r_bm25 <= 100
+), qual AS (
+  SELECT doc_id,
+         0.4 * (least(len(t), 64)::DOUBLE / 64.0)
+           + 0.3 * (1.0 - len(regexp_extract_all(low,
+                 '{text_analysis.PUNCT_RE}'))::DOUBLE / length(low))
+           + 0.3 * least(len(list_filter(t, x -> x IN ({_STOP_SQL})))
+                         ::DOUBLE / len(t) * 5.0, 1.0) AS quality
+  FROM d
+), rb AS (
+  SELECT doc_id, r_qual FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id)
+           AS r_qual
+    FROM qual
+  ) WHERE r_qual <= 100
+)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, r_bm25, r_qual,
+       COALESCE(CAST(1 AS DOUBLE) / (60 + r_bm25), 0.0)
+       + COALESCE(CAST(1 AS DOUBLE) / (60 + r_qual), 0.0) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 25
+"""
+
+
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-direction audit (pipeline/similarity.py
     pca_power_topk): top-25 vectors by |projection| onto the first
@@ -2366,6 +2432,7 @@ PIPELINE_QUERIES: dict = {
                            _SQL_LABEL_CENTROID_SIM),
     "kmv_set_ops": (q_kmv_set_ops, _SQL_KMV_SET_OPS),
     "pca_power": (q_pca_power, _SQL_PCA_POWER),
+    "rrf_fusion": (q_rrf_fusion, _SQL_RRF_FUSION),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),

@@ -507,3 +507,43 @@ def bpe_merge_candidates(docs: DataFrame, top: int = 25,
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
             .limit(top))
+
+
+def rrf_retrieval_fusion(docs: DataFrame, query_terms: list[str],
+                         k: int = 25, pool: int = 100,
+                         c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    retrieval signals over the same corpus: the BM25 ranking for
+    ``query_terms`` and the corpus quality-score prior —
+
+        rrf(d) = Σ_lists 1 / (c + rank_list(d))
+
+    the standard way a retrieval pipeline combines heterogeneous
+    scorers without calibrating their scales (absent-from-list terms
+    contribute 0). Each reciprocal is ONE correctly-rounded division
+    of exact integers and the sum has a fixed two-term order, so the
+    fused score is bit-identical cross-engine; ties break on doc_id.
+
+    Scale shape: each ranking is a distributed top-``pool`` (Spark
+    TakeOrderedAndProject — no global sort materializes) and the rank
+    assignment + full-outer fusion run on the two pool-sized frames
+    (single-partition by construction, bounded by ``pool``). The only
+    corpus-scale work is the two scorers themselves, each already
+    plan-audited (:func:`bm25_topk`, :func:`quality_score`).
+    """
+    from pyspark.sql import Window
+
+    a = bm25_topk(docs, query_terms, k=pool)
+    wa = Window.orderBy(F.col("score_q").desc(), "doc_id")
+    ra = a.select("doc_id", F.row_number().over(wa).alias("r_bm25"))
+    topq = (quality_score(docs)
+            .orderBy(F.col("quality").desc(), "doc_id").limit(pool))
+    wb = Window.orderBy(F.col("quality").desc(), "doc_id")
+    rb = topq.select("doc_id", F.row_number().over(wb).alias("r_qual"))
+    one = F.lit(1.0)
+    rrf = (F.coalesce(one / (F.lit(c) + F.col("r_bm25")), F.lit(0.0))
+           + F.coalesce(one / (F.lit(c) + F.col("r_qual")), F.lit(0.0)))
+    return (ra.join(rb, "doc_id", "full_outer")
+            .select("doc_id", "r_bm25", "r_qual", rrf.alias("rrf"))
+            .orderBy(F.col("rrf").desc(), "doc_id")
+            .limit(k))

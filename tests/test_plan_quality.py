@@ -41,7 +41,8 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "dsir_select", "semdedup", "heavy_hitters",
                 "mix_allocation", "cms_counts", "triangle_count",
                 "benford_audit", "copurchase_pairs",
-                "pmi_collocations", "ks_drift", "kmv_set_ops"}
+                "pmi_collocations", "ks_drift", "kmv_set_ops",
+                "rrf_fusion"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

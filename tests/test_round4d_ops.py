@@ -425,3 +425,60 @@ def test_pca_zero_matrix_guard(spark):
     out = pca_power_topk(_vecs16(spark, rows), k=3).collect()
     assert [r.vec_id for r in out] == [0, 1, 2]
     assert len({r.proj_q for r in out}) == 1
+
+
+# ---------------------------------------------------------------------------
+# rrf_retrieval_fusion
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.pipeline.text_analysis import (
+    rrf_retrieval_fusion,
+)
+
+_QUERY = ["join", "merge", "spark", "window"]
+
+
+def _corpus(spark):
+    texts = (["the spark join is a merge of the window and the data"]
+             + [f"spark join merge window doc {i}" for i in range(3)]
+             + ["zzz " * 30, "!!! ??? ###", "the a of and to in is it"])
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_rrf_score_is_exact_function_of_ranks(spark):
+    out = rrf_retrieval_fusion(_corpus(spark), _QUERY, k=10,
+                               pool=5).collect()
+    assert out, "fusion returned nothing"
+    for r in out:
+        expect = ((1.0 / (60 + r.r_bm25) if r.r_bm25 is not None else 0.0)
+                  + (1.0 / (60 + r.r_qual) if r.r_qual is not None
+                     else 0.0))
+        assert r.rrf == expect
+    scores = [r.rrf for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_both_lists_beat_single_list(spark):
+    """A doc holding rank 1 in BOTH lists must outrank any doc present
+    in only one list (max single-list score is 1/61 < 2/61)."""
+    out = rrf_retrieval_fusion(_corpus(spark), _QUERY, k=10,
+                               pool=5).collect()
+    best = out[0]
+    if best.r_bm25 == 1 and best.r_qual == 1:
+        assert best.rrf == 2.0 / 61.0
+    singles = [r for r in out if r.r_bm25 is None or r.r_qual is None]
+    doubles = [r for r in out if r.r_bm25 is not None
+               and r.r_qual is not None
+               and r.r_bm25 == 1 and r.r_qual == 1]
+    for d in doubles:
+        for s in singles:
+            assert d.rrf > s.rrf
+
+
+def test_rrf_deterministic(spark):
+    a = rrf_retrieval_fusion(_corpus(spark), _QUERY, k=10,
+                             pool=5).collect()
+    b = rrf_retrieval_fusion(_corpus(spark), _QUERY, k=10,
+                             pool=5).collect()
+    assert a == b
