@@ -315,6 +315,26 @@ from ..operators.temporal import \
     ROLLING_ANOMALY_ORACLE_SQL as _SQL_STREAM_ANOMALY  # noqa: E402
 
 
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming α=1/2 EWMA (streaming/stateful.py ewma_stream):
+    bounded last-32 per-user state folded across real micro-batches;
+    exact dyadic arithmetic makes every emission equal the batch
+    operator's row — checked by the SHARED weighted-self-join
+    oracle."""
+    from .stateful import ewma_stream
+
+    events = stream_table(spark, sf_dir, "events",
+                          max_files_per_trigger=1)
+    drained = run_to_memory(ewma_stream(events), "update")
+    return drained.orderBy("user_id", "ts_us", "event_id")
+
+
+#: the SHARED batch oracle — stream emissions are defined to equal
+#: the batch EWMA rows exactly
+from ..operators.temporal import \
+    EWMA_HALVING_ORACLE_SQL as _SQL_STREAM_EWMA  # noqa: E402
+
+
 def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog: the register maxima (MAX rho per (group,
     register)) run as a complete-mode streaming aggregation — HLL
@@ -359,4 +379,5 @@ STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, _SQL_STREAM_DEDUP_KEYS),
     "stream_anomaly": (stream_anomaly, _SQL_STREAM_ANOMALY),
     "stream_hll": (stream_hll, _SQL_STREAM_HLL),
+    "stream_ewma": (stream_ewma, _SQL_STREAM_EWMA),
 }

@@ -146,3 +146,65 @@ def rolling_anomaly_stream(stream: DataFrame, lookback: int = 20,
             .applyInPandasWithState(update, ANOMALY_OUTPUT_SCHEMA,
                                     ANOMALY_STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+EWMA_STATE_SCHEMA = "vals array<bigint>"
+EWMA_OUTPUT_SCHEMA = ("user_id bigint, ts_us bigint, event_id bigint, "
+                      "value double, n_window int, ewma double")
+
+
+def ewma_stream(stream: DataFrame, frame: int = 32, scale: int = 100,
+                key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id",
+                value_col: str = "value") -> DataFrame:
+    """Streaming twin of ``operators/temporal.ewma_halving`` — the
+    α=1/2 trailing EWMA maintained in BOUNDED per-key state (the last
+    ``frame`` quantized values) across micro-batches.
+
+    Exactness carries over verbatim: the windowed sum is a sum of
+    exact dyadic rationals (see the batch docstring's 53-bit bound),
+    so the Python left fold here, the JVM codegen fold in the batch
+    operator, and the oracle's weighted self-join all produce the
+    identical double; the two normalizing divisions are correctly
+    rounded in the same order. Emission is final (each row's EWMA
+    depends only on its own prefix), so the drained stream equals the
+    batch result row-for-row — which is what the SHARED oracle checks.
+    Cross-batch order holds because the staged chunks are
+    event-time-ordered; within a batch rows sort by (ts, id).
+    """
+    wire = stream.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.unix_micros(ts_col).alias("ts_us"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+        F.round(F.col(value_col) * F.lit(float(scale)))
+        .cast("long").alias("q_v"))
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        vals = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for us, eid, val, qv in zip(pdf["ts_us"], pdf["event_id"],
+                                        pdf["value"], pdf["q_v"]):
+                vals.append(int(qv))
+                if len(vals) > frame:
+                    vals.pop(0)
+                n = len(vals)
+                s = 0.0
+                for x in vals:
+                    s = (x + s) / 2.0
+                ewma = (s / (1.0 - 2.0 ** -n)) / float(scale)
+                out.append((key[0], int(us), int(eid), float(val),
+                            n, ewma))
+        state.update((vals,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ts_us", "event_id", "value",
+                              "n_window", "ewma"])
+
+    return (wire.groupBy("user_id")
+            .applyInPandasWithState(update, EWMA_OUTPUT_SCHEMA,
+                                    EWMA_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -482,3 +482,22 @@ def test_rrf_deterministic(spark):
     b = rrf_retrieval_fusion(_corpus(spark), _QUERY, k=10,
                              pool=5).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stream_ewma — the streaming twin equals the batch operator exactly
+# ---------------------------------------------------------------------------
+
+
+def test_stream_ewma_equals_batch(spark, sf_small):
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.queries import queries
+
+    stream_rows = queries()["stream_ewma"](spark, sf_small).collect()
+    batch_rows = (queries()["ewma_smooth"](spark, sf_small)
+                  .orderBy("user_id", "ts_us", "event_id").collect())
+    assert len(stream_rows) == len(batch_rows) > 0
+    for s, b in zip(stream_rows, batch_rows):
+        assert (s.user_id, s.ts_us, s.event_id) == \
+            (b.user_id, b.ts_us, b.event_id)
+        assert s.ewma == b.ewma and s.n_window == b.n_window
