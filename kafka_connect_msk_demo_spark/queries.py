@@ -2189,6 +2189,58 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-indicator scan (operators/aggregates.py xcorr_lags):
+    Pearson cross-correlation between the hourly click and purchase
+    value series at lags 0..6 h, zero-filled grid, exact integer
+    moments."""
+    from .operators.aggregates import xcorr_lags
+    ev = load_table(spark, sf_dir, "events")
+    return xcorr_lags(ev, "ts", "event_type", "value",
+                      "click", "purchase", max_lag=6)
+
+
+_SQL_XCORR_LAGS = """
+WITH per AS (
+  SELECT event_type AS t,
+         (epoch_us(ts) // 1000000) // 3600 AS b,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM per),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS b FROM bounds),
+x AS (
+  SELECT g.b, COALESCE(p.s, 0) AS x
+  FROM grid g LEFT JOIN per p ON p.b = g.b AND p.t = 'click'
+), y AS (
+  SELECT g.b, COALESCE(p.s, 0) AS y
+  FROM grid g LEFT JOIN per p ON p.b = g.b AND p.t = 'purchase'
+), lags AS (SELECT unnest(range(0, 7)) AS lag),
+paired AS (
+  SELECT l.lag, x.x, y.y
+  FROM x CROSS JOIN lags l JOIN y ON x.b + l.lag = y.b
+), agg AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM paired GROUP BY lag
+)
+SELECT lag, n AS n_buckets,
+       CASE WHEN CAST(n AS DECIMAL(19,0)) * sxx - sx * sx > 0
+             AND CAST(n AS DECIMAL(19,0)) * syy - sy * sy > 0
+            THEN CAST(CAST(n AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(CAST(n AS DECIMAL(19,0)) * sxx - sx * sx
+                              AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS DECIMAL(19,0)) * syy - sy * sy
+                                AS DOUBLE)))
+       END AS xcorr
+FROM agg ORDER BY lag
+"""
+
+
 def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent-activity analysis (operators/temporal.py
     day_island_intervals + interval_overlap_join): per user, every
@@ -2450,6 +2502,7 @@ BATCH_QUERIES = {
     "winsorized_mean": (q_winsorized_mean, _SQL_WINSORIZED_MEAN),
     "ks_drift": (q_ks_drift, _SQL_KS_DRIFT),
     "session_overlap": (q_session_overlap, _SQL_SESSION_OVERLAP),
+    "xcorr_lags": (q_xcorr_lags, _SQL_XCORR_LAGS),
 }
 
 # ---------------------------------------------------------------------------

@@ -501,3 +501,39 @@ def test_stream_ewma_equals_batch(spark, sf_small):
         assert (s.user_id, s.ts_us, s.event_id) == \
             (b.user_id, b.ts_us, b.event_id)
         assert s.ewma == b.ewma and s.n_window == b.n_window
+
+
+# ---------------------------------------------------------------------------
+# xcorr_lags
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.operators.aggregates import xcorr_lags
+
+
+def _series_events(spark, xs, shift):
+    """click series xs at hours 0..n-1; purchase = same values shifted
+    `shift` hours later."""
+    rows = []
+    for t, v in enumerate(xs):
+        rows.append((1, t, _t(t * 60), float(v), "click"))
+        rows.append((2, 1000 + t, _t((t + shift) * 60), float(v),
+                     "purchase"))
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double,"
+        " event_type string")
+
+
+def test_xcorr_detects_planted_lag(spark):
+    xs = [(t * 37) % 101 + 1 for t in range(48)]
+    out = {r.lag: r.xcorr for r in xcorr_lags(
+        _series_events(spark, xs, 2), "ts", "event_type", "value",
+        "click", "purchase", max_lag=4).collect()}
+    assert out[2] > 0.999999
+    assert all(abs(out[lag]) < 0.5 for lag in (0, 1, 3, 4))
+
+
+def test_xcorr_zero_variance_is_null(spark):
+    xs = [5] * 20
+    out = xcorr_lags(_series_events(spark, xs, 0), "ts", "event_type",
+                     "value", "click", "purchase", max_lag=2).collect()
+    assert all(r.xcorr is None for r in out)  # constant series: no r
