@@ -2189,6 +2189,68 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation census — the classic CRM cut of the
+    same order feed the reference streams: per customer, Recency
+    (days since last order, against the corpus max date), Frequency
+    (order count) and Monetary (exact cents sum) are quartiled by
+    ntile(4) under deterministic (metric, custkey) orders, then the
+    4×4×4 segment census reports size and exact-ratio average spend.
+
+    Scale note: each ntile is one global sort — the same O(n log n)
+    any rank-based quartile costs; for 10⁹+ customers swap the
+    boundaries to ``approx_percentile`` thresholds and a comparison
+    bucket (the census stage is unchanged). Quartile 1 is best on
+    every axis (most recent / most frequent / highest spend)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    per = (o.groupBy("o_custkey")
+           .agg(F.max(day).alias("last_day"),
+                F.count(F.lit(1)).alias("freq"),
+                F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("long")).alias("cents")))
+    maxd = per.agg(F.max("last_day").alias("corpus_max"))
+    per = (per.crossJoin(F.broadcast(maxd))
+           .withColumn("recency", F.col("corpus_max") - F.col("last_day")))
+    w_r = Window.orderBy("recency", "o_custkey")
+    w_f = Window.orderBy(F.col("freq").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    scored = (per.withColumn("r_q", F.ntile(4).over(w_r))
+              .withColumn("f_q", F.ntile(4).over(w_f))
+              .withColumn("m_q", F.ntile(4).over(w_m)))
+    return (scored.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 ((F.sum("cents").cast("double") / F.lit(100.0))
+                  / F.count(F.lit(1))).alias("avg_spend"))
+            .orderBy("r_q", "f_q", "m_q"))
+
+
+_SQL_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), mx AS (SELECT MAX(last_day) AS corpus_max FROM per),
+scored AS (
+  SELECT o_custkey, freq, cents,
+         corpus_max - last_day AS recency,
+         ntile(4) OVER (ORDER BY corpus_max - last_day, o_custkey)
+           AS r_q,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+         ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+  FROM per CROSS JOIN mx
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+       (CAST(SUM(cents) AS DOUBLE) / 100.0) / COUNT(*) AS avg_spend
+FROM scored GROUP BY 1, 2, 3
+ORDER BY r_q, f_q, m_q
+"""
+
+
 def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading-indicator scan (operators/aggregates.py xcorr_lags):
     Pearson cross-correlation between the hourly click and purchase
@@ -2503,6 +2565,7 @@ BATCH_QUERIES = {
     "ks_drift": (q_ks_drift, _SQL_KS_DRIFT),
     "session_overlap": (q_session_overlap, _SQL_SESSION_OVERLAP),
     "xcorr_lags": (q_xcorr_lags, _SQL_XCORR_LAGS),
+    "rfm_segments": (q_rfm_segments, _SQL_RFM_SEGMENTS),
 }
 
 # ---------------------------------------------------------------------------

@@ -537,3 +537,21 @@ def test_xcorr_zero_variance_is_null(spark):
     out = xcorr_lags(_series_events(spark, xs, 0), "ts", "event_type",
                      "value", "click", "purchase", max_lag=2).collect()
     assert all(r.xcorr is None for r in out)  # constant series: no r
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — structural checks (oracle parity covers the values)
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_census_partitions_all_customers(spark, sf_small):
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.queries import queries
+
+    out = queries()["rfm_segments"](spark, sf_small).collect()
+    n_cust = (load_table(spark, sf_small, "orders")
+              .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
+        assert r.avg_spend > 0
