@@ -2148,6 +2148,59 @@ FROM d GROUP BY dim ORDER BY dim
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit: confusion census of the marker-heuristic
+    prediction against the stored label — per (labeled, predicted)
+    cell the doc count and the cell's share of its labeled row (an
+    exact int/int division). The acceptance report a lang-ID swap
+    (heuristic → fasttext) would be judged against. One extra
+    hash-agg + a per-label window over the tiny census table on top
+    of the audited lang_id plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_analysis.lang_id(docs)
+    w = Window.partitionBy("labeled_lang")
+    cells = (pred.groupBy("labeled_lang", "pred_lang")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (cells
+            .withColumn("row_share",
+                        F.col("n_docs").cast("double")
+                        / F.sum("n_docs").over(w))
+            .orderBy("labeled_lang", "pred_lang"))
+
+
+_SQL_LANG_CONFUSION = f"""
+WITH m(lang, w) AS (VALUES {_MARKER_VALUES}),
+toks AS (
+  SELECT doc_id, lang AS labeled_lang,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+hits AS (
+  SELECT ex.doc_id, m.lang, COUNT(*) AS c
+  FROM ex JOIN m ON ex.w = m.w
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang) AS rn
+  FROM hits
+), pred AS (
+  SELECT t.doc_id, t.labeled_lang,
+         COALESCE(b.pred_lang, 'und') AS pred_lang
+  FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    ON t.doc_id = b.doc_id
+), cells AS (
+  SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, pred_lang, n_docs,
+       CAST(n_docs AS DOUBLE)
+       / SUM(n_docs) OVER (PARTITION BY labeled_lang) AS row_share
+FROM cells
+ORDER BY labeled_lang, pred_lang
+"""
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (pipeline/text_analysis.py
     rrf_retrieval_fusion): BM25 retrieval for the fixed query fused
@@ -2433,6 +2486,7 @@ PIPELINE_QUERIES: dict = {
     "kmv_set_ops": (q_kmv_set_ops, _SQL_KMV_SET_OPS),
     "pca_power": (q_pca_power, _SQL_PCA_POWER),
     "rrf_fusion": (q_rrf_fusion, _SQL_RRF_FUSION),
+    "lang_confusion": (q_lang_confusion, _SQL_LANG_CONFUSION),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),
