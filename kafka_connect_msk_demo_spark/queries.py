@@ -2189,6 +2189,148 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile of the event stream
+    — the calendar heatmap behind load forecasting and anomaly
+    baselines. Both calendar coordinates derive from UTC-fixed
+    integer arithmetic on the stored instant (epoch-day % 7 with the
+    Thursday anchor, epoch-hour % 24), NOT from session-timezone date
+    functions, so the cells are identical in any timezone. Exact
+    integer sums; one hash-agg of at most 168 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.expr("unix_micros(ts) div 1000000")
+    dow = (F.expr("(unix_micros(ts) div 86400000000)") + F.lit(4)) % 7
+    hod = (epoch_s / F.lit(3600)).cast("long") % 24
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (ev.select(dow.alias("dow"), hod.alias("hod"),
+                      cents.alias("c"))
+            .groupBy("dow", "hod")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 ((F.sum("c").cast("double") / F.lit(100.0))
+                  / F.count(F.lit(1))).alias("avg_value"))
+            .orderBy("dow", "hod"))
+
+
+_SQL_SEASONALITY_PROFILE = """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) // 1000000 // 3600) % 24 AS hod,
+       COUNT(*) AS n_events,
+       (CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        / 100.0) / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY dow, hod
+"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census of per-user event-type
+    sequences: for every (from_type, to_type) pair the transition
+    count and its exact int/int share of the from-row — the empirical
+    transition matrix behind next-action prediction and journey
+    analysis. One shuffle on user_id (lead window), one 25-cell
+    hash-agg, one window over the census."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+             .filter(F.col("to_type").isNotNull()))
+    cells = (pairs.groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wf = Window.partitionBy("from_type")
+    return (cells.withColumn("prob", F.col("n").cast("double")
+                             / F.sum("n").over(wf))
+            .orderBy("from_type", "to_type"))
+
+
+_SQL_MARKOV_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), cells AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS prob
+FROM cells ORDER BY from_type, to_type
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the Gini coefficient of customer
+    spend per region, from the exact sorted-cumulative formula
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    with rank i assigned by the deterministic (spend, custkey) order.
+    Everything up to the single final division is exact integer /
+    decimal arithmetic, so the statistic hash-matches cross-engine.
+    Shuffle shape: the star join, a per-customer hash-agg, one
+    in-region sort for ranks, a per-region hash-agg."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation",
+                                    "region"))
+    j = (t["orders"]
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(t["region"]),
+               F.col("n_regionkey") == F.col("r_regionkey")))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (j.select(F.col("r_name").alias("region"),
+                    F.col("o_custkey").alias("cust"),
+                    cents.alias("c"))
+           .groupBy("region", "cust").agg(F.sum("c").alias("x")))
+    w = Window.partitionBy("region").orderBy("x", "cust")
+    dec = "decimal(19,0)"
+    ranked = per.withColumn("i", F.row_number().over(w))
+    g = (ranked.groupBy("region")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("x").cast(dec)).alias("sx"),
+              F.sum(F.col("i").cast(dec) * F.col("x").cast(dec))
+              .alias("six")))
+    nn = F.col("n").cast(dec)
+    num = F.lit(2).cast(dec) * F.col("six") - (nn + F.lit(1).cast(dec)) * F.col("sx")
+    den = nn * F.col("sx")
+    return (g.select("region", F.col("n").alias("n_customers"),
+                     (F.col("sx").cast("double") / F.lit(100.0))
+                     .alias("revenue"),
+                     (num.cast("double") / den.cast("double"))
+                     .alias("gini"))
+            .orderBy("region"))
+
+
+_SQL_GINI_CONCENTRATION = """
+WITH j AS (
+  SELECT r_name AS region, o_custkey AS cust,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+), per AS (
+  SELECT region, cust, CAST(SUM(c) AS BIGINT) AS x
+  FROM j GROUP BY 1, 2
+), ranked AS (
+  SELECT region, x,
+         row_number() OVER (PARTITION BY region ORDER BY x, cust) AS i
+  FROM per
+), g AS (
+  SELECT region, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT region, n AS n_customers,
+       CAST(sx AS DOUBLE) / 100.0 AS revenue,
+       CAST(CAST(2 AS DECIMAL(19,0)) * six
+            - (CAST(n AS DECIMAL(19,0)) + CAST(1 AS DECIMAL(19,0))) * sx
+            AS DOUBLE)
+       / CAST(CAST(n AS DECIMAL(19,0)) * sx AS DOUBLE) AS gini
+FROM g ORDER BY region
+"""
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation census — the classic CRM cut of the
     same order feed the reference streams: per customer, Recency
@@ -2566,6 +2708,12 @@ BATCH_QUERIES = {
     "session_overlap": (q_session_overlap, _SQL_SESSION_OVERLAP),
     "xcorr_lags": (q_xcorr_lags, _SQL_XCORR_LAGS),
     "rfm_segments": (q_rfm_segments, _SQL_RFM_SEGMENTS),
+    "seasonality_profile": (q_seasonality_profile,
+                            _SQL_SEASONALITY_PROFILE),
+    "markov_transitions": (q_markov_transitions,
+                           _SQL_MARKOV_TRANSITIONS),
+    "gini_concentration": (q_gini_concentration,
+                           _SQL_GINI_CONCENTRATION),
 }
 
 # ---------------------------------------------------------------------------

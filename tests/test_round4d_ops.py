@@ -555,3 +555,72 @@ def test_rfm_census_partitions_all_customers(spark, sf_small):
     for r in out:
         assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
         assert r.avg_spend > 0
+
+
+# ---------------------------------------------------------------------------
+# seasonality / markov / gini
+# ---------------------------------------------------------------------------
+
+
+def test_seasonality_calendar_coordinates(spark, monkeypatch):
+    """2024-01-01 is a Monday: the UTC-fixed integer arithmetic must
+    map a 13:00 UTC event to (dow=1, hod=13) — Sunday-anchored via the
+    1970-01-01-Thursday offset."""
+    import kafka_connect_msk_demo_spark.queries as Q
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 13, 0), 10.0, "click")],
+        "user_id long, event_id long, ts timestamp, value double,"
+        " event_type string")
+    monkeypatch.setattr(Q, "load_table", lambda s, d, n: ev)
+    out = Q.q_seasonality_profile(spark, "unused").collect()
+    assert [(r.dow, r.hod, r.n_events, r.avg_value)
+            for r in out] == [(1, 13, 1, 10.0)]
+
+
+def test_markov_hand_computed(spark, monkeypatch):
+    import kafka_connect_msk_demo_spark.queries as Q
+    rows = [(1, i, _t(i), 0.0, t)
+            for i, t in enumerate(["a", "b", "a", "c"])]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double,"
+        " event_type string")
+    monkeypatch.setattr(Q, "load_table", lambda s, d, n: ev)
+    got = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in Q.q_markov_transitions(spark, "unused").collect()}
+    assert got == {("a", "b"): (1, 0.5), ("a", "c"): (1, 0.5),
+                   ("b", "a"): (1, 1.0)}
+
+
+def test_gini_formula_properties(spark, monkeypatch):
+    """Equal spends -> G = 0; a two-customer [0, x] split -> G = 0.5."""
+    import kafka_connect_msk_demo_spark.queries as Q
+
+    def mk(spends_by_region):
+        orders, custs, nats, regs = [], [], [], []
+        ck = 0
+        for ri, (rname, spends) in enumerate(spends_by_region.items()):
+            regs.append((ri, rname))
+            nats.append((ri, f"n{ri}", ri))
+            for s in spends:
+                ck += 1
+                custs.append((ck, ri))
+                orders.append((ck * 10, ck, s))
+        return {
+            "orders": spark.createDataFrame(
+                orders, "o_orderkey long, o_custkey long,"
+                " o_totalprice double"),
+            "customer": spark.createDataFrame(
+                custs, "c_custkey long, c_nationkey long"),
+            "nation": spark.createDataFrame(
+                nats, "n_nationkey long, n_name string, n_regionkey long"),
+            "region": spark.createDataFrame(
+                regs, "r_regionkey long, r_name string"),
+        }
+
+    tabs = mk({"EQ": [10.0, 10.0, 10.0, 10.0], "SKEW": [0.0, 10.0]})
+    monkeypatch.setattr(Q, "load_tables",
+                        lambda s, d, names: {n: tabs[n] for n in names})
+    got = {r.region: r.gini
+           for r in Q.q_gini_concentration(spark, "unused").collect()}
+    assert got["EQ"] == 0.0
+    assert got["SKEW"] == 0.5
