@@ -2148,6 +2148,49 @@ FROM d GROUP BY dim ORDER BY dim
 """
 
 
+def q_posting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction sample: for the 20 highest-df terms,
+    the top-3 postings each by (tf desc, doc_id) — the ETL that feeds
+    a search index, emitted as flat rows (term, df, rank, doc_id, tf).
+    Shuffle keys: (term, doc) for tf, term for df and the per-term
+    top-k window; the 20-term frame is broadcast back against the
+    posting table."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .textprep import tokens
+    ex = docs.select(F.col("doc_id"),
+                     F.explode(tokens("text")).alias("term"))
+    tf = (ex.groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .orderBy(F.col("df").desc(), "term").limit(20))
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    return (tf.join(F.broadcast(df_), "term")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("term", "df", "rank", "doc_id", "tf")
+            .orderBy("term", "rank"))
+
+
+_SQL_POSTING_TOPK = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+  ORDER BY df DESC, term LIMIT 20
+), ranked AS (
+  SELECT tf.term, df.df, tf.doc_id, tf.tf,
+         row_number() OVER (PARTITION BY tf.term
+                            ORDER BY tf.tf DESC, tf.doc_id) AS rank
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT term, df, rank, doc_id, tf
+FROM ranked WHERE rank <= 3 ORDER BY term, rank
+"""
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID audit: confusion census of the marker-heuristic
     prediction against the stored label — per (labeled, predicted)
@@ -2487,6 +2530,7 @@ PIPELINE_QUERIES: dict = {
     "pca_power": (q_pca_power, _SQL_PCA_POWER),
     "rrf_fusion": (q_rrf_fusion, _SQL_RRF_FUSION),
     "lang_confusion": (q_lang_confusion, _SQL_LANG_CONFUSION),
+    "posting_topk": (q_posting_topk, _SQL_POSTING_TOPK),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),
     "minhash_est": (q_minhash_est, _SQL_MINHASH_EST),

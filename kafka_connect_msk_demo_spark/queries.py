@@ -2189,6 +2189,57 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change per region — the growth KPI cut:
+    weekly exact-cents revenue (tz-proof integer epoch-week buckets),
+    then lag-window deltas with the percent change as one division of
+    exact integers (first week NULL). One star join, one weekly
+    hash-agg, one lag window over the region×week frame."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation",
+                                    "region"))
+    j = (t["orders"]
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(t["region"]),
+               F.col("n_regionkey") == F.col("r_regionkey")))
+    week = F.expr("(unix_micros(o_orderdate) div 86400000000) div 7")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    weekly = (j.select(F.col("r_name").alias("region"),
+                       week.alias("week"), cents.alias("c"))
+              .groupBy("region", "week").agg(F.sum("c").alias("rev")))
+    w = Window.partitionBy("region").orderBy("week")
+    prev = F.lag("rev").over(w)
+    return (weekly
+            .withColumn("revenue", F.col("rev").cast("double") / 100.0)
+            .withColumn("wow_pct",
+                        (F.col("rev") - prev).cast("double")
+                        / prev.cast("double"))
+            .select("region", "week", "revenue", "wow_pct")
+            .orderBy("region", "week"))
+
+
+_SQL_WOW_CHANGE = """
+WITH weekly AS (
+  SELECT r_name AS region,
+         (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, week, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev - lag(rev) OVER w AS DOUBLE)
+       / CAST(lag(rev) OVER w AS DOUBLE) AS wow_pct
+FROM weekly
+WINDOW w AS (PARTITION BY region ORDER BY week)
+ORDER BY region, week
+"""
+
+
 def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day × day-of-week activity profile of the event stream
     — the calendar heatmap behind load forecasting and anomaly
@@ -2714,6 +2765,7 @@ BATCH_QUERIES = {
                            _SQL_MARKOV_TRANSITIONS),
     "gini_concentration": (q_gini_concentration,
                            _SQL_GINI_CONCENTRATION),
+    "wow_change": (q_wow_change, _SQL_WOW_CHANGE),
 }
 
 # ---------------------------------------------------------------------------
