@@ -375,6 +375,10 @@ def winsorized_stats(df: DataFrame, group_cols: list[str],
     the group key, rank+count in one window pass over the in-partition
     sort, then a partial/final hash-agg. No joins, no second scan.
     """
+    if not 0 <= pct < 50:
+        # at pct >= 50 the clamp ranks cross (k+1 > n-k) and every
+        # aggregate would silently degenerate to NULL
+        raise ValueError(f"pct must be in [0, 50), got {pct}")
     w = Window.partitionBy(*group_cols).orderBy(value_col, order_col)
     wn = Window.partitionBy(*group_cols)
     ranked = (df.select(*group_cols, value_col, order_col)

@@ -762,17 +762,23 @@ def pca_power_topk(vecs: DataFrame, k: int = 25, dims: int = 16,
                      F.posexplode(arr).alias("pos", "v"))
           .withColumn("q", F.floor(F.col("v") * F.lit(16384.0)
                                    + F.lit(0.5)).cast("long")))
-    mom1 = (ex.groupBy("pos")
-            .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
-                 F.count(F.lit(1)).alias("n")).collect())
-    a = ex.select(F.col("vid"), F.col("pos").alias("i"),
-                  F.col("q").alias("qa"))
-    b = ex.select(F.col("vid"), F.col("pos").alias("j"),
-                  F.col("q").alias("qb"))
-    mom2 = (a.join(b, "vid")
-            .groupBy("i", "j")
-            .agg(F.sum((F.col("qa") * F.col("qb"))
-                       .cast("decimal(38,0)")).alias("s2")).collect())
+    # both moment jobs read the exploded frame — persist it so the
+    # source is scanned once for the trainer, not once per job
+    ex = ex.persist()
+    try:
+        mom1 = (ex.groupBy("pos")
+                .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+                     F.count(F.lit(1)).alias("n")).collect())
+        a = ex.select(F.col("vid"), F.col("pos").alias("i"),
+                      F.col("q").alias("qa"))
+        b = ex.select(F.col("vid"), F.col("pos").alias("j"),
+                      F.col("q").alias("qb"))
+        mom2 = (a.join(b, "vid")
+                .groupBy("i", "j")
+                .agg(F.sum((F.col("qa") * F.col("qb"))
+                           .cast("decimal(38,0)")).alias("s2")).collect())
+    finally:
+        ex.unpersist()
     n = int(mom1[0]["n"]) if mom1 else 0
     s1 = {int(r["pos"]): int(r["s"]) for r in mom1}
     s2 = {(int(r["i"]), int(r["j"])): int(r["s2"]) for r in mom2}

@@ -79,6 +79,23 @@ def _kmv_partial_kernel(key_col: str, group_col: str, k: int,
     return kernel
 
 
+def _kmv_sketch(df: DataFrame, key_col: str, group_col: str,
+                k: int, salt: str) -> DataFrame:
+    """Merged per-group k-min sketch: (group_col, h, rk <= k). The
+    single source of truth for the sketch build — the partial kernel,
+    the distinct merge and the top-k window — shared by
+    :func:`kmv_distinct` and :func:`kmv_set_ops` so the hash family
+    and merge rule can never diverge between the two estimators."""
+    src = df.select(F.col(group_col), F.col(key_col))
+    partials = src.mapInPandas(
+        _kmv_partial_kernel(key_col, group_col, k, salt),
+        f"{group_col} string, h long")
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (partials.distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
 def kmv_distinct(df: DataFrame, key_col: str, group_col: str,
                  k: int = 64, salt: str = "kmv") -> DataFrame:
     """Per-group distinct-count estimate via a k-minimum-values sketch,
@@ -88,14 +105,7 @@ def kmv_distinct(df: DataFrame, key_col: str, group_col: str,
     is exact when fewer than ``k`` distinct hashes exist (the sketch
     degenerates to the true distinct set), else ``(k-1)*2^48 / h_k``.
     """
-    src = df.select(F.col(group_col), F.col(key_col))
-    partials = src.mapInPandas(
-        _kmv_partial_kernel(key_col, group_col, k, salt),
-        f"{group_col} string, h long")
-    w = Window.partitionBy(group_col).orderBy("h")
-    merged = (partials.distinct()
-              .withColumn("rk", F.row_number().over(w))
-              .filter(F.col("rk") <= k))
+    merged = _kmv_sketch(df, key_col, group_col, k, salt)
     sketch = (merged.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("n_h"),
                    F.max(F.when(F.col("rk") == k,
@@ -301,15 +311,8 @@ def kmv_set_ops(df: DataFrame, key_col: str, group_col: str,
     blowup. Drop the audit columns to skip the exact pass entirely at
     true scale.
     """
-    src = df.select(F.col(group_col), F.col(key_col))
-    partials = src.mapInPandas(
-        _kmv_partial_kernel(key_col, group_col, k, salt),
-        f"{group_col} string, h long")
-    w = Window.partitionBy(group_col).orderBy("h")
-    sk = (partials.distinct()
-          .withColumn("rk", F.row_number().over(w))
-          .filter(F.col("rk") <= k)
-          .select(F.col(group_col).alias("g"), "h"))
+    sk = _kmv_sketch(df, key_col, group_col, k, salt) \
+        .select(F.col(group_col).alias("g"), "h")
     types = sk.select("g").distinct()
     pairs = (types.select(F.col("g").alias("ta"))
              .join(types.select(F.col("g").alias("tb")),

@@ -2249,9 +2249,8 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, so the cells are identical in any timezone. Exact
     integer sums; one hash-agg of at most 168 cells."""
     ev = load_table(spark, sf_dir, "events")
-    epoch_s = F.expr("unix_micros(ts) div 1000000")
     dow = (F.expr("(unix_micros(ts) div 86400000000)") + F.lit(4)) % 7
-    hod = (epoch_s / F.lit(3600)).cast("long") % 24
+    hod = F.expr("((unix_micros(ts) div 1000000) div 3600)") % 24
     cents = F.round(F.col("value") * 100).cast("long")
     return (ev.select(dow.alias("dow"), hod.alias("hod"),
                       cents.alias("c"))
@@ -2771,7 +2770,7 @@ BATCH_QUERIES = {
 # ---------------------------------------------------------------------------
 # Registry order IS the driver-verification order: the correctness driver
 # checks a DRIVER_WINDOW-query prefix of ALL_QUERIES per round, and the
-# registry (124 queries) outgrew the window (50), so the order ROTATES:
+# registry outgrew the window severalfold, so the order ROTATES:
 # it is computed from the CORRECTNESS_r*.json files the driver leaves at
 # the repo root. Queries that have never had a fully-green driver row
 # (rows+schema+hash, no err) come first — seeded by _DRIVER_PRIORITY so
@@ -2819,10 +2818,12 @@ def _driver_green_rounds() -> dict[str, int]:
     """name -> latest round with a FULLY green driver row.
 
     Scans the repo-root ``CORRECTNESS_r*.json`` files the correctness
-    driver writes each round. A row counts only when rows_match,
-    schema_match and hash_match are all True with no err — the weaker
-    rows-only check (``err: no_oracle``) does not retire a query from
-    the front of the rotation.
+    driver writes each round. A row counts when rows_match,
+    schema_match and hash_match are all True with no err, OR when the
+    driver ran its weaker rows-only check (``err: no_oracle`` with a
+    recorded row count) — for an oracle-less query that IS the
+    strongest achievable driver verdict, and not retiring it would pin
+    it to the front of the window forever.
     """
     import glob
     import json as _json
@@ -2844,10 +2845,15 @@ def _driver_green_rounds() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if (isinstance(row, dict) and not row.get("err")
+            if not isinstance(row, dict):
+                continue
+            full = (not row.get("err")
                     and row.get("rows_match") is True
                     and row.get("schema_match") is True
-                    and row.get("hash_match") is True):
+                    and row.get("hash_match") is True)
+            rows_only = (row.get("err") == "no_oracle"
+                         and row.get("spark_rows") is not None)
+            if full or rows_only:
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

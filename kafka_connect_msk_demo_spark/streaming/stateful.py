@@ -124,7 +124,13 @@ def rolling_anomaly_stream(stream: DataFrame, lookback: int = 20,
                state: GroupState) -> Iterator[pd.DataFrame]:
         vals = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        for pdf in pdfs:
+        # a group larger than the Arrow batch size arrives as SEVERAL
+        # pdfs within one micro-batch — concatenate before sorting, or
+        # the order-dependent fold would run per-chunk order only
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(["us", "event_id"])
             for eid, vq in zip(pdf["event_id"], pdf["v_q"]):
                 vq = int(vq)
@@ -184,7 +190,13 @@ def ewma_stream(stream: DataFrame, frame: int = 32, scale: int = 100,
                state: GroupState) -> Iterator[pd.DataFrame]:
         vals = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        for pdf in pdfs:
+        # concatenate Arrow chunks before sorting — a group larger
+        # than the Arrow batch size spans several pdfs per micro-batch
+        # and the fold is order-dependent
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(["ts_us", "event_id"])
             for us, eid, val, qv in zip(pdf["ts_us"], pdf["event_id"],
                                         pdf["value"], pdf["q_v"]):

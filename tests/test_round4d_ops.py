@@ -624,3 +624,25 @@ def test_gini_formula_properties(spark, monkeypatch):
            for r in Q.q_gini_concentration(spark, "unused").collect()}
     assert got["EQ"] == 0.0
     assert got["SKEW"] == 0.5
+
+
+def test_stream_ewma_survives_tiny_arrow_chunks(spark, sf_small):
+    """Groups larger than the Arrow batch size arrive as SEVERAL pdfs
+    per micro-batch; the kernel must concatenate before sorting or the
+    order-dependent fold diverges (regression for the per-chunk-sort
+    bug). Forcing 2-row Arrow batches makes every group multi-chunk."""
+    from kafka_connect_msk_demo_spark.queries import queries
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "2")
+    try:
+        stream_rows = queries()["stream_ewma"](spark, sf_small).collect()
+    finally:
+        spark.conf.set(key, old)
+    batch_rows = (queries()["ewma_smooth"](spark, sf_small)
+                  .orderBy("user_id", "ts_us", "event_id").collect())
+    assert len(stream_rows) == len(batch_rows) > 0
+    for s, b in zip(stream_rows, batch_rows):
+        assert (s.user_id, s.ts_us, s.event_id, s.ewma) == \
+            (b.user_id, b.ts_us, b.event_id, b.ewma)
