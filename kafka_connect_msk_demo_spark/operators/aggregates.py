@@ -539,3 +539,53 @@ def xcorr_lags(df: DataFrame, ts_col: str, type_col: str,
     return (agg.select("lag", F.col("n").alias("n_buckets"),
                        r.alias("xcorr"))
             .orderBy("lag"))
+
+
+def hdr_quantiles(df: DataFrame, group_col: str, value_col: str,
+                  ps: tuple = (50, 95, 99),
+                  scale: int = 100) -> DataFrame:
+    """Log₂-bucketed histogram quantiles per group — the HDR-histogram
+    pattern every latency/SLO pipeline ships: values land in
+    power-of-two buckets (bucket = ⌊log₂ cents⌋, computed as the
+    BINARY-STRING length of the quantized value minus one — the same
+    libm-free trick as the HLL rho), bucket counts are mergeable
+    integer state, and each requested percentile reports its bucket's
+    exact lower bound.
+
+    Unlike ``approx_percentile`` (engine-private t-digest, never
+    replayable) every step here is integer arithmetic: the rank
+    threshold is ``⌈p·n/100⌉`` via integer div, the answering bucket a
+    conditional MIN over the running count, and the reported bound
+    ``2^bucket / scale`` an exact dyadic double. Relative error is the
+    bucket width (≤ 2× at these coarse buckets; subdivide the mantissa
+    for the classic 1-2-5 refinement, same plan shape).
+
+    Scale shape: one hash-agg to (group, bucket) counts — the shuffle
+    carries ≤ 64 buckets per group per partition, the fixed-size
+    mergeable state that also makes this the natural streaming/rollup
+    sketch — then one window pass over the tiny histogram. Values
+    quantizing below 1 cent are excluded (no log bucket; mirrored).
+    """
+    cents = F.round(F.col(value_col) * F.lit(float(scale))).cast("long")
+    src = (df.select(F.col(group_col).alias("g"), cents.alias("c"))
+           .filter(F.col("c") >= 1)
+           .withColumn("bucket",
+                       (F.length(F.expr("bin(c)")) - F.lit(1))
+                       .cast("long")))
+    hist = src.groupBy("g", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (Window.partitionBy("g").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("g")
+    d = (hist.withColumn("cum", F.sum("cnt").over(w_cum))
+         .withColumn("n", F.sum("cnt").over(w_all)))
+    aggs = [F.max("n").alias("n")]
+    outs = []
+    for p in ps:
+        thr = F.expr(f"({p} * n + 99) div 100")
+        aggs.append(F.min(F.when(F.col("cum") >= thr,
+                                 F.col("bucket"))).alias(f"_b{p}"))
+        outs.append((F.pow(F.lit(2.0), F.col(f"_b{p}"))
+                     / F.lit(float(scale))).alias(f"p{p}_lb"))
+    g = d.groupBy("g").agg(*aggs)
+    return (g.select(F.col("g").alias(group_col), "n", *outs)
+            .orderBy(group_col))

@@ -2189,6 +2189,51 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram percentiles per event type (operators/
+    aggregates.py hdr_quantiles) — the mergeable fixed-state latency
+    sketch (HDR-histogram pattern), with integer rank thresholds and
+    exact dyadic bucket bounds instead of an engine-private
+    t-digest."""
+    from .operators.aggregates import hdr_quantiles
+    ev = load_table(spark, sf_dir, "events")
+    return hdr_quantiles(ev, "event_type", "value")
+
+
+_SQL_HDR_QUANTILES = """
+WITH src AS (
+  SELECT event_type AS g,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), b AS (
+  SELECT g, length(bin(c)) - 1 AS bucket FROM src WHERE c >= 1
+), hist AS (
+  SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+), d AS (
+  SELECT g, bucket, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM hist
+), agg AS (
+  SELECT g, MAX(n) AS n,
+         MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN bucket END)
+           AS b50,
+         MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN bucket END)
+           AS b95,
+         MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END)
+           AS b99
+  FROM d GROUP BY g
+)
+SELECT g AS event_type, n,
+       power(2.0, b50) / 100.0 AS p50_lb,
+       power(2.0, b95) / 100.0 AS p95_lb,
+       power(2.0, b99) / 100.0 AS p99_lb
+FROM agg ORDER BY event_type
+"""
+
+
 def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week revenue change per region — the growth KPI cut:
     weekly exact-cents revenue (tz-proof integer epoch-week buckets),
@@ -2765,6 +2810,7 @@ BATCH_QUERIES = {
     "gini_concentration": (q_gini_concentration,
                            _SQL_GINI_CONCENTRATION),
     "wow_change": (q_wow_change, _SQL_WOW_CHANGE),
+    "hdr_quantiles": (q_hdr_quantiles, _SQL_HDR_QUANTILES),
 }
 
 # ---------------------------------------------------------------------------

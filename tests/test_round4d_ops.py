@@ -646,3 +646,42 @@ def test_stream_ewma_survives_tiny_arrow_chunks(spark, sf_small):
     for s, b in zip(stream_rows, batch_rows):
         assert (s.user_id, s.ts_us, s.event_id, s.ewma) == \
             (b.user_id, b.ts_us, b.event_id, b.ewma)
+
+
+# ---------------------------------------------------------------------------
+# hdr_quantiles
+# ---------------------------------------------------------------------------
+
+from kafka_connect_msk_demo_spark.operators.aggregates import hdr_quantiles
+
+
+def test_hdr_bucket_bounds_hand_computed(spark):
+    """Values 1.00..10.23 (cents 100..1023): cents 100-127 -> bucket 6,
+    128-255 -> 7, 256-511 -> 8, 512-1023 -> 9. With a uniform spread
+    p50 lands in bucket 9's predecessor region: rank 512 of 924 is
+    cents 611 -> bucket 9 -> lower bound 5.12."""
+    rows = [("a", (c + 100) / 100.0) for c in range(924)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = hdr_quantiles(df, "g", "v").collect()[0]
+    assert r.n == 924
+    assert r.p50_lb == 5.12      # 2^9 cents
+    assert r.p99_lb == 5.12      # rank 915, cents 1014, same bucket
+    assert r.p95_lb == 5.12
+
+
+def test_hdr_separates_magnitudes(spark):
+    """A bimodal 1-cent / ~$80 mix: p50 in the low mode, p95/p99 in
+    the high mode."""
+    rows = ([("a", 0.01)] * 90 + [("a", 80.0)] * 10)
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = hdr_quantiles(df, "g", "v").collect()[0]
+    assert r.p50_lb == 0.01      # bucket 0
+    assert r.p95_lb == 40.96     # 2^12 cents
+    assert r.p99_lb == 40.96
+
+
+def test_hdr_subcent_values_excluded(spark):
+    rows = [("a", 0.001)] * 5 + [("a", 1.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = hdr_quantiles(df, "g", "v").collect()[0]
+    assert r.n == 5              # sub-cent rows have no log bucket
