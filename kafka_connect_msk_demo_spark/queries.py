@@ -2189,6 +2189,122 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    aggregate, with the date cutoff data-derived (max shipdate − 90
+    days, one-row broadcast) since the synthetic corpus doesn't carry
+    TPC-H's 1998 calendar. All eight aggregates run in the exact
+    integer domain: cents/basis-point quantization, per-row integer
+    products for disc_price and charge (≤ 10^11, long-safe), decimal
+    accumulators, one correctly-rounded division per output — so the
+    full report hash-matches the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.expr("unix_micros(l_shipdate) div 86400000000")
+    bounds = li.agg(F.max(day).alias("max_day"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    tax_b = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_u = ep_c * (F.lit(100) - disc_b)
+    charge_u = disc_price_u * (F.lit(100) + tax_b)
+    dec38 = "decimal(38,0)"
+    g = (li.crossJoin(F.broadcast(bounds))
+         .filter(day <= F.col("max_day") - 90)
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum(qty_c.cast(dec38)).alias("_sq"),
+              F.sum(ep_c.cast(dec38)).alias("_sep"),
+              F.sum(disc_price_u.cast(dec38)).alias("_sdp"),
+              F.sum(charge_u.cast(dec38)).alias("_sch"),
+              F.sum(disc_b.cast(dec38)).alias("_sd"),
+              F.count(F.lit(1)).alias("count_order")))
+    n = F.col("count_order")
+    return (g.select(
+        "l_returnflag", "l_linestatus",
+        (F.col("_sq").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("_sep").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("_sdp").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("_sch").cast("double") / 1000000.0).alias("sum_charge"),
+        ((F.col("_sq").cast("double") / 100.0) / n).alias("avg_qty"),
+        ((F.col("_sep").cast("double") / 100.0) / n).alias("avg_price"),
+        ((F.col("_sd").cast("double") / 100.0) / n).alias("avg_disc"),
+        "count_order")
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+_SQL_TPCH_Q1 = """
+WITH b AS (
+  SELECT MAX(epoch_us(l_shipdate) // 86400000000) AS max_day
+  FROM lineitem
+), q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_b,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_b
+  FROM lineitem CROSS JOIN b
+  WHERE epoch_us(l_shipdate) // 86400000000 <= max_day - 90
+), g AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(qty_c) AS sq, SUM(ep_c) AS sep,
+         SUM(ep_c * (100 - disc_b)) AS sdp,
+         SUM(ep_c * (100 - disc_b) * (100 + tax_b)) AS sch,
+         SUM(disc_b) AS sd, COUNT(*) AS count_order
+  FROM q GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sep AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sch AS DOUBLE) / 1000000.0 AS sum_charge,
+       (CAST(sq AS DOUBLE) / 100.0) / count_order AS avg_qty,
+       (CAST(sep AS DOUBLE) / 100.0) / count_order AS avg_price,
+       (CAST(sd AS DOUBLE) / 100.0) / count_order AS avg_disc,
+       count_order
+FROM g ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) — the canonical
+    filter-and-sum: one year of shipments from the corpus min date,
+    discount in [0.04, 0.06], quantity < 24, revenue =
+    Σ extendedprice·discount in the exact integer domain (single
+    division at the end). Predicates push to the scan; the one-row
+    date bound broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.expr("unix_micros(l_shipdate) div 86400000000")
+    bounds = li.agg(F.min(day).alias("min_day"))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    return (li.crossJoin(F.broadcast(bounds))
+            .filter((day >= F.col("min_day"))
+                    & (day < F.col("min_day") + 365)
+                    & disc_b.between(4, 6) & (qty_c < 2400))
+            .agg((F.sum((ep_c * disc_b).cast("decimal(38,0)"))
+                  .cast("double") / F.lit(10000.0)).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+_SQL_TPCH_Q6 = """
+WITH b AS (
+  SELECT MIN(epoch_us(l_shipdate) // 86400000000) AS min_day
+  FROM lineitem
+), q AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_b
+  FROM lineitem CROSS JOIN b
+  WHERE epoch_us(l_shipdate) // 86400000000 >= min_day
+    AND epoch_us(l_shipdate) // 86400000000 < min_day + 365
+    AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6
+    AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+)
+SELECT CAST(SUM(ep_c * disc_b) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lineitems
+FROM q
+"""
+
+
 def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed histogram percentiles per event type (operators/
     aggregates.py hdr_quantiles) — the mergeable fixed-state latency
@@ -2811,6 +2927,8 @@ BATCH_QUERIES = {
                            _SQL_GINI_CONCENTRATION),
     "wow_change": (q_wow_change, _SQL_WOW_CHANGE),
     "hdr_quantiles": (q_hdr_quantiles, _SQL_HDR_QUANTILES),
+    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
+    "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
 }
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,8 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "mix_allocation", "cms_counts", "triangle_count",
                 "benford_audit", "copurchase_pairs",
                 "pmi_collocations", "ks_drift", "kmv_set_ops",
-                "rrf_fusion", "xcorr_lags", "rfm_segments"}
+                "rrf_fusion", "xcorr_lags", "rfm_segments",
+                "tpch_q1", "tpch_q6"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
