@@ -2841,6 +2841,360 @@ ORDER BY support DESC, lift DESC, p1, p2 LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H parity battery (continued): Q3/Q5/Q10/Q14/Q17/Q18 re-expressed over
+# the synthetic star schema with data-derived date cutoffs (the corpus does
+# not carry TPC-H's 1992-1998 calendar) and cents/basis-point integer
+# arithmetic so every aggregate hash-matches the DuckDB oracle exactly.
+# Shared conventions: `*_c` = cents (x100 longs), `*_b` = basis points of a
+# percent (x100 longs), one correctly-rounded division per output column.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86400000000  # microseconds per day
+
+
+def _day(col: str):
+    """Timestamp column -> integer day number (exact, tz-free)."""
+    return F.expr(f"unix_micros({col}) div {_DAY_US}")
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): unshipped-revenue top-10 for one
+    market segment around a cutoff date. Cutoff = midpoint of the
+    orders calendar (one-row broadcast). customer filters+broadcasts
+    into orders; lineitem joins on the shuffled orderkey; revenue
+    sums as integer ep_c*(100-disc_b); top-10 ranks on the exact
+    integer sum with (o_orderdate, l_orderkey) tiebreakers."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "lineitem"))
+    od = _day("o_orderdate")
+    bounds = t["orders"].agg(
+        ((F.min(od) + F.max(od)) / 2).cast("long").alias("mid_day"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING") \
+                        .select("c_custkey")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    orders = (t["orders"].crossJoin(F.broadcast(bounds))
+              .filter(od < F.col("mid_day"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "o_orderpriority", "mid_day",
+                      F.expr("unix_micros(o_orderdate)").alias("o_date_us")))
+    li = (t["lineitem"]
+          .select("l_orderkey", "l_shipdate",
+                  (ep_c * (F.lit(100) - disc_b)).alias("rev_u")))
+    g = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .filter(_day("l_shipdate") > F.col("mid_day"))
+         .groupBy("l_orderkey", "o_date_us", "o_orderpriority")
+         .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("_rev")))
+    return (g.orderBy(F.col("_rev").desc(), "o_date_us", "l_orderkey")
+            .limit(10)
+            .select("l_orderkey",
+                    (F.col("_rev").cast("double") / 10000.0)
+                    .alias("revenue"),
+                    "o_date_us", "o_orderpriority"))
+
+
+_SQL_TPCH_Q3 = """
+WITH b AS (
+  SELECT CAST((MIN(epoch_us(o_orderdate) // 86400000000)
+             + MAX(epoch_us(o_orderdate) // 86400000000)) / 2 AS BIGINT)
+         AS mid_day
+  FROM orders
+), o AS (
+  SELECT o_orderkey, o_orderpriority, mid_day,
+         epoch_us(o_orderdate) AS o_date_us
+  FROM orders CROSS JOIN b
+  JOIN customer ON o_custkey = c_custkey
+  WHERE epoch_us(o_orderdate) // 86400000000 < mid_day
+    AND c_mktsegment = 'BUILDING'
+), g AS (
+  SELECT l_orderkey, o_date_us, o_orderpriority,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+  WHERE epoch_us(l_shipdate) // 86400000000 > mid_day
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+       o_date_us, o_orderpriority
+FROM g ORDER BY rev DESC, o_date_us, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation within one
+    region, first order-year, counted only when the supplying
+    supplier and the ordering customer share the nation. The classic
+    join-order test: lineitem⋈orders shuffles on orderkey,
+    ⋈customer on custkey; supplier/nation/region broadcast, with the
+    locality predicate (c_nationkey = s_nationkey) folded into the
+    broadcast supplier join."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "customer", "lineitem", "supplier",
+                     "nation", "region"))
+    od = _day("o_orderdate")
+    bounds = t["orders"].agg(F.min(od).alias("min_day"))
+    asia = (t["nation"]
+            .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+            .filter(F.col("r_name") == "ASIA")
+            .select("n_nationkey", "n_name"))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    orders = (t["orders"].crossJoin(F.broadcast(bounds))
+              .filter((od >= F.col("min_day"))
+                      & (od < F.col("min_day") + 365))
+              .select("o_orderkey", "o_custkey"))
+    joined = (t["lineitem"]
+              .select("l_orderkey", "l_suppkey",
+                      (ep_c * (F.lit(100) - disc_b)).alias("rev_u"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(t["customer"].select("c_custkey", "c_nationkey"),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["supplier"]
+                                .select("s_suppkey", "s_nationkey")),
+                    (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("c_nationkey") == F.col("s_nationkey")))
+              .join(F.broadcast(asia),
+                    F.col("s_nationkey") == F.col("n_nationkey")))
+    g = joined.groupBy("n_name").agg(
+        F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("_rev"))
+    return (g.orderBy(F.col("_rev").desc(), "n_name")
+            .select("n_name",
+                    (F.col("_rev").cast("double") / 10000.0)
+                    .alias("revenue")))
+
+
+_SQL_TPCH_Q5 = """
+WITH b AS (
+  SELECT MIN(epoch_us(o_orderdate) // 86400000000) AS min_day FROM orders
+), g AS (
+  SELECT n_name,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  CROSS JOIN b
+  WHERE r_name = 'ASIA'
+    AND epoch_us(o_orderdate) // 86400000000 >= min_day
+    AND epoch_us(o_orderdate) // 86400000000 <  min_day + 365
+  GROUP BY 1
+)
+SELECT n_name, CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM g ORDER BY rev DESC, n_name
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): top-20 customers by revenue
+    lost to returns (l_returnflag = 'R') for orders in the first
+    quarter of the corpus calendar. lineitem pre-filters on the
+    return flag before the orderkey shuffle; customer/nation enrich
+    after the per-customer rollup so the wide name columns never
+    enter the big shuffle."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "customer", "lineitem", "nation"))
+    od = _day("o_orderdate")
+    bounds = t["orders"].agg(F.min(od).alias("min_day"))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    orders = (t["orders"].crossJoin(F.broadcast(bounds))
+              .filter((od >= F.col("min_day"))
+                      & (od < F.col("min_day") + 90))
+              .select("o_orderkey", "o_custkey"))
+    li = (t["lineitem"].filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  (ep_c * (F.lit(100) - disc_b)).alias("rev_u")))
+    per_cust = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_custkey")
+                .agg(F.sum(F.col("rev_u").cast("decimal(38,0)"))
+                     .alias("_rev")))
+    enriched = (per_cust
+                .join(t["customer"],
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .join(F.broadcast(t["nation"]),
+                      F.col("c_nationkey") == F.col("n_nationkey")))
+    return (enriched.orderBy(F.col("_rev").desc(), "c_custkey")
+            .limit(20)
+            .select("c_custkey", "c_name",
+                    (F.col("_rev").cast("double") / 10000.0)
+                    .alias("revenue"),
+                    "c_acctbal", F.col("n_name").alias("nation")))
+
+
+_SQL_TPCH_Q10 = """
+WITH b AS (
+  SELECT MIN(epoch_us(o_orderdate) // 86400000000) AS min_day FROM orders
+), g AS (
+  SELECT o_custkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  CROSS JOIN b
+  WHERE l_returnflag = 'R'
+    AND epoch_us(o_orderdate) // 86400000000 >= min_day
+    AND epoch_us(o_orderdate) // 86400000000 <  min_day + 90
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name AS nation
+FROM g
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO-type parts. part is a broadcast dimension; the conditional
+    numerator and the denominator accumulate in the same integer
+    domain, so the percentage is one double division of two exact
+    integers — bit-identical to the oracle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    sd = _day("l_shipdate")
+    bounds = t["lineitem"].agg(F.min(sd).alias("min_day"))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    li = (t["lineitem"].crossJoin(F.broadcast(bounds))
+          .filter((sd >= F.col("min_day"))
+                  & (sd < F.col("min_day") + 30))
+          .select("l_partkey",
+                  (ep_c * (F.lit(100) - disc_b)).alias("rev_u"))
+          .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey")))
+    g = li.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_u"))
+              .otherwise(F.lit(0)).cast("decimal(38,0)")).alias("_promo"),
+        F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("_total"),
+        F.count(F.lit(1)).alias("n_lineitems"))
+    return g.select(
+        (F.col("_promo").cast("double") * 100.0
+         / F.col("_total").cast("double")).alias("promo_revenue_pct"),
+        (F.col("_total").cast("double") / 10000.0).alias("total_revenue"),
+        "n_lineitems")
+
+
+_SQL_TPCH_Q14 = """
+WITH b AS (
+  SELECT MIN(epoch_us(l_shipdate) // 86400000000) AS min_day FROM lineitem
+), q AS (
+  SELECT p_type,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  CROSS JOIN b
+  WHERE epoch_us(l_shipdate) // 86400000000 >= min_day
+    AND epoch_us(l_shipdate) // 86400000000 <  min_day + 30
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
+            AS DOUBLE) * 100.0
+       / CAST(SUM(rev_u) AS DOUBLE) AS promo_revenue_pct,
+       CAST(SUM(rev_u) AS DOUBLE) / 10000.0 AS total_revenue,
+       COUNT(*) AS n_lineitems
+FROM q
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    below-20%%-of-average-quantity orders for one brand's parts were
+    no longer taken. The correlated avg becomes a per-partkey
+    aggregate joined back; the 20%% threshold compares in integers
+    (5·qty·cnt < Σqty — scale factors cancel), so no rounding
+    ambiguity. Brand parts broadcast twice (filter + agg join)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    brand = F.broadcast(t["part"]
+                        .filter(F.col("p_brand") == "Brand#13")
+                        .select("p_partkey"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    li = (t["lineitem"]
+          .join(brand, F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", qty_c.alias("qty_c"), ep_c.alias("ep_c")))
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt"))
+    small = (li.join(F.broadcast(per_part),
+                     F.col("l_partkey") == F.col("a_partkey"))
+             .filter(F.lit(5) * F.col("qty_c") * F.col("cnt")
+                     < F.col("sum_qty_c")))
+    return small.agg(
+        (F.sum(F.col("ep_c").cast("decimal(38,0)")).cast("double")
+         / 700.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"))
+
+
+_SQL_TPCH_Q17 = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), a AS (
+  SELECT l_partkey AS a_partkey, SUM(qty_c) AS sum_qty_c,
+         COUNT(*) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT CAST(SUM(ep_c) AS DOUBLE) / 700.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM li JOIN a ON l_partkey = a_partkey
+WHERE 5 * qty_c * cnt < sum_qty_c
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 250 units, with customer names, top-100 by order value.
+    The HAVING filter runs as a pre-aggregation on lineitem alone
+    (partial map-side combine on orderkey), and only the surviving
+    ~1-2%% of orderkeys join orders/customer — the survivor set
+    broadcasts."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "lineitem"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (t["lineitem"]
+           .groupBy("l_orderkey")
+           .agg(F.sum(qty_c).alias("sum_qty_c"))
+           .filter(F.col("sum_qty_c") > 25000))
+    joined = (t["orders"]
+              .join(F.broadcast(big),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(t["customer"],
+                    F.col("o_custkey") == F.col("c_custkey")))
+    return (joined
+            .orderBy(F.col("o_totalprice").desc(),
+                     F.expr("unix_micros(o_orderdate)"), "o_orderkey")
+            .limit(100)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.expr("unix_micros(o_orderdate)").alias("o_date_us"),
+                    "o_totalprice",
+                    (F.col("sum_qty_c").cast("double") / 100.0)
+                    .alias("total_qty")))
+
+
+_SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(round(l_quantity * 100) AS BIGINT))
+         AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_date_us, o_totalprice,
+       CAST(sum_qty_c AS DOUBLE) / 100.0 AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, epoch_us(o_orderdate), o_orderkey LIMIT 100
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_country_decimal": (q_sales_by_country_decimal,
@@ -2928,7 +3282,13 @@ BATCH_QUERIES = {
     "wow_change": (q_wow_change, _SQL_WOW_CHANGE),
     "hdr_quantiles": (q_hdr_quantiles, _SQL_HDR_QUANTILES),
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q10": (q_tpch_q10, _SQL_TPCH_Q10),
+    "tpch_q14": (q_tpch_q14, _SQL_TPCH_Q14),
+    "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
+    "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
 }
 
 # ---------------------------------------------------------------------------
@@ -2975,6 +3335,8 @@ _DRIVER_PRIORITY = [
     "funnel_steps", "retention_cohorts",
     "semdedup", "heavy_hitters", "doc_chunks", "bigram_novelty",
     "trimmed_mean",
+    "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q17",
+    "tpch_q18",
 ]
 
 

@@ -43,7 +43,10 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "benford_audit", "copurchase_pairs",
                 "pmi_collocations", "ks_drift", "kmv_set_ops",
                 "rrf_fusion", "xcorr_lags", "rfm_segments",
-                "tpch_q1", "tpch_q6"}
+                "tpch_q1", "tpch_q6",
+                # same ONE-ROW data-derived date-bound broadcast as
+                # tpch_q1/q6 (scalar-subquery plan; cost O(N))
+                "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
