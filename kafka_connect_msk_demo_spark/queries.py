@@ -3195,6 +3195,517 @@ ORDER BY o_totalprice DESC, epoch_us(o_orderdate), o_orderkey LIMIT 100
 """
 
 
+# --- TPC-H continued: Q4/Q7/Q8/Q9/Q12/Q13/Q15/Q19/Q22 ---------------------
+# Schema adaptations (documented per query): the synthetic corpus carries no
+# l_commitdate/l_receiptdate/l_shipmode, no partsupp, and no c_phone, so
+# Q4/Q12 use the ship-lag (l_shipdate − o_orderdate in days) as the
+# lateness signal, Q9 uses p_retailprice as the unit-cost stand-in, and
+# Q22's country code is the customer's nation. Calendar years are replaced
+# by tz-free 365-day epoch buckets (`day div 365`) — identical integer
+# arithmetic on both engines, immune to session-timezone year() drift.
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders placed in the first
+    quarter with at least one line shipped > 60 days after the order
+    date (the corpus has no commitdate; ship-lag is the lateness
+    signal), counted per priority. The EXISTS becomes a left-semi
+    join on orderkey with the lag predicate folded into the join
+    condition — a hash semi join, no pre-aggregation needed."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    od = _day("o_orderdate")
+    bounds = t["orders"].agg(F.min(od).alias("min_day"))
+    orders = (t["orders"].crossJoin(F.broadcast(bounds))
+              .filter((od >= F.col("min_day"))
+                      & (od < F.col("min_day") + 90))
+              .select("o_orderkey", "o_orderpriority",
+                      od.alias("o_day")))
+    li = t["lineitem"].select("l_orderkey", _day("l_shipdate").alias("l_day"))
+    late = orders.join(
+        li, (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_day") > F.col("o_day") + 60), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+_SQL_TPCH_Q4 = """
+WITH b AS (
+  SELECT MIN(epoch_us(o_orderdate) // 86400000000) AS min_day FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders CROSS JOIN b
+WHERE epoch_us(o_orderdate) // 86400000000 >= min_day
+  AND epoch_us(o_orderdate) // 86400000000 <  min_day + 90
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND epoch_us(l_shipdate) // 86400000000
+          > epoch_us(o_orderdate) // 86400000000 + 60)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue shipped between two nations,
+    both directions, per 365-day epoch bucket of the ship date.
+    supplier+nation and customer+nation pre-resolve to (key, nation)
+    frames; the supplier side broadcasts, the customer side rides the
+    existing custkey shuffle. Pair filter applies after both joins."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "customer", "lineitem", "supplier",
+                     "nation"))
+    n = t["nation"].select("n_nationkey", "n_name")
+    supp = (t["supplier"].join(F.broadcast(n),
+                               F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (t["customer"].join(F.broadcast(n),
+                               F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_suppkey",
+        F.expr(f"(unix_micros(l_shipdate) div {_DAY_US}) div 365")
+        .alias("ship_yb"),
+        (ep_c * (F.lit(100) - disc_b)).alias("rev_u"))
+    joined = (li
+              .join(t["orders"].select("o_orderkey", "o_custkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .filter(((F.col("supp_nation") == "NATION_1")
+                       & (F.col("cust_nation") == "NATION_2"))
+                      | ((F.col("supp_nation") == "NATION_2")
+                         & (F.col("cust_nation") == "NATION_1"))))
+    g = (joined.groupBy("supp_nation", "cust_nation", "ship_yb")
+         .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("_rev")))
+    return (g.orderBy("supp_nation", "cust_nation", "ship_yb")
+            .select("supp_nation", "cust_nation", "ship_yb",
+                    (F.col("_rev").cast("double") / 10000.0)
+                    .alias("revenue")))
+
+
+_SQL_TPCH_Q7 = """
+WITH g AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         (epoch_us(l_shipdate) // 86400000000) // 365 AS ship_yb,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+  GROUP BY 1, 2, 3
+)
+SELECT supp_nation, cust_nation, ship_yb,
+       CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM g ORDER BY supp_nation, cust_nation, ship_yb
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of the ECONOMY-type part
+    revenue sold to EUROPE-region customers, the share supplied by
+    NATION_3, per order-date 365-day bucket. Numerator and
+    denominator accumulate in the same integer domain; the share is
+    one double division — bit-identical to the oracle."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "customer", "lineitem", "supplier",
+                     "nation", "region", "part"))
+    parts = F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")
+                        .select("p_partkey"))
+    eur_cust = (t["customer"]
+                .join(F.broadcast(
+                    t["nation"].join(t["region"],
+                                     F.col("n_regionkey")
+                                     == F.col("r_regionkey"))
+                    .filter(F.col("r_name") == "EUROPE")
+                    .select("n_nationkey")),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+                .select("c_custkey"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"]
+                              .select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    li = (t["lineitem"]
+          .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "l_suppkey",
+                  (ep_c * (F.lit(100) - disc_b)).alias("rev_u")))
+    joined = (li
+              .join(t["orders"].select(
+                  "o_orderkey", "o_custkey",
+                  F.expr(f"(unix_micros(o_orderdate) div {_DAY_US}) div 365")
+                  .alias("order_yb")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(eur_cust, F.col("o_custkey") == F.col("c_custkey"),
+                    "left_semi")
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey")))
+    g = joined.groupBy("order_yb").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                     F.col("rev_u")).otherwise(F.lit(0))
+              .cast("decimal(38,0)")).alias("_nat"),
+        F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("_all"))
+    return (g.orderBy("order_yb")
+            .select("order_yb",
+                    (F.col("_nat").cast("double")
+                     / F.col("_all").cast("double")).alias("mkt_share"),
+                    (F.col("_all").cast("double") / 10000.0)
+                    .alias("total_revenue")))
+
+
+_SQL_TPCH_Q8 = """
+WITH g AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000) // 365 AS order_yb,
+         SUM(CASE WHEN sn.n_name = 'NATION_3'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             ELSE 0 END) AS nat,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'ECONOMY'
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+  GROUP BY 1
+)
+SELECT order_yb,
+       CAST(nat AS DOUBLE) / CAST(total AS DOUBLE) AS mkt_share,
+       CAST(total AS DOUBLE) / 10000.0 AS total_revenue
+FROM g ORDER BY order_yb
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): per supplier-nation and
+    order-date bucket, profit on widget-named parts. No partsupp
+    table exists, so p_retailprice stands in for the unit supply
+    cost. Both profit terms land in the same 10^-4-dollar integer
+    unit (ep_c·(100−disc_b) and retail_c·qty_c), so the subtraction
+    stays exact."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "lineitem", "supplier", "nation", "part"))
+    parts = F.broadcast(t["part"]
+                        .filter(F.col("p_name").like("%widget%"))
+                        .select("p_partkey", "p_retailprice"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"]
+                              .select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    li = (t["lineitem"]
+          .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "l_suppkey",
+                  (ep_c * (F.lit(100) - disc_b)
+                   - retail_c * qty_c).alias("amount_u")))
+    joined = (li
+              .join(t["orders"].select(
+                  "o_orderkey",
+                  F.expr(f"(unix_micros(o_orderdate) div {_DAY_US}) div 365")
+                  .alias("order_yb")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey")))
+    g = (joined.groupBy("nation", "order_yb")
+         .agg(F.sum(F.col("amount_u").cast("decimal(38,0)"))
+              .alias("_profit")))
+    return (g.orderBy("nation", F.col("order_yb").desc())
+            .select("nation", "order_yb",
+                    (F.col("_profit").cast("double") / 10000.0)
+                    .alias("sum_profit")))
+
+
+_SQL_TPCH_Q9 = """
+WITH g AS (
+  SELECT n_name AS nation,
+         (epoch_us(o_orderdate) // 86400000000) // 365 AS order_yb,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             - CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(round(l_quantity * 100) AS BIGINT)) AS profit
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY 1, 2
+)
+SELECT nation, order_yb, CAST(profit AS DOUBLE) / 10000.0 AS sum_profit
+FROM g ORDER BY nation, order_yb DESC
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority census, lateness-bucket
+    adaptation): the corpus has no l_shipmode, so lines bucket by
+    ship lag (early / on_time / late / very_late), counting
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders per
+    bucket. One orderkey shuffle, conditional integer counts."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    li = t["lineitem"].select("l_orderkey",
+                              _day("l_shipdate").alias("l_day"))
+    orders = t["orders"].select("o_orderkey", "o_orderpriority",
+                                _day("o_orderdate").alias("o_day"))
+    lag = F.col("l_day") - F.col("o_day")
+    bucket = (F.when(lag < 0, "early")
+              .when(lag <= 60, "on_time")
+              .when(lag <= 365, "late")
+              .otherwise("very_late"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (joined.groupBy(bucket.alias("ship_bucket"))
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1))
+                 .alias("low_line_count"))
+            .orderBy("ship_bucket"))
+
+
+_SQL_TPCH_Q12 = """
+WITH q AS (
+  SELECT CASE
+           WHEN epoch_us(l_shipdate) // 86400000000
+                - epoch_us(o_orderdate) // 86400000000 < 0 THEN 'early'
+           WHEN epoch_us(l_shipdate) // 86400000000
+                - epoch_us(o_orderdate) // 86400000000 <= 60
+                THEN 'on_time'
+           WHEN epoch_us(l_shipdate) // 86400000000
+                - epoch_us(o_orderdate) // 86400000000 <= 365
+                THEN 'late'
+           ELSE 'very_late' END AS ship_bucket,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS is_high
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT ship_bucket,
+       CAST(SUM(is_high) AS BIGINT) AS high_line_count,
+       CAST(SUM(1 - is_high) AS BIGINT) AS low_line_count
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): histogram of
+    per-customer order counts, excluding 4-NOT SPECIFIED orders (the
+    stand-in for TPC-H's comment-pattern exclusion), customers with
+    zero kept via the left outer join. Two aggregations: custkey
+    shuffle, then the tiny count-histogram shuffle."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders = (t["orders"]
+              .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (t["customer"].select("c_custkey")
+                .join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+_SQL_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue
+    over the first quarter's shipments. The revenue view is a
+    per-suppkey integer aggregate; the scalar max re-broadcasts as a
+    one-row frame and the equality filter happens in the exact
+    integer domain, so ties are real ties, not double artifacts."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    sd = _day("l_shipdate")
+    bounds = t["lineitem"].agg(F.min(sd).alias("min_day"))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (t["lineitem"].crossJoin(F.broadcast(bounds))
+           .filter((sd >= F.col("min_day"))
+                   & (sd < F.col("min_day") + 90))
+           .groupBy("l_suppkey")
+           .agg(F.sum((ep_c * (F.lit(100) - disc_b))
+                      .cast("decimal(38,0)")).alias("_rev")))
+    top = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (rev.crossJoin(F.broadcast(top))
+            .filter(F.col("_rev") == F.col("_max_rev"))
+            .join(F.broadcast(t["supplier"]
+                              .select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .orderBy("s_suppkey")
+            .select("s_suppkey", "s_name",
+                    (F.col("_rev").cast("double") / 10000.0)
+                    .alias("total_revenue")))
+
+
+_SQL_TPCH_Q15 = """
+WITH b AS (
+  SELECT MIN(epoch_us(l_shipdate) // 86400000000) AS min_day
+  FROM lineitem
+), rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r
+  FROM lineitem CROSS JOIN b
+  WHERE epoch_us(l_shipdate) // 86400000000 >= min_day
+    AND epoch_us(l_shipdate) // 86400000000 <  min_day + 90
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    from lines matching any of three (brand, size-range, qty-range)
+    arms. part broadcasts; the OR-of-ANDs evaluates inside the join
+    output projection — the canonical test that a disjunction does
+    not break the broadcast-hash plan."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    li = t["lineitem"].select("l_partkey", qty_c.alias("qty_c"),
+                              (ep_c * (F.lit(100) - disc_b))
+                              .alias("rev_u"))
+    joined = li.join(F.broadcast(t["part"]
+                                 .select("p_partkey", "p_brand",
+                                         "p_size")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    arm1 = ((F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("qty_c").between(100, 1100))
+    arm2 = ((F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 10)
+            & F.col("qty_c").between(1000, 2000))
+    arm3 = ((F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("qty_c").between(2000, 3000))
+    return (joined.filter(arm1 | arm2 | arm3)
+            .agg((F.sum(F.col("rev_u").cast("decimal(38,0)"))
+                  .cast("double") / 10000.0).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+_SQL_TPCH_Q19 = """
+WITH q AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND CAST(round(l_quantity * 100) AS BIGINT)
+             BETWEEN 100 AND 1100)
+     OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 10
+         AND CAST(round(l_quantity * 100) AS BIGINT)
+             BETWEEN 1000 AND 2000)
+     OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+         AND CAST(round(l_quantity * 100) AS BIGINT)
+             BETWEEN 2000 AND 3000)
+)
+SELECT CAST(SUM(rev_u) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lineitems
+FROM q
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): per nation (the corpus'
+    stand-in for the phone country code), customers with
+    above-average positive balance and no orders in the first
+    quarter. The global average broadcasts as (sum, count) and the
+    threshold compares as acctbal_c·cnt > sum — pure integers, no
+    division. The no-orders test is a left-anti join on custkey."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = t["customer"].select("c_custkey", "c_nationkey",
+                                bal_c.alias("bal_c"))
+    avg_pos = (cust.filter(F.col("bal_c") > 0)
+               .agg(F.sum(F.col("bal_c").cast("decimal(38,0)"))
+                    .alias("_sum_pos"),
+                    F.count(F.lit(1)).alias("_cnt_pos")))
+    od = _day("o_orderdate")
+    bounds = t["orders"].agg(F.min(od).alias("min_day"))
+    window_orders = (t["orders"].crossJoin(F.broadcast(bounds))
+                     .filter((od >= F.col("min_day"))
+                             & (od < F.col("min_day") + 90))
+                     .select("o_custkey"))
+    eligible = (cust.crossJoin(F.broadcast(avg_pos))
+                .filter(F.col("bal_c").cast("decimal(38,0)")
+                        * F.col("_cnt_pos") > F.col("_sum_pos"))
+                .join(window_orders,
+                      F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti"))
+    g = (eligible
+         .join(F.broadcast(t["nation"]
+                           .select("n_nationkey", "n_name")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("n_name")
+         .agg(F.count(F.lit(1)).alias("numcust"),
+              F.sum(F.col("bal_c").cast("decimal(38,0)"))
+              .alias("_totbal")))
+    return (g.orderBy("n_name")
+            .select("n_name", "numcust",
+                    (F.col("_totbal").cast("double") / 100.0)
+                    .alias("totacctbal")))
+
+
+_SQL_TPCH_Q22 = """
+WITH b AS (
+  SELECT MIN(epoch_us(o_orderdate) // 86400000000) AS min_day FROM orders
+), cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), avg_pos AS (
+  SELECT SUM(bal_c) AS sum_pos, COUNT(*) AS cnt_pos
+  FROM cust WHERE bal_c > 0
+), wo AS (
+  SELECT DISTINCT o_custkey FROM orders CROSS JOIN b
+  WHERE epoch_us(o_orderdate) // 86400000000 >= min_day
+    AND epoch_us(o_orderdate) // 86400000000 <  min_day + 90
+)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM cust CROSS JOIN avg_pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_c * cnt_pos > sum_pos
+  AND c_custkey NOT IN (SELECT o_custkey FROM wo)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_country_decimal": (q_sales_by_country_decimal,
@@ -3283,12 +3794,21 @@ BATCH_QUERIES = {
     "hdr_quantiles": (q_hdr_quantiles, _SQL_HDR_QUANTILES),
     "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, _SQL_TPCH_Q3),
+    "tpch_q4": (q_tpch_q4, _SQL_TPCH_Q4),
     "tpch_q5": (q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q7": (q_tpch_q7, _SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, _SQL_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, _SQL_TPCH_Q9),
     "tpch_q10": (q_tpch_q10, _SQL_TPCH_Q10),
+    "tpch_q12": (q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q13": (q_tpch_q13, _SQL_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, _SQL_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, _SQL_TPCH_Q15),
     "tpch_q17": (q_tpch_q17, _SQL_TPCH_Q17),
     "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, _SQL_TPCH_Q19),
+    "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
 }
 
 # ---------------------------------------------------------------------------
@@ -3336,7 +3856,8 @@ _DRIVER_PRIORITY = [
     "semdedup", "heavy_hitters", "doc_chunks", "bigram_novelty",
     "trimmed_mean",
     "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q17",
-    "tpch_q18",
+    "tpch_q18", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q22",
 ]
 
 

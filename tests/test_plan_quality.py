@@ -45,8 +45,10 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "rrf_fusion", "xcorr_lags", "rfm_segments",
                 "tpch_q1", "tpch_q6",
                 # same ONE-ROW data-derived date-bound broadcast as
-                # tpch_q1/q6 (scalar-subquery plan; cost O(N))
-                "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14"}
+                # tpch_q1/q6 (scalar-subquery plan; cost O(N)); q15/q22
+                # add a second one-row frame (scalar max / global avg)
+                "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q10",
+                "tpch_q14", "tpch_q15", "tpch_q22"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
