@@ -742,6 +742,49 @@ FROM orders
 """
 
 
+def q_smt_router_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining stock-SMT surface as one chain over the event
+    stream: RegexRouter (topic rewrite), TimestampRouter (daily topic
+    suffix from the tz-free epoch day), MaskField (props → typed
+    null), Cast (value → exact cents string-safe long), ExtractField
+    over the JSON payload, and a HoistField→Flatten round-trip
+    (payload_ prefix). Pure Projects — the whole chain fuses into the
+    scan stage."""
+    from .transforms import (cast_fields, extract_json_field,
+                             flatten_value, hoist_field, mask_field,
+                             regex_router, timestamp_router)
+
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("topic", F.lit("events.raw"))
+    out = regex_router(ev, r"^events\.raw$", "app_events")
+    out = timestamp_router(out, "ts")
+    out = extract_json_field(out, "props", "k", out="prop_k",
+                             dtype="long")
+    out = mask_field(out, ["props"])
+    out = cast_fields(out, {"value": "decimal(18,2)"})
+    out = out.withColumn("value_c",
+                         (F.col("value") * 100).cast("long")).drop("value")
+    out = hoist_field(out, "payload", keep=["topic", "event_id"])
+    out = flatten_value(out)
+    return out.select("event_id", "topic", "payload_user_id",
+                      "payload_event_type", "payload_prop_k",
+                      "payload_value_c", "payload_props")
+
+
+_SQL_SMT_ROUTER_CHAIN = """
+SELECT event_id,
+       'app_events-' || strftime(DATE '1970-01-01'
+           + CAST(epoch_us(ts) // 86400000000 AS INTEGER), '%Y%m%d')
+         AS topic,
+       user_id AS payload_user_id,
+       event_type AS payload_event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_prop_k,
+       CAST(round(value * 100) AS BIGINT) AS payload_value_c,
+       CAST(NULL AS VARCHAR) AS payload_props
+FROM events
+"""
+
+
 def q_csv_dim_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S9 (01:46-48 seed shape): the region dim written to and
     re-read from pipe-separated CSV with an explicit schema (never
@@ -3738,6 +3781,7 @@ BATCH_QUERIES = {
     "time_formatted": (q_time_formatted, _SQL_TIME_FORMATTED),
     "window_agg_shape": (q_window_agg_shape, _SQL_WINDOW_AGG_SHAPE),
     "smt_chain": (q_smt_chain, _SQL_SMT_CHAIN),
+    "smt_router_chain": (q_smt_router_chain, _SQL_SMT_ROUTER_CHAIN),
     "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
@@ -3858,6 +3902,7 @@ _DRIVER_PRIORITY = [
     "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q17",
     "tpch_q18", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q22",
+    "smt_router_chain",
 ]
 
 

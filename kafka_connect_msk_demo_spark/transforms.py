@@ -121,3 +121,89 @@ def cdc_scd2(env: DataFrame, key_cols: list[str],
             .select(*key_cols, *field_names,
                     F.col("_ts").alias("valid_from"), "valid_to",
                     F.col("valid_to").isNull().alias("is_current")))
+
+
+# ---------------------------------------------------------------------------
+# Additional stock Connect SMTs (public org.apache.kafka.connect.transforms
+# classes the reference's connector configs could chain but don't in the
+# checked-in JSONs — completing the SMT surface). All are row-level
+# Projects: shuffle-free, codegen-fused into the scan at any scale.
+# ---------------------------------------------------------------------------
+
+
+def mask_field(df: DataFrame, fields: list[str],
+               replacement=None) -> DataFrame:
+    """``MaskField$Value``: replace fields with a type-preserving null
+    (default) or a literal replacement."""
+    for name in fields:
+        dtype = df.schema[name].dataType
+        df = df.withColumn(name, F.lit(replacement).cast(dtype))
+    return df
+
+
+def regex_router(df: DataFrame, pattern: str, replacement: str,
+                 topic_col: str = "topic") -> DataFrame:
+    """``RegexRouter``: rewrite the topic by regex."""
+    return df.withColumn(
+        topic_col, F.regexp_replace(F.col(topic_col), pattern, replacement))
+
+
+def timestamp_router(df: DataFrame, ts_col: str,
+                     topic_col: str = "topic",
+                     fmt: str = "yyyyMMdd") -> DataFrame:
+    """``TimestampRouter`` (``topic.format=${topic}-${timestamp}``):
+    suffix the topic with the record's event date. The date is built
+    from the tz-free epoch-day number (``unix_micros div 86400000000``
+    applied to ``date_add``), not from ``date_format(ts)`` — the latter
+    renders in the session timezone and would route the same instant to
+    different daily topics depending on the driver's TZ."""
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000").cast("int")
+    date_str = F.date_format(F.date_add(F.lit("1970-01-01").cast("date"),
+                                        day), fmt)
+    return df.withColumn(topic_col,
+                         F.concat(F.col(topic_col), F.lit("-"), date_str))
+
+
+def hoist_field(df: DataFrame, out: str,
+                keep: list[str] | None = None) -> DataFrame:
+    """``HoistField$Value``: wrap the record value in a single-field
+    struct (``keep`` columns stay top-level, e.g. routing metadata)."""
+    keep = keep or []
+    payload = [c for c in df.columns if c not in keep]
+    return df.select(*keep, F.struct(*payload).alias(out))
+
+
+def flatten_value(df: DataFrame, sep: str = "_") -> DataFrame:
+    """``Flatten$Value``: recursively flatten struct columns with a
+    configurable delimiter (Connect's default is ``.``; parquet-hostile,
+    so ``_`` here)."""
+    cols = []
+
+    def _walk(prefix: list[str], dtype, ref):
+        from pyspark.sql import types as T
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                _walk(prefix + [f.name], f.dataType, ref[f.name])
+        else:
+            cols.append(ref.alias(sep.join(prefix)))
+
+    for f in df.schema.fields:
+        _walk([f.name], f.dataType, F.col(f.name))
+    return df.select(*cols)
+
+
+def cast_fields(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """``Cast$Value``: per-field spec casts (``field:type`` pairs)."""
+    for name, dtype in casts.items():
+        df = df.withColumn(name, F.col(name).cast(dtype))
+    return df
+
+
+def extract_json_field(df: DataFrame, col: str, path: str,
+                       out: str, dtype: str = "string") -> DataFrame:
+    """``ExtractField$Value`` over a JSON-string payload: pull one
+    field out of the serialized value (the Connect chain would run
+    JsonConverter first; here the converter+extract fuse into one
+    ``get_json_object`` projection)."""
+    return df.withColumn(
+        out, F.get_json_object(F.col(col), f"$.{path}").cast(dtype))

@@ -68,3 +68,48 @@ def test_summary_stats_exact_at_long_wrapping_magnitude(spark):
     assert row.mean_val == round(mean, 6)
     assert row.stddev_val == round(math.sqrt(max(var, 0.0)), 6)
     assert (row.min_val, row.max_val) == (0.01, 7.5e9)
+
+
+def test_stock_smt_surface(spark):
+    """MaskField/RegexRouter/TimestampRouter/HoistField/Flatten/Cast/
+    ExtractField unit semantics on a hand-built frame."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_msk_demo_spark.transforms import (
+        cast_fields, extract_json_field, flatten_value, hoist_field,
+        mask_field, regex_router, timestamp_router)
+
+    df = spark.createDataFrame(
+        [(1, "a.raw", '{"k": 7}', "2021-03-14 01:30:00"),
+         (2, "a.raw", '{"k": -3}', "1999-12-31 23:59:59")],
+        "id long, topic string, props string, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s", "yyyy-MM-dd HH:mm:ss")) \
+        .drop("ts_s")
+
+    routed = regex_router(df, r"^a\.raw$", "app_a")
+    assert {r.topic for r in routed.collect()} == {"app_a"}
+
+    # TimestampRouter suffixes the tz-free event date
+    daily = timestamp_router(routed, "ts")
+    topics = {r.id: r.topic for r in daily.collect()}
+    assert topics[2].startswith("app_a-1999123")  # tz-free day number
+
+    masked = mask_field(df, ["props"])
+    assert all(r.props is None for r in masked.collect())
+    assert masked.schema["props"].dataType.simpleString() == "string"
+
+    lit = mask_field(df, ["props"], replacement="xxx")
+    assert {r.props for r in lit.collect()} == {"xxx"}
+
+    ext = extract_json_field(df, "props", "k", out="k", dtype="long")
+    assert {r.id: r.k for r in ext.collect()} == {1: 7, 2: -3}
+
+    cast = cast_fields(df, {"id": "string"})
+    assert cast.schema["id"].dataType.simpleString() == "string"
+
+    hoisted = hoist_field(df, "payload", keep=["topic"])
+    assert hoisted.columns == ["topic", "payload"]
+    flat = flatten_value(hoisted)
+    assert flat.columns == ["topic", "payload_id", "payload_props",
+                            "payload_ts"]
+    assert {r.payload_id for r in flat.collect()} == {1, 2}
