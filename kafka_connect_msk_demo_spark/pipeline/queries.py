@@ -2473,8 +2473,94 @@ ORDER BY lift DESC, w1, w2 LIMIT 25
 """
 
 
+def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery over the embedding corpus —
+    the whole per-vector pass runs JVM-side through ``transform`` /
+    ``filter`` / ``aggregate`` / ``zip_with`` + ``reverse`` lambdas
+    (zero Python, zero explode row-multiplication): per vector the
+    1e6-quantized squared norm, positive-component count, L1 norm and
+    a reversed-self dot, then an exact per-label rollup. The oracle
+    replays the same integers via UNNEST + a subscript self-join
+    (DuckDB has list lambdas too, but the unnest form keeps the twin
+    dialect-minimal).
+
+    Scale: narrow scan-speed projection (no shuffle until the
+    ``label`` hash-agg); element quantization floor(double(v)·1e6) is
+    one correctly-rounded IEEE op per element, summed as int64 —
+    bounded by dims·1e12 per vector, decimal(38) across vectors."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    vq = F.transform(F.col("embedding"),
+                     lambda x: F.floor(x.cast("double") * F.lit(1e6))
+                     .cast("long"))
+    zero = F.lit(0).cast("long")
+    per_vec = vecs.select(
+        "label",
+        F.aggregate(vq, zero, lambda acc, x: acc + x * x)
+        .alias("norm2_q"),
+        F.size(F.filter(F.col("embedding"),
+                        lambda x: x.cast("double") > 0))
+        .alias("n_pos"),
+        F.aggregate(vq, zero,
+                    lambda acc, x: acc + F.abs(x)).alias("l1_q"),
+        F.aggregate(F.zip_with(vq, F.reverse(vq),
+                               lambda a, b: a * b),
+                    zero, lambda acc, x: acc + x).alias("rdot_q"))
+    g = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("norm2_q").cast("decimal(38,0)")).alias("_n2"),
+        F.sum("n_pos").alias("pos_components"),
+        F.sum(F.col("l1_q").cast("decimal(38,0)")).alias("_l1"),
+        F.sum(F.col("rdot_q").cast("decimal(38,0)")).alias("_rd"))
+    return (g.select(
+        "label", "n_vecs",
+        (F.col("_n2").cast("double") / 1e12 / F.col("n_vecs"))
+        .alias("avg_norm2"),
+        "pos_components",
+        (F.col("_l1").cast("double") / 1e6 / F.col("n_vecs"))
+        .alias("avg_l1"),
+        (F.col("_rd").cast("double") / 1e12 / F.col("n_vecs"))
+        .alias("avg_rdot"))
+        .orderBy("label"))
+
+
+_SQL_ARRAY_HOF = """
+WITH ex AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+         CAST(len(embedding) AS BIGINT) AS nd,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS vq,
+         CAST(unnest(embedding) AS DOUBLE) AS vd
+  FROM embeddings
+), pv AS (
+  SELECT a.vec_id, MIN(a.label) AS label,
+         SUM(a.vq * a.vq) AS norm2_q,
+         SUM(CASE WHEN a.vd > 0 THEN 1 ELSE 0 END) AS n_pos,
+         SUM(abs(a.vq)) AS l1_q,
+         SUM(a.vq * b.vq) AS rdot_q
+  FROM ex a JOIN ex b
+    ON a.vec_id = b.vec_id AND b.i = a.nd + 1 - a.i
+  GROUP BY a.vec_id
+), g AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         SUM(CAST(norm2_q AS HUGEINT)) AS n2,
+         CAST(SUM(n_pos) AS BIGINT) AS pos_components,
+         SUM(CAST(l1_q AS HUGEINT)) AS l1,
+         SUM(CAST(rdot_q AS HUGEINT)) AS rd
+  FROM pv GROUP BY 1
+)
+SELECT label, n_vecs,
+       CAST(n2 AS DOUBLE) / 1e12 / n_vecs AS avg_norm2,
+       pos_components,
+       CAST(l1 AS DOUBLE) / 1e6 / n_vecs AS avg_l1,
+       CAST(rd AS DOUBLE) / 1e12 / n_vecs AS avg_rdot
+FROM g ORDER BY label
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "array_hof_stats": (q_array_hof_stats, _SQL_ARRAY_HOF),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
     "dedup_minhash": (q_dedup_minhash, _SQL_NEAR_PAIRS),
     "corpus_clean": (q_corpus_clean, _SQL_CORPUS_CLEAN),

@@ -3749,6 +3749,154 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region revenue trend: closed-form OLS slope of daily revenue
+    on the epoch-day index, computed entirely in exact integer moments
+    (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) with ONE double division at
+    the end — no iterative fitting, no float accumulation, so the
+    slope hash-matches the oracle. Two hash-aggs: (region, day) then
+    region; the decimal(19)×decimal(19) cross-products stay exact in
+    decimal(38)."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "customer", "nation", "region"))
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = (t["orders"]
+              .join(t["customer"],
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(t["region"]),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select(F.col("r_name").alias("region"),
+                      _day("o_orderdate").alias("day"),
+                      price_c.alias("price_c")))
+    daily = (joined.groupBy("region", "day")
+             .agg(F.sum("price_c").alias("y_c")))
+    d19 = "decimal(19,0)"
+    m = daily.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("day").cast(d19)).alias("sx"),
+        F.sum(F.col("y_c").cast(d19)).alias("sy"),
+        F.sum((F.col("day") * F.col("y_c")).cast("decimal(38,0)"))
+        .alias("sxy"),
+        F.sum((F.col("day") * F.col("day")).cast("decimal(38,0)"))
+        .alias("sxx"))
+    num = (F.col("n").cast(d19) * F.col("sxy").cast(d19)
+           - F.col("sx") * F.col("sy"))
+    den = (F.col("n").cast(d19) * F.col("sxx").cast(d19)
+           - F.col("sx") * F.col("sx"))
+    return (m.select(
+        "region", "n",
+        (num.cast("double") / den.cast("double") / 100.0)
+        .alias("slope_per_day"),
+        (F.col("sx").cast("double") / F.col("n")).alias("avg_day"),
+        (F.col("sy").cast("double") / 100.0 / F.col("n"))
+        .alias("avg_daily_rev"))
+        .orderBy("region"))
+
+
+_SQL_OLS_TREND = """
+WITH daily AS (
+  SELECT r_name AS region,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT region, COUNT(*) AS n,
+         SUM(CAST(day AS HUGEINT)) AS sx,
+         SUM(CAST(y_c AS HUGEINT)) AS sy,
+         SUM(CAST(day AS HUGEINT) * CAST(y_c AS HUGEINT)) AS sxy,
+         SUM(CAST(day AS HUGEINT) * CAST(day AS HUGEINT)) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT region, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day,
+       CAST(sx AS DOUBLE) / n AS avg_day,
+       CAST(sy AS DOUBLE) / 100.0 / n AS avg_daily_rev
+FROM m ORDER BY region
+"""
+
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic per event type: the range of the
+    mean-centered cumulative sum over the (ts, event_id)-ordered value
+    series, division-free until the end — the centered prefix is
+    P_i = n·S_i − i·T (exact integers), so max−min and the argmax
+    location are engine-replayable. One shuffle+sort (the prefix
+    window) plus a broadcast of per-type totals; the argmax resolves
+    with a second window max and a MIN(ts) tie-break, not a
+    self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", "event_id",
+                     F.expr("unix_micros(ts)").alias("ts_us"),
+                     vc.alias("v_c"))
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    d19 = "decimal(19,0)"
+    tot = base.groupBy("event_type").agg(
+        F.sum(F.col("v_c").cast(d19)).alias("t_sum"),
+        F.count(F.lit(1)).alias("n"))
+    pref = (base
+            .withColumn("s", F.sum("v_c").over(w))
+            .withColumn("i", F.row_number().over(w))
+            .join(F.broadcast(tot), "event_type")
+            .withColumn("p", F.col("n").cast(d19) * F.col("s").cast(d19)
+                        - F.col("i").cast(d19) * F.col("t_sum")))
+    wt = Window.partitionBy("event_type")
+    marked = pref.withColumn("p_max", F.max("p").over(wt)) \
+                 .withColumn("p_min", F.min("p").over(wt))
+    return (marked.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max("p_max").alias("_pmax"),
+                 F.min("p_min").alias("_pmin"),
+                 F.min(F.when(F.col("p") == F.col("p_max"),
+                              F.col("ts_us"))).alias("shift_ts_us"))
+            .select("event_type", "n",
+                    ((F.col("_pmax") - F.col("_pmin")).cast("double")
+                     / F.col("n") / 100.0).alias("drift_range"),
+                    "shift_ts_us")
+            .orderBy("event_type"))
+
+
+_SQL_CUSUM_SHIFT = """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), pref AS (
+  SELECT event_type, event_id, ts_us,
+         SUM(v_c) OVER (PARTITION BY event_type
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS i,
+         SUM(v_c) OVER (PARTITION BY event_type) AS t_sum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+), p AS (
+  SELECT event_type, ts_us, n,
+         CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+         - CAST(i AS HUGEINT) * CAST(t_sum AS HUGEINT) AS p
+  FROM pref
+), marked AS (
+  SELECT event_type, ts_us, n, p,
+         MAX(p) OVER (PARTITION BY event_type) AS p_max,
+         MIN(p) OVER (PARTITION BY event_type) AS p_min
+  FROM p
+)
+SELECT event_type, MAX(n) AS n,
+       CAST(MAX(p_max) - MIN(p_min) AS DOUBLE) / MAX(n) / 100.0
+         AS drift_range,
+       MIN(CASE WHEN p = p_max THEN ts_us END) AS shift_ts_us
+FROM marked GROUP BY event_type ORDER BY event_type
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_country_decimal": (q_sales_by_country_decimal,
@@ -3782,6 +3930,8 @@ BATCH_QUERIES = {
     "window_agg_shape": (q_window_agg_shape, _SQL_WINDOW_AGG_SHAPE),
     "smt_chain": (q_smt_chain, _SQL_SMT_CHAIN),
     "smt_router_chain": (q_smt_router_chain, _SQL_SMT_ROUTER_CHAIN),
+    "ols_trend": (q_ols_trend, _SQL_OLS_TREND),
+    "cusum_shift": (q_cusum_shift, _SQL_CUSUM_SHIFT),
     "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
@@ -3902,7 +4052,8 @@ _DRIVER_PRIORITY = [
     "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q17",
     "tpch_q18", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q22",
-    "smt_router_chain",
+    "smt_router_chain", "ols_trend", "cusum_shift",
+    "array_hof_stats",
 ]
 
 
