@@ -316,3 +316,108 @@ def from_avro_column(df: DataFrame, avro_json: str,
     return flat.select(*[
         F.timestamp_millis(c).alias(c) if c in ts else F.col(c)
         for c in flat.columns])
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro spec §"Schema Resolution") — decode data written
+# with an older/newer WRITER schema into the shape of a READER schema:
+# matching fields decode (with numeric/string-bytes promotions), writer-only
+# fields are decoded-and-skipped, reader-only fields take their declared
+# default. This is what makes a directory of OCF files written across a
+# schema's lifetime readable as ONE frame.
+# ---------------------------------------------------------------------------
+
+#: legal writer→reader primitive promotions (Avro spec order)
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _parse_schema_defaults(avro_json: str) -> dict[str, object]:
+    """field name → declared default (only fields that have one)."""
+    rec = json.loads(avro_json)
+    return {f["name"]: f["default"] for f in rec["fields"]
+            if "default" in f}
+
+
+def _base_type(typ: str) -> str:
+    """'long:timestamp-millis' → 'long' for promotion matching."""
+    return typ.split(":", 1)[0]
+
+
+def _promote_converter(w_typ: str, r_typ: str):
+    """value converter for a legal promotion (identity when same)."""
+    w, r = _base_type(w_typ), _base_type(r_typ)
+    if w == r:
+        return None
+    if (w, r) not in _PROMOTIONS:
+        raise ValueError(
+            f"illegal Avro promotion {w_typ} -> {r_typ}")
+    if r in ("float", "double"):
+        return float
+    if r == "long":
+        return None          # python ints are width-free
+    if r == "bytes":
+        return lambda v: v.encode("utf-8")
+    if r == "string":
+        return lambda v: v.decode("utf-8")
+    raise ValueError(f"illegal Avro promotion {w_typ} -> {r_typ}")
+
+
+def resolve_decode_plan(writer_json: str, reader_json: str):
+    """Build the writer-order decode steps + reader-order column dict.
+
+    Returns ``(steps, cols, defaults)`` where ``steps`` is one
+    ``(decoder, nullable, convert, append_or_None)`` per WRITER field
+    (``None`` append = decode-and-discard), ``cols`` maps reader field
+    names to fresh lists, and ``defaults`` is ``[(append, value), ...]``
+    for reader-only fields, applied once per record.
+    """
+    w_fields = _parse_schema(writer_json)
+    r_fields = _parse_schema(reader_json)
+    r_types = {name: typ for name, typ, _ in r_fields}
+    r_defaults = _parse_schema_defaults(reader_json)
+    cols: dict[str, list] = {name: [] for name, _, _ in r_fields}
+    w_names = set()
+    steps = []
+    for name, w_typ, w_null in w_fields:
+        w_names.add(name)
+        dec = _field_decoder(w_typ)
+        if name in r_types:
+            conv = _promote_converter(w_typ, r_types[name])
+            steps.append((dec, w_null, conv, cols[name].append))
+        else:
+            steps.append((dec, w_null, None, None))
+    defaults = []
+    for name, _typ, _null in r_fields:
+        if name in w_names:
+            continue
+        if name not in r_defaults:
+            raise ValueError(
+                f"reader field {name!r} absent from writer schema and "
+                f"has no default")
+        defaults.append((cols[name].append, r_defaults[name]))
+    return steps, cols, defaults
+
+
+def avro_decode_block_resolved(body: bytes, n: int, writer_json: str,
+                               reader_json: str) -> pd.DataFrame:
+    """Decode ``n`` writer-encoded records into the READER's shape."""
+    steps, cols, defaults = resolve_decode_plan(writer_json, reader_json)
+    pos = 0
+    for _ in range(n):
+        for dec, nullable, conv, add in steps:
+            if nullable:
+                branch, pos = _zigzag_decode(body, pos)
+                if branch == 1:
+                    if add is not None:
+                        add(None)
+                    continue
+            val, pos = dec(body, pos)
+            if add is not None:
+                add(val if conv is None or val is None else conv(val))
+        for add, dv in defaults:
+            add(dv)
+    return _as_object_frame(cols)

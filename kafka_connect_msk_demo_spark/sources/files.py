@@ -200,9 +200,18 @@ def write_avro(df: DataFrame, path: str, avro_json: str) -> None:
 
 
 def read_avro(spark: SparkSession, path: str, avro_json: str,
-              schema: T.StructType) -> DataFrame:
+              schema: T.StructType,
+              resolve: bool = False) -> DataFrame:
     """S10 source: distributed ``binaryFile`` scan + Arrow-batched OCF
-    parse (one Python crossing per file, not per row)."""
+    parse (one Python crossing per file, not per row).
+
+    With ``resolve=True`` each file's embedded WRITER schema is
+    resolved against ``avro_json`` as the READER schema (Avro schema
+    resolution: field matching by name, numeric/string-bytes
+    promotions, writer-only fields skipped, reader-only fields take
+    their defaults) — a directory of OCF files written across a
+    schema's lifetime reads as one uniform frame. Without it, files
+    decode against their own schema and must already match."""
     from ..serde import _ts_fields
 
     files = (spark.read.format("binaryFile")
@@ -215,14 +224,19 @@ def read_avro(spark: SparkSession, path: str, avro_json: str,
         for f in schema.fields])
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..serde import avro_decode_block
+        from ..serde import avro_decode_block, avro_decode_block_resolved
         for pdf in batches:
             for blob in pdf["content"]:
                 # decode against the file's own embedded schema
                 # (schema-on-read; the caller schema types the output)
                 file_schema, payloads, counts = _ocf_parse(bytes(blob))
-                yield avro_decode_block(b"".join(payloads), sum(counts),
-                                        file_schema)
+                if resolve:
+                    yield avro_decode_block_resolved(
+                        b"".join(payloads), sum(counts), file_schema,
+                        avro_json)
+                else:
+                    yield avro_decode_block(b"".join(payloads),
+                                            sum(counts), file_schema)
 
     flat = files.mapInPandas(_parse, wire_schema)
     return flat.select(*[

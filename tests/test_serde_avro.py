@@ -132,3 +132,90 @@ def test_ocf_parse_negative_map_block_count():
     buf.write(normal[len(hdr.getvalue()):])
     schema_json2, payloads2, counts2 = fmod._ocf_parse(buf.getvalue())
     assert (schema_json2, payloads2, counts2) == (schema_json, payloads, counts)
+
+
+def test_avro_schema_resolution_block():
+    """Writer→reader resolution: promotions, dropped fields, defaults,
+    and nullable-union handling at the codec level."""
+    import pandas as pd
+
+    from kafka_connect_msk_demo_spark.serde import (
+        avro_decode_block_resolved, avro_encode_rows)
+
+    writer = """
+    {"type":"record","name":"v1","fields":[
+      {"name":"id","type":"int"},
+      {"name":"name","type":"string"},
+      {"name":"val","type":["float","null"]}]}
+    """
+    reader = """
+    {"type":"record","name":"v2","fields":[
+      {"name":"id","type":"long"},
+      {"name":"val","type":["double","null"]},
+      {"name":"score","type":"double","default":1.5},
+      {"name":"tag","type":["null","string"],"default":null}]}
+    """
+    rows = pd.DataFrame({"id": [1, 2], "name": ["a", "b"],
+                         "val": [2.5, None]})
+    body = b"".join(avro_encode_rows(rows, writer))
+    out = avro_decode_block_resolved(body, 2, writer, reader)
+    assert list(out.columns) == ["id", "val", "score", "tag"]
+    assert list(out["id"]) == [1, 2]            # int -> long
+    assert out["val"][0] == 2.5 and out["val"][1] is None
+    assert list(out["score"]) == [1.5, 1.5]     # reader default
+    assert list(out["tag"]) == [None, None]
+    # "name" (writer-only) was decoded-and-skipped, not mis-aligned
+
+
+def test_avro_schema_resolution_rejects_illegal():
+    import pytest
+
+    from kafka_connect_msk_demo_spark.serde import resolve_decode_plan
+
+    w = '{"type":"record","name":"w","fields":[{"name":"a","type":"double"}]}'
+    r = '{"type":"record","name":"r","fields":[{"name":"a","type":"int"}]}'
+    with pytest.raises(ValueError, match="illegal Avro promotion"):
+        resolve_decode_plan(w, r)
+    r2 = ('{"type":"record","name":"r","fields":['
+          '{"name":"a","type":"double"},{"name":"b","type":"long"}]}')
+    with pytest.raises(ValueError, match="no default"):
+        resolve_decode_plan(w, r2)
+
+
+def test_avro_mixed_schema_directory_resolves(spark, tmp_path):
+    """Two OCF files written with DIFFERENT schema generations read as
+    one uniform frame under resolve=True — the schema-lifetime
+    directory case."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_msk_demo_spark.sources.files import (read_avro,
+                                                            write_avro)
+
+    v1 = """
+    {"type":"record","name":"e","fields":[
+      {"name":"id","type":"long"},
+      {"name":"amount","type":"float"}]}
+    """
+    v2 = """
+    {"type":"record","name":"e","fields":[
+      {"name":"id","type":"long"},
+      {"name":"amount","type":"double"},
+      {"name":"source","type":"string","default":"legacy"}]}
+    """
+    old = spark.createDataFrame([(1, 1.5), (2, 2.25)],
+                                "id long, amount float")
+    new = spark.createDataFrame([(3, 3.125, "api")],
+                                "id long, amount double, source string")
+    p = str(tmp_path / "mixed")
+    write_avro(old, p + "/g1", v1)
+    write_avro(new, p + "/g2", v2)
+    reader_schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("amount", T.DoubleType(), False),
+        T.StructField("source", T.StringType(), False)])
+    import glob as _g
+    # read the whole tree as one frame
+    back = read_avro(spark, p + "/*", v2, reader_schema, resolve=True)
+    got = sorted(map(tuple, back.collect()))
+    assert got == [(1, 1.5, "legacy"), (2, 2.25, "legacy"),
+                   (3, 3.125, "api")]
