@@ -280,3 +280,75 @@ def rotating_sink_stream(sdf: DataFrame, path: str, checkpoint: str,
     elif rotate_interval:
         writer = writer.trigger(processingTime=rotate_interval)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Manifest-commit table (exactly-once object sink)
+# ---------------------------------------------------------------------------
+# The S3 sink connector's exactly-once story is deterministic object
+# names + atomic visibility. The same contract here: data files land
+# under <path>/data/ but are INVISIBLE until a manifest names them —
+# the manifest itself appears via an atomic rename, so readers see
+# either the whole commit or none of it. Retrying a commit id replaces
+# its manifest (idempotent, no double-publish); orphan data files from
+# crashed writers are never read and can be GC'd by a sweeper.
+
+
+def manifest_commit(df: DataFrame, path: str, commit_id: str,
+                    fmt: str = "parquet") -> list[str]:
+    """Write ``df`` as one atomic, idempotent commit; returns the
+    published file list. Re-running the same ``commit_id`` republishes
+    (replaces) that commit rather than appending a duplicate."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    staging = os.path.join(path, "_staging", _uuid.uuid4().hex)
+    getattr(df.write.mode("overwrite"), fmt)(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ext = f".{fmt}" if fmt != "parquet" else ".parquet"
+    files = []
+    parts = sorted(_glob.glob(os.path.join(staging, "part-*")))
+    for i, src in enumerate(parts):
+        # deterministic object name: <commit>-<seq> (the connector's
+        # topic+partition+offset naming analog)
+        name = f"{commit_id}-{i:05d}{ext}"
+        _shutil.move(src, os.path.join(data_dir, name))
+        files.append(name)
+    _shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+    manifest_dir = os.path.join(path, "_manifests")
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = os.path.join(manifest_dir, f".{commit_id}.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump({"commit_id": commit_id, "files": files}, fh)
+    # atomic publish: readers see the commit entirely or not at all
+    os.replace(tmp, os.path.join(manifest_dir, f"{commit_id}.json"))
+    return files
+
+
+def read_manifested(spark: SparkSession, path: str,
+                    schema: T.StructType | None = None,
+                    fmt: str = "parquet") -> DataFrame:
+    """Read ONLY manifest-published files — uncommitted/orphan objects
+    in data/ are invisible. The manifest listing is driver-side (it is
+    bounded metadata, one JSON per commit); the data read is the
+    ordinary distributed scan over the published file list."""
+    import glob as _glob
+    import json as _json
+
+    names: list[str] = []
+    for mf in sorted(_glob.glob(os.path.join(path, "_manifests",
+                                             "*.json"))):
+        with open(mf) as fh:
+            names.extend(_json.load(fh)["files"])
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not names:
+        if schema is None:
+            raise ValueError("empty manifested table needs a schema")
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, "data", n) for n in names]
+    return getattr(reader, fmt)(*paths)

@@ -143,3 +143,48 @@ def test_doc_counts_match_registry():
     assert f"{len(bench.HEADLINE)} HEADLINE" in coverage
     assert f"the {len(bench.SKIP)} bench-SKIP" in coverage
     assert f"ALL {n_reg} registered queries" in coverage
+
+
+def test_manifest_commit_exactly_once(spark, tmp_path):
+    """Atomic visibility + idempotent retry: orphan data files are
+    invisible, re-running a commit id does not double-publish, and
+    distinct commits append."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_msk_demo_spark.sources.files import (
+        manifest_commit, read_manifested)
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    files = manifest_commit(df1, path, "c-0001")
+    assert files and all(f.startswith("c-0001-") for f in files)
+    assert read_manifested(spark, path).count() == 10
+
+    # a crashed writer's orphan file is never read
+    pq.write_table(pa.table({"k": [999, 998]}),
+                   f"{path}/data/zz-orphan-00000.parquet")
+    assert read_manifested(spark, path).count() == 10
+
+    # retrying the SAME commit id republishes, not duplicates
+    manifest_commit(df1, path, "c-0001")
+    assert read_manifested(spark, path).count() == 10
+
+    # a new commit id appends atomically
+    manifest_commit(spark.range(100, 105).withColumnRenamed("id", "k"),
+                    path, "c-0002")
+    got = sorted(r.k for r in read_manifested(spark, path).collect())
+    assert got == list(range(10)) + list(range(100, 105))
+
+
+def test_manifest_commit_empty_table_needs_schema(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from kafka_connect_msk_demo_spark.sources.files import read_manifested
+
+    path = str(tmp_path / "empty")
+    with pytest.raises(ValueError):
+        read_manifested(spark, path)
+    schema = T.StructType([T.StructField("k", T.LongType(), False)])
+    assert read_manifested(spark, path, schema).count() == 0
