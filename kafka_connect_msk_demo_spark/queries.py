@@ -4053,7 +4053,7 @@ _DRIVER_PRIORITY = [
     "tpch_q18", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q22",
     "smt_router_chain", "ols_trend", "cusum_shift",
-    "array_hof_stats",
+    "array_hof_stats", "stream_topk_users",
 ]
 
 

@@ -365,6 +365,46 @@ def _sql_stream_hll() -> str:
 _SQL_STREAM_HLL = _sql_stream_hll()
 
 
+def stream_topk_users(spark: SparkSession, sf_dir: str,
+                      k: int = 5) -> DataFrame:
+    """Streaming top-k: per-(type, user) exact counts run as the
+    complete-mode streaming aggregation (commutative state — the only
+    sketch a top-k needs when the key domain fits state, which it does
+    here and at 100 TB would swap to the count-min + heap pattern in
+    pipeline/freq.py); the rank-and-keep-k finalizes batch-side on the
+    drained counts with a deterministic (count desc, user) order."""
+    from pyspark.sql import Window
+
+    events = stream_table(spark, sf_dir, "events",
+                          max_files_per_trigger=1)
+    counts = (events.filter(F.col("user_id").isNotNull())
+              .groupBy("event_type", "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    drained = run_to_memory(counts, "complete")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "user_id")
+    return (drained.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("event_type", "rank", "user_id", "n_events")
+            .orderBy("event_type", "rank"))
+
+
+_SQL_STREAM_TOPK_USERS = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT event_type, user_id, n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, user_id) AS rank
+  FROM c
+)
+SELECT event_type, rank, user_id, n_events
+FROM r WHERE rank <= 5 ORDER BY event_type, rank
+"""
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -380,4 +420,5 @@ STREAMING_QUERIES = {
     "stream_anomaly": (stream_anomaly, _SQL_STREAM_ANOMALY),
     "stream_hll": (stream_hll, _SQL_STREAM_HLL),
     "stream_ewma": (stream_ewma, _SQL_STREAM_EWMA),
+    "stream_topk_users": (stream_topk_users, _SQL_STREAM_TOPK_USERS),
 }
