@@ -3897,6 +3897,244 @@ FROM marked GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution with an EXACT largest-remainder
+    money split: each purchase's cents spread over the user's
+    click/view touches in the preceding 7 days — every touch gets
+    ``value_c div n`` and the ``value_c mod n`` remainder cents go to
+    the n earliest touches, so the split is integer-exact, sums back
+    to the purchase total by construction, and is deterministic
+    (no 1/n float weights whose sum order matters). Shuffle story:
+    one equi-join on user_id (the range predicate filters inside the
+    join), one per-purchase window, one tiny hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.expr("unix_micros(ts)").alias("p_ts"),
+                         vc.alias("value_c")))
+    touches = (ev.filter(F.col("event_type").isin("click", "view"))
+               .select(F.col("user_id").alias("t_user"),
+                       F.col("event_id").alias("touch_id"),
+                       F.col("event_type").alias("touch_type"),
+                       F.expr("unix_micros(ts)").alias("t_ts")))
+    week_us = 7 * 86400000000
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - week_us))
+    w = Window.partitionBy("purchase_id")
+    wo = w.orderBy("t_ts", "touch_id")
+    alloc = (joined
+             .withColumn("n", F.count(F.lit(1)).over(w))
+             .withColumn("i", F.row_number().over(wo) - 1)
+             .withColumn("attr_c",
+                         F.expr("value_c div n")
+                         + F.when(F.col("i") < F.col("value_c")
+                                  % F.col("n"), 1).otherwise(0)))
+    return (alloc.groupBy("touch_type")
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.count_distinct("purchase_id").alias("n_purchases"),
+                 (F.sum(F.col("attr_c").cast("decimal(38,0)"))
+                  .cast("double") / 100.0).alias("attributed_revenue"))
+            .orderBy("touch_type"))
+
+
+_SQL_MULTI_TOUCH = """
+WITH p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id,
+         epoch_us(ts) AS p_ts,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id AS t_user, event_id AS touch_id,
+         event_type AS touch_type, epoch_us(ts) AS t_ts
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT purchase_id, touch_type, value_c, t_ts, touch_id
+  FROM p JOIN t ON p_user = t_user
+   AND t_ts < p_ts AND t_ts >= p_ts - 604800000000
+), a AS (
+  SELECT touch_type, purchase_id,
+         value_c // COUNT(*) OVER (PARTITION BY purchase_id)
+         + CASE WHEN ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                        ORDER BY t_ts, touch_id) - 1
+                     < value_c % COUNT(*) OVER (PARTITION BY purchase_id)
+                THEN 1 ELSE 0 END AS attr_c
+  FROM j
+)
+SELECT touch_type, COUNT(*) AS n_touches,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       CAST(SUM(CAST(attr_c AS HUGEINT)) AS DOUBLE) / 100.0
+         AS attributed_revenue
+FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_running_balance_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance with reset markers — the classic
+    restart-the-accumulator shape (inventory resets, meter rollovers):
+    each ``signup`` event opens a new segment for its user (segment id
+    = prefix count of markers), the balance runs inside (user,
+    segment) only. One shuffle+sort on user; both windows share it.
+    Emits one row per segment: event count, end balance, peak running
+    balance — all integer-exact until the final /100."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("user_id", "event_id",
+                     F.expr("unix_micros(ts)").alias("ts_us"),
+                     F.col("event_type"), vc.alias("v_c"))
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = base.withColumn(
+        "segment",
+        F.sum(F.when(F.col("event_type") == "signup", 1)
+              .otherwise(0)).over(wu))
+    ws = Window.partitionBy("user_id", "segment") \
+               .orderBy("ts_us", "event_id")
+    run = seg.withColumn("bal_c", F.sum("v_c").over(ws))
+    return (run.groupBy("user_id", "segment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum("v_c").cast("double") / 100.0)
+                 .alias("end_balance"),
+                 (F.max("bal_c").cast("double") / 100.0)
+                 .alias("peak_balance"))
+            .orderBy("user_id", "segment"))
+
+
+_SQL_RUNNING_BALANCE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), seg AS (
+  SELECT *, CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment
+  FROM base
+), run AS (
+  SELECT user_id, segment, ts_us, event_id, v_c,
+         SUM(v_c) OVER (PARTITION BY user_id, segment
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS bal_c
+  FROM seg
+)
+SELECT user_id, segment, COUNT(*) AS n_events,
+       CAST(SUM(v_c) AS DOUBLE) / 100.0 AS end_balance,
+       CAST(MAX(bal_c) AS DOUBLE) / 100.0 AS peak_balance
+FROM run GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_windowed_distinct_users(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Exact distinct users per (tumbling hour, event type) — the
+    windowed COUNT(DISTINCT) Spark expands to a two-level aggregate
+    (partial dedup on (window, type, user), then count); window starts
+    computed as tz-free epoch arithmetic so the hour boundaries match
+    any session timezone."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1000000
+    win = (F.expr(f"unix_micros(ts) div {hour_us}") * hour_us)
+    return (ev.filter(F.col("user_id").isNotNull())
+            .groupBy(win.alias("window_start_us"), "event_type")
+            .agg(F.count_distinct("user_id").alias("distinct_users"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("window_start_us", "event_type"))
+
+
+_SQL_WINDOWED_DISTINCT = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(*) AS n_events
+FROM events WHERE user_id IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): the per-day wide metric frame (one
+    column per event type, built with a conditional-count pivot)
+    unpivots back to (day, metric, cnt) rows via ``DataFrame.unpivot``
+    — Spark's Expand-based melt, one pass, no joins. The oracle
+    replays the same reshape as a UNION ALL (dialect-minimal; DuckDB's
+    UNPIVOT would also work)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    wide = (ev.groupBy(day.alias("day"))
+            .agg(*[F.sum(F.when(F.col("event_type") == t, 1)
+                         .otherwise(0)).alias(t)
+                   for t in ("click", "view", "purchase")]))
+    long = wide.unpivot("day", ["click", "view", "purchase"],
+                        "metric", "cnt")
+    return long.filter(F.col("cnt") > 0).orderBy("day", "metric")
+
+
+_SQL_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS purchase
+  FROM events GROUP BY 1
+), long AS (
+  SELECT day, 'click' AS metric, CAST(click AS BIGINT) AS cnt FROM wide
+  UNION ALL
+  SELECT day, 'view', CAST(view AS BIGINT) FROM wide
+  UNION ALL
+  SELECT day, 'purchase', CAST(purchase AS BIGINT) FROM wide
+)
+SELECT day, metric, cnt FROM long WHERE cnt > 0 ORDER BY day, metric
+"""
+
+
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (region), (priority), (region,
+    priority), and the grand total in ONE Expand pass, with the
+    grouping flags materialized as an explicit gid (grouping(region)·2
+    + grouping(priority), identical bit math on both engines). The
+    SQL-first surface: the loaded tables register as temp views and
+    the report is one ``spark.sql``."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation",
+                                    "region"))
+    t["orders"].createOrReplaceTempView("gs_orders")
+    t["customer"].createOrReplaceTempView("gs_customer")
+    t["nation"].createOrReplaceTempView("gs_nation")
+    t["region"].createOrReplaceTempView("gs_region")
+    return spark.sql("""
+        SELECT r_name AS region, o_orderpriority AS priority,
+               grouping(r_name) * 2 + grouping(o_orderpriority) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                    AS DOUBLE) AS sales
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation   ON c_nationkey = n_nationkey
+        JOIN gs_region   ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority),
+                                (r_name, o_orderpriority), ())
+        ORDER BY gid, region, priority
+    """)
+
+
+_SQL_GROUPING_SETS = """
+SELECT r_name AS region, o_orderpriority AS priority,
+       GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS sales
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority),
+                        (r_name, o_orderpriority), ())
+ORDER BY gid, region, priority
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_country_decimal": (q_sales_by_country_decimal,
@@ -3932,6 +4170,15 @@ BATCH_QUERIES = {
     "smt_router_chain": (q_smt_router_chain, _SQL_SMT_ROUTER_CHAIN),
     "ols_trend": (q_ols_trend, _SQL_OLS_TREND),
     "cusum_shift": (q_cusum_shift, _SQL_CUSUM_SHIFT),
+    "multi_touch_attribution": (q_multi_touch_attribution,
+                                _SQL_MULTI_TOUCH),
+    "running_balance_resets": (q_running_balance_resets,
+                               _SQL_RUNNING_BALANCE),
+    "windowed_distinct_users": (q_windowed_distinct_users,
+                                _SQL_WINDOWED_DISTINCT),
+    "unpivot_metrics": (q_unpivot_metrics, _SQL_UNPIVOT_METRICS),
+    "grouping_sets_report": (q_grouping_sets_report,
+                             _SQL_GROUPING_SETS),
     "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
@@ -4054,6 +4301,9 @@ _DRIVER_PRIORITY = [
     "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q22",
     "smt_router_chain", "ols_trend", "cusum_shift",
     "array_hof_stats", "stream_topk_users",
+    "multi_touch_attribution", "running_balance_resets",
+    "windowed_distinct_users", "unpivot_metrics",
+    "grouping_sets_report",
 ]
 
 
