@@ -4135,6 +4135,83 @@ ORDER BY gid, region, priority
 """
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    raw corpus carries no null keys, so keys are deterministically
+    nulled (user_id % 10 == 0 → NULL, the enrich_nullfill convention)
+    on BOTH sides; the null-safe hash join then matches the NULL
+    bucket to the NULL dim row — the semantics a plain equi-join
+    silently drops. Dim side = earliest signup per (nulled) key,
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    nulled = F.when(F.col("user_id") % 10 == 0, F.lit(None)) \
+        .otherwise(F.col("user_id"))
+    left = ev.select(nulled.alias("k"), "event_type", "event_id")
+    dim = (ev.filter(F.col("event_type") == "signup")
+           .select(nulled.alias("dk"),
+                   F.expr("unix_micros(ts)").alias("sts"))
+           .groupBy("dk").agg(F.min("sts").alias("first_signup_us")))
+    joined = left.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_matched"),
+                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                 .alias("n_null_key_matches"),
+                 F.min("first_signup_us").alias("earliest_signup_us"))
+            .orderBy("event_type"))
+
+
+_SQL_NULL_SAFE_JOIN = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k,
+         event_type, event_id, epoch_us(ts) AS ts_us
+  FROM events
+), dim AS (
+  SELECT k AS dk, MIN(ts_us) AS first_signup_us
+  FROM ev WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT event_type, COUNT(*) AS n_matched,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_key_matches,
+       MIN(first_signup_us) AS earliest_signup_us
+FROM ev JOIN dim ON k IS NOT DISTINCT FROM dk
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_user_profile_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-collection construction: per user, the (event_type,
+    count) profile as a SORTED array of structs serialized to one JSON
+    document — collect_list + array_sort + to_json, the standard
+    feed-a-service denormalization. Determinism: the array is sorted
+    by (event_type) before serialization, so the JSON string is
+    byte-stable and the DuckDB twin (ordered json_group_array)
+    hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    prof = (counts.groupBy("user_id")
+            .agg(F.to_json(F.array_sort(F.collect_list(
+                F.struct(F.col("event_type"), F.col("cnt")))))
+                .alias("profile_json"),
+                F.sum("cnt").alias("n_events")))
+    return prof.orderBy("user_id")
+
+
+_SQL_USER_PROFILE_JSON = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       '[' || string_agg('{"event_type":"' || event_type
+                         || '","cnt":' || cnt || '}',
+                         ',' ORDER BY event_type) || ']'
+         AS profile_json,
+       CAST(SUM(cnt) AS BIGINT) AS n_events
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_country_decimal": (q_sales_by_country_decimal,
@@ -4179,6 +4256,8 @@ BATCH_QUERIES = {
     "unpivot_metrics": (q_unpivot_metrics, _SQL_UNPIVOT_METRICS),
     "grouping_sets_report": (q_grouping_sets_report,
                              _SQL_GROUPING_SETS),
+    "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
+    "user_profile_json": (q_user_profile_json, _SQL_USER_PROFILE_JSON),
     "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
@@ -4303,7 +4382,7 @@ _DRIVER_PRIORITY = [
     "array_hof_stats", "stream_topk_users",
     "multi_touch_attribution", "running_balance_resets",
     "windowed_distinct_users", "unpivot_metrics",
-    "grouping_sets_report",
+    "grouping_sets_report", "null_safe_join", "user_profile_json",
 ]
 
 
