@@ -3828,9 +3828,8 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, division-free until the end — the centered prefix is
     P_i = n·S_i − i·T (exact integers), so max−min and the argmax
     location are engine-replayable. One shuffle+sort (the prefix
-    window) plus a broadcast of per-type totals; the argmax resolves
-    with a second window max and a MIN(ts) tie-break, not a
-    self-join."""
+    window) plus a broadcast of per-type totals; the change-point location is the first instant achieving
+    max |P| (a second window max + MIN(ts) tie-break, no self-join)."""
     ev = load_table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100).cast("long")
     base = ev.select("event_type", "event_id",
@@ -3848,13 +3847,14 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("p", F.col("n").cast(d19) * F.col("s").cast(d19)
                         - F.col("i").cast(d19) * F.col("t_sum")))
     wt = Window.partitionBy("event_type")
-    marked = pref.withColumn("p_max", F.max("p").over(wt)) \
-                 .withColumn("p_min", F.min("p").over(wt))
+    marked = (pref.withColumn("p_max", F.max("p").over(wt))
+              .withColumn("p_min", F.min("p").over(wt))
+              .withColumn("p_abs_max", F.max(F.abs("p")).over(wt)))
     return (marked.groupBy("event_type")
             .agg(F.max("n").alias("n"),
                  F.max("p_max").alias("_pmax"),
                  F.min("p_min").alias("_pmin"),
-                 F.min(F.when(F.col("p") == F.col("p_max"),
+                 F.min(F.when(F.abs(F.col("p")) == F.col("p_abs_max"),
                               F.col("ts_us"))).alias("shift_ts_us"))
             .select("event_type", "n",
                     ((F.col("_pmax") - F.col("_pmin")).cast("double")
@@ -3886,13 +3886,14 @@ WITH base AS (
 ), marked AS (
   SELECT event_type, ts_us, n, p,
          MAX(p) OVER (PARTITION BY event_type) AS p_max,
-         MIN(p) OVER (PARTITION BY event_type) AS p_min
+         MIN(p) OVER (PARTITION BY event_type) AS p_min,
+         MAX(abs(p)) OVER (PARTITION BY event_type) AS p_abs_max
   FROM p
 )
 SELECT event_type, MAX(n) AS n,
        CAST(MAX(p_max) - MIN(p_min) AS DOUBLE) / MAX(n) / 100.0
          AS drift_range,
-       MIN(CASE WHEN p = p_max THEN ts_us END) AS shift_ts_us
+       MIN(CASE WHEN abs(p) = p_abs_max THEN ts_us END) AS shift_ts_us
 FROM marked GROUP BY event_type ORDER BY event_type
 """
 
