@@ -2232,6 +2232,85 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup against the SCD2 history: each order
+    key probed at three instants (mid-snapshot, mid-update,
+    post-delete) resolves to the version whose half-open
+    [valid_from, valid_to) interval covers the probe — the
+    point-in-time join every event pipeline needs against a
+    versioned dimension. One equi-join on the key with the interval
+    predicate inside the join; deleted keys fall out at the third
+    probe (left join keeps the miss visible). Census output: per
+    (probe_phase, resolved status) row counts."""
+    from .sources.cdc import orders_cdc_envelope
+    from .transforms import cdc_scd2
+
+    env = orders_cdc_envelope(spark, sf_dir).drop("__phase")
+    hist = cdc_scd2(env, key_cols=["o_orderkey"]).select(
+        F.col("o_orderkey").alias("h_key"), "o_orderstatus",
+        "valid_from", "valid_to")
+    orders = load_table(spark, sf_dir, "orders")
+    probes = orders.select(
+        F.col("o_orderkey").alias("p_key"),
+        F.explode(F.expr("array(1L, 2L, 3L)")).alias("probe_phase"))
+    probe_ts = (F.col("probe_phase").cast("long") * 1_000_000_000
+                + F.lit(500_000_000) + F.col("p_key"))
+    probed = probes.withColumn("probe_ts", probe_ts)
+    joined = probed.join(
+        hist,
+        (F.col("p_key") == F.col("h_key"))
+        & (F.col("probe_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull()
+           | (F.col("probe_ts") < F.col("valid_to"))),
+        "left_outer")
+    return (joined.groupBy("probe_phase",
+                           F.coalesce(F.col("o_orderstatus"),
+                                      F.lit("<missing>"))
+                           .alias("status"))
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("probe_phase", "status"))
+
+
+_SQL_SCD2_TEMPORAL_JOIN = """
+WITH env AS (
+  SELECT o_orderkey, o_orderstatus,
+         'r' AS op, 1000000000 + o_orderkey AS ts_ms,
+         o_orderkey * 10 AS lsn
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', 'u', 2000000000 + o_orderkey,
+         o_orderkey * 10 + 1
+  FROM orders WHERE o_orderkey % 10 < 3
+  UNION ALL
+  SELECT o_orderkey, NULL, 'd', 3000000000 + o_orderkey,
+         o_orderkey * 10 + 2
+  FROM orders WHERE o_orderkey % 10 = 0
+), hist AS (
+  SELECT o_orderkey AS h_key, o_orderstatus,
+         ts_ms AS valid_from,
+         lead(ts_ms) OVER (PARTITION BY o_orderkey
+                           ORDER BY ts_ms, lsn) AS valid_to,
+         op
+  FROM env
+), probes AS (
+  SELECT o_orderkey AS p_key,
+         CAST(phase.probe_phase AS BIGINT) AS probe_phase,
+         CAST(phase.probe_phase AS BIGINT) * 1000000000
+           + 500000000 + o_orderkey AS probe_ts
+  FROM orders
+  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS probe_phase) phase
+)
+SELECT probe_phase,
+       COALESCE(o_orderstatus, '<missing>') AS status,
+       COUNT(*) AS n_orders
+FROM probes
+LEFT JOIN hist ON p_key = h_key AND op <> 'd'
+  AND probe_ts >= valid_from
+  AND (valid_to IS NULL OR probe_ts < valid_to)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary report) — the canonical scan-heavy
     aggregate, with the date cutoff data-derived (max shipdate − 90
@@ -4259,6 +4338,8 @@ BATCH_QUERIES = {
                              _SQL_GROUPING_SETS),
     "null_safe_join": (q_null_safe_join, _SQL_NULL_SAFE_JOIN),
     "user_profile_json": (q_user_profile_json, _SQL_USER_PROFILE_JSON),
+    "scd2_temporal_join": (q_scd2_temporal_join,
+                           _SQL_SCD2_TEMPORAL_JOIN),
     "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
@@ -4384,6 +4465,7 @@ _DRIVER_PRIORITY = [
     "multi_touch_attribution", "running_balance_resets",
     "windowed_distinct_users", "unpivot_metrics",
     "grouping_sets_report", "null_safe_join", "user_profile_json",
+    "scd2_temporal_join",
 ]
 
 
