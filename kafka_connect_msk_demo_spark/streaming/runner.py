@@ -125,3 +125,21 @@ def console_sink_stream(df: DataFrame, num_rows: int = 25,
     else:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def manifest_stream_sink(sdf: DataFrame, path: str,
+                         checkpoint_dir: str) -> None:
+    """Exactly-once streaming FILE sink: each micro-batch publishes
+    through the manifest-commit table (sources/files.py) with the
+    epoch id as the commit id. Idempotence comes from the commit-id
+    keying, not the checkpoint: a replayed epoch (failure before the
+    checkpoint write, or a rebuilt checkpoint over a deterministic
+    source) REPLACES its manifest instead of appending a duplicate —
+    the file-sink twin of the Kafka sink's transactional producer
+    epoch."""
+    from ..sources.files import manifest_commit
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        manifest_commit(batch_df, path, f"epoch-{batch_id:010d}")
+
+    run_foreach_batch(sdf, _publish, checkpoint_dir=checkpoint_dir)

@@ -216,3 +216,41 @@ def test_session_window_state_survives_restart(spark, tmp_path):
     assert second in got
     # the merged session appears exactly once (no split/double emission)
     assert len([g for g in got if g[0] == merged[0]]) == 1
+
+
+def test_manifest_stream_sink_exactly_once(spark, sf_small, tmp_path):
+    """Replaying the whole stream (checkpoint wiped, same deterministic
+    source) REPLACES each epoch's manifest instead of duplicating it —
+    published row count is stable across the replay; a second drain
+    with the surviving checkpoint publishes nothing new either."""
+    from kafka_connect_msk_demo_spark.catalog import stream_table
+    from kafka_connect_msk_demo_spark.sources.files import read_manifested
+    from kafka_connect_msk_demo_spark.streaming.runner import (
+        manifest_stream_sink)
+
+    out = str(tmp_path / "published")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(checkpoint):
+        ev = stream_table(spark, sf_small, "events",
+                          max_files_per_trigger=1)
+        sdf = ev.selectExpr("event_id", "user_id", "event_type",
+                            "unix_micros(ts) as ts_us")
+        manifest_stream_sink(sdf, out, checkpoint)
+
+    drain(ckpt)
+    n_events = read_manifested(spark, out).count()
+    assert n_events > 0
+
+    # same checkpoint: already-committed epochs are not re-fired
+    drain(ckpt)
+    assert read_manifested(spark, out).count() == n_events
+
+    # checkpoint LOST: epochs replay from scratch with the same ids;
+    # manifest replacement keeps the published table exactly-once
+    import shutil
+    shutil.rmtree(ckpt)
+    drain(str(tmp_path / "ckpt2"))
+    assert read_manifested(spark, out).count() == n_events
+    assert (read_manifested(spark, out)
+            .select("event_id").distinct().count() == n_events)
