@@ -3828,6 +3828,260 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _top_supplier_nation(t: dict) -> DataFrame:
+    """One-row frame: the nationkey fielding the MOST suppliers,
+    ties broken by smallest key. Data-derived stand-in for the
+    SF-dependent nation literals of TPC-H Q11/Q20/Q21 — deterministic
+    and non-empty at every scale factor; broadcasts as a dim filter."""
+    return (t["supplier"].groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.desc("_n"), "s_nationkey")
+            .limit(1)
+            .select(F.col("s_nationkey").alias("top_nationkey")))
+
+
+#: DuckDB twin of _top_supplier_nation (CTE body).
+_SQL_TOP_NATION = """
+  SELECT s_nationkey AS top_nationkey FROM supplier
+  GROUP BY 1 ORDER BY COUNT(*) DESC, s_nationkey LIMIT 1
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finalized
+    orders ('F') with lines from >1 supplier where EXACTLY ONE
+    supplier shipped late (ship-lag > 60 days — the corpus carries no
+    l_receiptdate/l_commitdate, consistent with Q4/Q12), count the
+    culprit's orders, for suppliers of the nation that fields the
+    MOST suppliers (the original's literal 'SAUDI ARABIA' is
+    SF-dependent against the synthetic 25-nation corpus; the argmax
+    nation is data-derived, deterministic, and non-empty at every
+    SF). The classic EXISTS/NOT-EXISTS double self-join is rewritten
+    as ONE aggregation cascade — per-(order,supplier) late flag, then
+    per-order (n_supp, n_late) — so lineitem is scanned once and
+    every stage rides the same orderkey shuffle; at 100 TB that is
+    two co-partitioned hash-aggs instead of three self-joins."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "lineitem", "supplier", "nation"))
+    orders_f = (t["orders"].filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", _day("o_orderdate").alias("o_day")))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey",
+                              _day("l_shipdate").alias("ship_day"))
+    lo = (li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+          .withColumn("late",
+                      (F.col("ship_day") > F.col("o_day") + 60)
+                      .cast("int")))
+    per_os = (lo.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max("late").alias("supp_late")))
+    per_o = (per_os.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_supp"),
+                  F.sum("supp_late").alias("n_late")))
+    culprit = (per_os.filter(F.col("supp_late") == 1)
+               .join(per_o.filter((F.col("n_supp") > 1)
+                                  & (F.col("n_late") == 1)),
+                     "l_orderkey"))
+    supp = (t["supplier"]
+            .join(F.broadcast(_top_supplier_nation(t)),
+                  F.col("s_nationkey") == F.col("top_nationkey"))
+            .select("s_suppkey", "s_name"))
+    return (culprit.join(F.broadcast(supp),
+                         F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))
+
+
+_SQL_TPCH_Q21 = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN epoch_us(l_shipdate) // 86400000000
+                   > epoch_us(o_orderdate) // 86400000000 + 60
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+  FROM lo GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+  FROM per_os GROUP BY 1
+), topn AS (""" + _SQL_TOP_NATION + """)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_os JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN topn    ON s_nationkey = top_nationkey
+WHERE supp_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): the corpus has no partsupp, so the
+    supply fact is lineitem itself — per-part supplied value from the
+    top-supplier nation's suppliers (data-derived, see
+    _top_supplier_nation) = Σ round(qty)·price_c, keeping parts whose
+    value exceeds 2x the mean per-part value (the original's
+    fixed 0.0001 fraction is SF-dependent; 2x-mean is scale-free).
+    The HAVING-against-a-scalar-subquery shape survives: the (total,
+    count) pair broadcasts and the threshold compares as
+    val·n > 2·tot — pure integers, no division. lineitem joins part
+    on the SAME partkey the aggregate groups by, so the join and the
+    agg share one shuffle; the nation's supplier list broadcasts as a
+    semi join."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "supplier", "nation", "part"))
+    supp = (t["supplier"]
+            .join(F.broadcast(_top_supplier_nation(t)),
+                  F.col("s_nationkey") == F.col("top_nationkey"))
+            .select("s_suppkey"))
+    qty_l = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    li = (t["lineitem"]
+          .join(F.broadcast(supp),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+          .select("l_partkey", qty_l.alias("qty_l")))
+    val = (li.join(t["part"].select("p_partkey",
+                                    price_c.alias("price_c")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+           .groupBy("p_partkey")
+           .agg(F.sum((F.col("qty_l") * F.col("price_c"))
+                      .cast("decimal(38,0)")).alias("val_u")))
+    tot = val.agg(F.sum("val_u").alias("tot_u"),
+                  F.count(F.lit(1)).alias("n_parts"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("val_u") * F.col("n_parts")
+                    > F.col("tot_u") * 2)
+            .orderBy(F.desc("val_u"), "p_partkey")
+            .select("p_partkey",
+                    (F.col("val_u").cast("double") / 100.0)
+                    .alias("value")))
+
+
+_SQL_TPCH_Q11 = """
+WITH topn AS (""" + _SQL_TOP_NATION + """
+), supp AS (
+  SELECT s_suppkey FROM supplier JOIN topn ON s_nationkey = top_nationkey
+), v AS (
+  SELECT p_partkey,
+         SUM(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(p_retailprice * 100) AS BIGINT)) AS val_u
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supp)
+  GROUP BY 1
+), tot AS (SELECT SUM(val_u) AS tot_u, COUNT(*) AS n_parts FROM v)
+SELECT p_partkey, CAST(val_u AS DOUBLE) / 100.0 AS value
+FROM v CROSS JOIN tot
+WHERE val_u * n_parts > tot_u * 2
+ORDER BY val_u DESC, p_partkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct suppliers per
+    (brand, size) for non-PROMO parts, excluding suppliers whose
+    account balance is under 1000.00 (the corpus has no s_comment;
+    low balance is the 'customer complaints' stand-in, compared in
+    exact cents). The part-supplier relation is lineitem (no
+    partsupp). The exclusion list broadcasts as an anti join;
+    COUNT(DISTINCT) expands to the standard two-phase
+    partial-distinct aggregate Spark plans for it."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "part"))
+    bal_c = F.round(F.col("s_acctbal") * 100).cast("long")
+    excl = (t["supplier"]
+            .filter(bal_c < 100000)
+            .select("s_suppkey"))
+    pairs = (t["lineitem"].select("l_partkey", "l_suppkey")
+             .join(F.broadcast(excl),
+                   F.col("l_suppkey") == F.col("s_suppkey"),
+                   "left_anti")
+             .join(t["part"]
+                   .filter(F.col("p_type") != "PROMO")
+                   .select("p_partkey", "p_brand", "p_size"),
+                   F.col("l_partkey") == F.col("p_partkey")))
+    return (pairs.groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size"))
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE CAST(round(s_acctbal * 100) AS BIGINT) < 100000)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): top-supplier-nation
+    suppliers (data-derived, see _top_supplier_nation) whose
+    shipped quantity of 'large…'-named parts in the first 365-day
+    shipping bucket exceeds HALF the mean per-supplier quantity of
+    those parts (the original's '50% of availqty' has no partsupp to
+    read from; half-the-mean keeps the same over-supply semantics,
+    scale-free). Threshold compares as 2·qty·n > tot — integers
+    only. The filtered part list broadcasts as a semi join; the date
+    bound is a one-row broadcast of min(ship_day)."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "supplier", "nation", "part"))
+    parts = (t["part"].filter(F.col("p_name").startswith("large"))
+             .select("p_partkey"))
+    li = t["lineitem"].select("l_partkey", "l_suppkey",
+                              _day("l_shipdate").alias("ship_day"),
+                              F.round(F.col("l_quantity")).cast("long")
+                              .alias("qty_l"))
+    bounds = li.agg(F.min("ship_day").alias("min_day"))
+    per_s = (li.join(F.broadcast(parts),
+                     F.col("l_partkey") == F.col("p_partkey"),
+                     "left_semi")
+             .crossJoin(F.broadcast(bounds))
+             .filter(F.col("ship_day") < F.col("min_day") + 365)
+             .groupBy("l_suppkey")
+             .agg(F.sum("qty_l").alias("qty")))
+    stats = per_s.agg(F.sum("qty").alias("tot"),
+                      F.count(F.lit(1)).alias("n_supp"))
+    supp = (t["supplier"]
+            .join(F.broadcast(_top_supplier_nation(t)),
+                  F.col("s_nationkey") == F.col("top_nationkey"))
+            .select("s_suppkey", "s_name"))
+    return (per_s.crossJoin(F.broadcast(stats))
+            .filter(F.col("qty") * F.col("n_supp") * 2 > F.col("tot"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_name", "qty")
+            .orderBy("s_name"))
+
+
+_SQL_TPCH_Q20 = """
+WITH li AS (
+  SELECT l_suppkey,
+         CAST(round(l_quantity) AS BIGINT) AS qty_l,
+         epoch_us(l_shipdate) // 86400000000 AS ship_day
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'large%')
+), b AS (
+  SELECT MIN(epoch_us(l_shipdate) // 86400000000) AS min_day
+  FROM lineitem
+), per_s AS (
+  SELECT l_suppkey, CAST(SUM(qty_l) AS BIGINT) AS qty
+  FROM li CROSS JOIN b WHERE ship_day < min_day + 365
+  GROUP BY 1
+), stats AS (SELECT SUM(qty) AS tot, COUNT(*) AS n_supp FROM per_s),
+topn AS (""" + _SQL_TOP_NATION + """)
+SELECT s_name, qty
+FROM per_s CROSS JOIN stats
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN topn    ON s_nationkey = top_nationkey
+WHERE qty * n_supp * 2 > tot
+ORDER BY s_name
+"""
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region revenue trend: closed-form OLS slope of daily revenue
     on the epoch-day index, computed entirely in exact integer moments
@@ -4411,6 +4665,10 @@ BATCH_QUERIES = {
     "tpch_q18": (q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, _SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
+    "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
+    "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
 }
 
 # ---------------------------------------------------------------------------

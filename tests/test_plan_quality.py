@@ -48,7 +48,10 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 # tpch_q1/q6 (scalar-subquery plan; cost O(N)); q15/q22
                 # add a second one-row frame (scalar max / global avg)
                 "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q10",
-                "tpch_q14", "tpch_q15", "tpch_q22"}
+                "tpch_q14", "tpch_q15", "tpch_q22",
+                # q11: one-row (total, n_parts) threshold broadcast;
+                # q20: one-row min-ship-day bound + (tot, n_supp) pair
+                "tpch_q11", "tpch_q20"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
