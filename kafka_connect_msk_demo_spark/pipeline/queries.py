@@ -42,6 +42,36 @@ ORDER BY canonical_id
 """
 
 
+def q_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health duplication spectrum: histogram of exact-duplicate
+    cluster sizes (normalized-text md5, same key as dedup_exact) —
+    for each cluster size, how many clusters and how many documents.
+    The standard first look at a crawl: a heavy tail here means the
+    dedup stage will pay for itself. Two cascaded hash-aggs; the
+    second runs over one row per cluster, so the shuffle shrinks by
+    the dup factor at each step — at 100 TB the md5 digest is the
+    only wide shuffle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = (docs.groupBy(F.md5(F.lower(F.trim("text")))
+                             .alias("text_hash"))
+                .agg(F.count(F.lit(1)).alias("sz")))
+    return (clusters.groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("sz").alias("n_docs"))
+            .orderBy("cluster_size"))
+
+
+_SQL_DUP_SPECTRUM = """
+WITH c AS (
+  SELECT md5(lower(trim(text))) AS text_hash, COUNT(*) AS sz
+  FROM documents GROUP BY 1
+)
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 #: shared oracle for the exact and the LSH near-dup paths — the LSH
 #: variant must find the identical pair set (recall 1.0 at J ≥ 0.8 with
 #: b=16/r=8; verified in tests at sf0.001 and sf0.01).
@@ -2560,6 +2590,7 @@ FROM g ORDER BY label
 
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
     "array_hof_stats": (q_array_hof_stats, _SQL_ARRAY_HOF),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
     "dedup_minhash": (q_dedup_minhash, _SQL_NEAR_PAIRS),

@@ -4082,6 +4082,264 @@ ORDER BY s_name
 """
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence census of event_type x market segment:
+    the full contingency table with observed count, expected count
+    under independence, and the per-cell chi-square contribution
+    (o-e)^2/e. The heavy work is ONE distributed hash-agg over the
+    events-customer join; the marginals are window sums over the
+    resulting <=25-cell frame, so no second pass over the data.
+    Expected counts form as exact integer products (decimal(38,0))
+    with a single correctly-rounded double division, and each cell's
+    contribution uses only exactly-rounded IEEE ops — per-cell rows
+    instead of one float total, so no order-dependent summation can
+    break the oracle hash."""
+    from pyspark.sql import Window
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (events.select("user_id", "event_type")
+             .join(cust.select("c_custkey", "c_mktsegment"),
+                   F.col("user_id") == F.col("c_custkey"))
+             .groupBy("event_type",
+                      F.col("c_mktsegment").alias("mktsegment"))
+             .agg(F.count(F.lit(1)).alias("observed")))
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("mktsegment")
+    rt = F.sum("observed").over(w_row)
+    ct = F.sum("observed").over(w_col)
+    n = F.sum("observed").over(w_all)
+    e = ((rt * ct).cast("decimal(38,0)").cast("double")
+         / n.cast("double"))
+    out = (cells
+           .withColumn("expected", e)
+           .withColumn("contrib",
+                       (F.col("observed") - F.col("expected"))
+                       * (F.col("observed") - F.col("expected"))
+                       / F.col("expected")))
+    return out.orderBy("event_type", "mktsegment")
+
+
+_SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT event_type, c_mktsegment AS mktsegment, COUNT(*) AS observed
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT event_type, mktsegment, observed,
+         SUM(observed) OVER (PARTITION BY event_type) AS rt,
+         SUM(observed) OVER (PARTITION BY mktsegment) AS ct,
+         SUM(observed) OVER () AS n
+  FROM cells
+)
+SELECT event_type, mktsegment, observed,
+       CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+       (observed - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+       * (observed - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+FROM m ORDER BY event_type, mktsegment
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix of the four lineitem measures
+    (quantity, extendedprice, discount, tax), per returnflag. All 15
+    moments (n, 4 sums, 4 sums-of-squares, 6 cross-products)
+    accumulate in ONE hash-agg pass as decimal(38,0) integers on the
+    cents/basis-point grid; each r is then
+    (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)) —
+    exact integers into three correctly-rounded double conversions,
+    one sqrt each (sqrt IS exactly rounded in IEEE754), so every
+    coefficient hash-matches the oracle bit-for-bit. Single scan,
+    no shuffle beyond the 3-group partial/final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    meas = {
+        "q": F.round(F.col("l_quantity")).cast("long"),
+        "p": F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "d": F.round(F.col("l_discount") * 100).cast("long"),
+        "t": F.round(F.col("l_tax") * 100).cast("long"),
+    }
+    base = li.select("l_returnflag",
+                     *[v.alias(k) for k, v in meas.items()])
+    keys = list(meas)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in keys:
+        aggs.append(F.sum(F.col(k).cast(d38)).alias(f"s_{k}"))
+    for i, a in enumerate(keys):
+        for b in keys[i:]:
+            aggs.append(F.sum((F.col(a) * F.col(b)).cast(d38))
+                        .alias(f"s_{a}{b}"))
+    m = base.groupBy("l_returnflag").agg(*aggs)
+
+    def _r(a: str, b: str):
+        num = (F.col("n") * F.col(f"s_{a}{b}")
+               - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        va = (F.col("n") * F.col(f"s_{a}{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        vb = (F.col("n") * F.col(f"s_{b}{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        return num / (F.sqrt(va) * F.sqrt(vb))
+
+    pairs = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1:]]
+    return (m.select("l_returnflag",
+                     *[_r(a, b).alias(f"r_{a}{b}") for a, b in pairs])
+            .orderBy("l_returnflag"))
+
+
+_SQL_CORR_MATRIX = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT)            AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_discount * 100) AS BIGINT)      AS d,
+         CAST(round(l_tax * 100) AS BIGINT)           AS t
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(q) AS s_q, SUM(p) AS s_p, SUM(d) AS s_d, SUM(t) AS s_t,
+         SUM(q*q) AS s_qq, SUM(q*p) AS s_qp, SUM(q*d) AS s_qd,
+         SUM(q*t) AS s_qt, SUM(p*p) AS s_pp, SUM(p*d) AS s_pd,
+         SUM(p*t) AS s_pt, SUM(d*d) AS s_dd, SUM(d*t) AS s_dt,
+         SUM(t*t) AS s_tt
+  FROM b GROUP BY 1
+)
+SELECT l_returnflag,
+  CAST(n*s_qp - s_q*s_p AS DOUBLE)
+    / (sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE))
+       * sqrt(CAST(n*s_pp - s_p*s_p AS DOUBLE))) AS r_qp,
+  CAST(n*s_qd - s_q*s_d AS DOUBLE)
+    / (sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE))
+       * sqrt(CAST(n*s_dd - s_d*s_d AS DOUBLE))) AS r_qd,
+  CAST(n*s_qt - s_q*s_t AS DOUBLE)
+    / (sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE))
+       * sqrt(CAST(n*s_tt - s_t*s_t AS DOUBLE))) AS r_qt,
+  CAST(n*s_pd - s_p*s_d AS DOUBLE)
+    / (sqrt(CAST(n*s_pp - s_p*s_p AS DOUBLE))
+       * sqrt(CAST(n*s_dd - s_d*s_d AS DOUBLE))) AS r_pd,
+  CAST(n*s_pt - s_p*s_t AS DOUBLE)
+    / (sqrt(CAST(n*s_pp - s_p*s_p AS DOUBLE))
+       * sqrt(CAST(n*s_tt - s_t*s_t AS DOUBLE))) AS r_pt,
+  CAST(n*s_dt - s_d*s_t AS DOUBLE)
+    / (sqrt(CAST(n*s_dd - s_d*s_d AS DOUBLE))
+       * sqrt(CAST(n*s_tt - s_t*s_t AS DOUBLE))) AS r_dt
+FROM m ORDER BY l_returnflag
+"""
+
+
+def q_golden_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge ('golden record') per user from the event
+    stream: event count, first/last seen instants, the LAST NON-NULL
+    value (error events carry no trustworthy value — the classic
+    most-recent-valid survivorship rule, tie-broken by event_id), and
+    the MODAL event type (highest frequency, alphabetical
+    tie-break). Three per-user aggregates — plain agg, ranked-keep
+    dedup, mode-by-window — all riding the SAME user_id shuffle, so
+    the joins that assemble the golden record are co-partitioned;
+    users whose every event is an error keep a NULL last_value via
+    the left join."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type", "value",
+                  F.unix_micros("ts").alias("ts_us")))
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"))
+    lv = (ranked_keep_first(ev.filter(F.col("event_type") != "error"),
+                            ["user_id"],
+                            [F.col("ts_us").desc(),
+                             F.col("event_id").desc()])
+          .select("user_id", F.col("value").alias("last_value")))
+    md = (ev.groupBy("user_id", "event_type")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    md = (ranked_keep_first(md, ["user_id"],
+                            [F.col("cnt").desc(),
+                             F.col("event_type").asc()])
+          .select("user_id", F.col("event_type").alias("modal_type")))
+    return (base.join(lv, "user_id", "left").join(md, "user_id")
+            .orderBy("user_id"))
+
+
+_SQL_GOLDEN_PROFILE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+  FROM events
+), base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+  FROM ev GROUP BY 1
+), lv AS (
+  SELECT user_id, value AS last_value FROM (
+    SELECT user_id, value, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM ev WHERE event_type <> 'error') WHERE rn = 1
+), md AS (
+  SELECT user_id, event_type AS modal_type FROM (
+    SELECT user_id, event_type, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM ev GROUP BY 1, 2) WHERE rn = 1
+)
+SELECT base.user_id, n_events, first_us, last_us, last_value, modal_type
+FROM base LEFT JOIN lv USING (user_id) JOIN md USING (user_id)
+ORDER BY user_id
+"""
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every order, the customer's first event
+    at or after the order instant (asof_attribution is the backward
+    twin). Spark-first distributed pattern: union-tag orders and
+    events on the user key, sort each user partition once by
+    (instant, tag) — orders sort BEFORE same-instant events so '>='
+    holds — and take min(struct(ts, event_id)) over the
+    current-to-end frame; the struct min resolves same-instant ties
+    to the smallest event_id with no self-join and ONE shuffle total.
+    Orders whose customer never acts again drop (inner semantics)."""
+    from pyspark.sql import Window
+    ev = (load_table(spark, sf_dir, "events")
+          .select(F.col("user_id"),
+                  F.unix_micros("ts").alias("us"),
+                  F.lit(1).alias("tag"),
+                  F.lit(None).cast("long").alias("o_orderkey"),
+                  F.struct(F.unix_micros("ts").alias("e_us"),
+                           "event_id").alias("evt")))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("user_id"),
+                      F.unix_micros("o_orderdate").alias("us"),
+                      F.lit(0).alias("tag"),
+                      "o_orderkey",
+                      F.lit(None).cast(
+                          "struct<e_us:long,event_id:long>")
+                      .alias("evt")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("us", "tag", "o_orderkey", F.col("evt.event_id"))
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    tagged = orders.unionByName(ev).withColumn("nxt", F.min("evt").over(w))
+    return (tagged.filter((F.col("tag") == 0)
+                          & F.col("nxt").isNotNull())
+            .select("o_orderkey", F.col("us").alias("order_us"),
+                    F.col("nxt.e_us").alias("next_us"),
+                    F.col("nxt.event_id").alias("next_event_id"))
+            .orderBy("o_orderkey"))
+
+
+_SQL_ASOF_FORWARD = """
+WITH j AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS order_us,
+         epoch_us(ts) AS e_us, event_id
+  FROM orders JOIN events
+    ON user_id = o_custkey AND ts >= o_orderdate
+), m AS (
+  SELECT o_orderkey, MIN(e_us) AS next_us FROM j GROUP BY 1
+)
+SELECT j.o_orderkey, order_us, next_us,
+       MIN(event_id) AS next_event_id
+FROM j JOIN m ON j.o_orderkey = m.o_orderkey AND j.e_us = m.next_us
+GROUP BY 1, 2, 3 ORDER BY j.o_orderkey
+"""
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region revenue trend: closed-form OLS slope of daily revenue
     on the epoch-day index, computed entirely in exact integer moments
@@ -4669,6 +4927,10 @@ BATCH_QUERIES = {
     "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
     "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
     "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
+    "chi2_independence": (q_chi2_independence, _SQL_CHI2_INDEPENDENCE),
+    "corr_matrix": (q_corr_matrix, _SQL_CORR_MATRIX),
+    "golden_profile": (q_golden_profile, _SQL_GOLDEN_PROFILE),
+    "asof_forward": (q_asof_forward, _SQL_ASOF_FORWARD),
 }
 
 # ---------------------------------------------------------------------------

@@ -73,3 +73,105 @@ def test_q20_keeps_only_oversupplying_suppliers(spark, sf_small):
     assert out.columns == ["s_name", "qty"]
     if rows:  # threshold = tot / (2 * n_supp) over ALL suppliers
         assert min(r.qty for r in rows) > 0
+
+
+def test_asof_forward_hand_case(spark, tmp_path):
+    """Forward as-of picks the FIRST event at-or-after each order,
+    ties on instant resolved to the smallest event_id, and orders
+    with no future event drop."""
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(
+        [(1, 100, 5), (1, 100, 3), (1, 200, 7), (2, 50, 9)],
+        "user_id long, us long, event_id long")
+    ev = ev.select("user_id", "us", F.lit(1).alias("tag"),
+                   F.lit(None).cast("long").alias("o_orderkey"),
+                   F.struct(F.col("us").alias("e_us"),
+                            "event_id").alias("evt"))
+    orders = spark.createDataFrame(
+        [(1, 100, 11), (1, 150, 12), (1, 250, 13), (3, 10, 14)],
+        "user_id long, us long, o_orderkey long")
+    orders = orders.select(
+        "user_id", "us", F.lit(0).alias("tag"), "o_orderkey",
+        F.lit(None).cast("struct<e_us:long,event_id:long>").alias("evt"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("us", "tag", "o_orderkey", F.col("evt.event_id"))
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    got = {r.o_orderkey: (r["nxt"]["e_us"], r["nxt"]["event_id"])
+           for r in (orders.unionByName(ev)
+                     .withColumn("nxt", F.min("evt").over(w))
+                     .filter((F.col("tag") == 0)
+                             & F.col("nxt").isNotNull())
+                     .collect())}
+    # order@100 matches same-instant event (>=), tie -> event_id 3;
+    # order@150 matches the 200 event; order@250 has no future event;
+    # user 3 has no events at all.
+    assert got == {11: (100, 3), 12: (200, 7)}
+
+
+def test_golden_profile_survivorship_rules(spark, sf_small):
+    """last_value ignores error events; modal_type is the max-count
+    type with alphabetical tie-break; first/last bound every event."""
+    from kafka_connect_msk_demo_spark.queries import q_golden_profile
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    out = q_golden_profile(spark, sf_small)
+    rows = out.limit(50).collect()
+    ev = (load_table(spark, sf_small, "events")
+          .select("user_id", "event_id", "event_type", "value",
+                  F.unix_micros("ts").alias("us")).collect())
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for r in rows:
+        es = by_user[r.user_id]
+        assert r.n_events == len(es)
+        assert r.first_us == min(e.us for e in es)
+        assert r.last_us == max(e.us for e in es)
+        ok = [e for e in es if e.event_type != "error"]
+        if ok:
+            best = max(ok, key=lambda e: (e.us, e.event_id))
+            assert r.last_value == best.value
+        else:
+            assert r.last_value is None
+        from collections import Counter
+        cnt = Counter(e.event_type for e in es)
+        top = max(cnt.values())
+        assert r.modal_type == min(t for t, c in cnt.items()
+                                   if c == top)
+
+
+def test_chi2_marginals_conserved(spark, sf_small):
+    """Expected counts under independence preserve the row and column
+    marginals of the observed contingency table (to float rounding)."""
+    from kafka_connect_msk_demo_spark.queries import q_chi2_independence
+    rows = q_chi2_independence(spark, sf_small).collect()
+    from collections import defaultdict
+    obs_r, exp_r = defaultdict(int), defaultdict(float)
+    for r in rows:
+        obs_r[r.event_type] += r.observed
+        exp_r[r.event_type] += r.expected
+    for k in obs_r:
+        assert abs(obs_r[k] - exp_r[k]) < 1e-6 * max(1, obs_r[k])
+    assert all(r.contrib >= 0 for r in rows)
+
+
+def test_corr_matrix_coefficients_bounded(spark, sf_small):
+    from kafka_connect_msk_demo_spark.queries import q_corr_matrix
+    rows = q_corr_matrix(spark, sf_small).collect()
+    assert rows, "lineitem has 3 returnflags"
+    for r in rows:
+        for c in r.asDict():
+            if c.startswith("r_"):
+                v = r[c]
+                assert v is None or -1.0 - 1e-12 <= v <= 1.0 + 1e-12
+
+
+def test_dup_spectrum_accounts_for_every_document(spark, sf_small):
+    """sum(cluster_size * n_clusters) == sum(n_docs) == corpus size."""
+    from kafka_connect_msk_demo_spark.pipeline.queries import (
+        q_dup_spectrum)
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    rows = q_dup_spectrum(spark, sf_small).collect()
+    n = load_table(spark, sf_small, "documents").count()
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == n
+    assert sum(r.n_docs for r in rows) == n
