@@ -4340,6 +4340,227 @@ GROUP BY 1, 2, 3 ORDER BY j.o_orderkey
 """
 
 
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift (gains chart): customers ranked into balance
+    deciles, each decile's order revenue and cumulative revenue
+    share. The exact global rank is NOT a single-partition window
+    over all customers: per-balance counts aggregate first, the
+    cumulative offset runs over the (much smaller) distinct-balance
+    frame, and the within-balance tie-break (row_number by custkey)
+    is a window PARTITIONED by balance — so the only unpartitioned
+    pass touches distinct values, not rows. decile =
+    (rank-1)*10 div n + 1 (even remainder spread; the oracle uses
+    the identical formula, so no engine-specific ntile semantics).
+    Customers with no orders count with zero revenue."""
+    from pyspark.sql import Window
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("long").cast("decimal(38,0)"))
+                .alias("rev_c")))
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = (cust.select("c_custkey", bal_c.alias("bal_c"))
+            .join(rev, F.col("c_custkey") == F.col("o_custkey"),
+                  "left")
+            .withColumn("rev_c",
+                        F.coalesce("rev_c",
+                                   F.lit(0).cast("decimal(38,0)"))))
+    counts = base.groupBy("bal_c").agg(F.count(F.lit(1)).alias("cnt"))
+    w_val = (Window.orderBy(F.desc("bal_c"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts
+               .withColumn("before",
+                           F.coalesce(F.sum("cnt").over(w_val),
+                                      F.lit(0)))
+               .withColumn("n_total",
+                           F.sum("cnt").over(Window.partitionBy())))
+    w_tie = Window.partitionBy("bal_c").orderBy("c_custkey")
+    ranked = (base.join(offsets.select("bal_c", "before", "n_total"),
+                        "bal_c")
+              .withColumn("rank",
+                          F.col("before") + F.row_number().over(w_tie))
+              .withColumn("decile",
+                          F.expr("(rank - 1) * 10 div n_total") + 1))
+    g = (ranked.groupBy("decile")
+         .agg(F.count(F.lit(1)).alias("n_cust"),
+              F.sum("rev_c").alias("rev_c")))
+    w_cum = (Window.orderBy("decile")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    return (g.withColumn("cum_c", F.sum("rev_c").over(w_cum))
+            .withColumn("tot_c", F.sum("rev_c").over(w_all))
+            .select("decile", "n_cust",
+                    (F.col("rev_c").cast("double") / 100.0)
+                    .alias("revenue"),
+                    (F.col("cum_c").cast("double")
+                     / F.col("tot_c").cast("double"))
+                    .alias("cum_share"))
+            .orderBy("decile"))
+
+
+_SQL_DECILE_LIFT = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c_custkey, COALESCE(rev_c, 0) AS rev_c,
+         row_number() OVER (
+             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                      c_custkey) AS rank,
+         COUNT(*) OVER () AS n_total
+  FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+), g AS (
+  SELECT (rank - 1) * 10 // n_total + 1 AS decile,
+         COUNT(*) AS n_cust, SUM(rev_c) AS rev_c
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_cust, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(rev_c) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       / CAST(SUM(rev_c) OVER () AS DOUBLE) AS cum_share
+FROM g ORDER BY decile
+"""
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-observation Pearson correlation between the daily
+    click and purchase counts — rolling co-movement of two event
+    series. One distributed hash-agg builds the daily (clicks,
+    purchases) frame; the rolling moments are six exact long window
+    sums over a ROWS 6-preceding frame on that small frame, and r
+    finishes with the same exactly-rounded double recipe as
+    corr_matrix — bit-stable, no float accumulation anywhere.
+    Rows appear once 7 observed days are in frame."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type").isin("click", "purchase"))
+             .groupBy(_day("ts").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("c"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("p")))
+    w = (Window.orderBy("day")
+         .rowsBetween(-6, Window.currentRow))
+    n = F.count(F.lit(1)).over(w)
+    sc, sp = F.sum("c").over(w), F.sum("p").over(w)
+    scc = F.sum(F.col("c") * F.col("c")).over(w)
+    spp = F.sum(F.col("p") * F.col("p")).over(w)
+    scp = F.sum(F.col("c") * F.col("p")).over(w)
+    num = (n * scp - sc * sp).cast("double")
+    vc = (n * scc - sc * sc).cast("double")
+    vp = (n * spp - sp * sp).cast("double")
+    return (daily
+            .withColumn("n_days", n)
+            .withColumn("r", num / (F.sqrt(vc) * F.sqrt(vp)))
+            .filter(F.col("n_days") == 7)
+            .select("day", "c", "p", "r")
+            .orderBy("day"))
+
+
+_SQL_ROLLING_CORR = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), m AS (
+  SELECT day, c, p,
+    COUNT(*)                OVER w AS n,
+    CAST(SUM(c)   OVER w AS BIGINT) AS sc,
+    CAST(SUM(p)   OVER w AS BIGINT) AS sp,
+    CAST(SUM(c*c) OVER w AS BIGINT) AS scc,
+    CAST(SUM(p*p) OVER w AS BIGINT) AS spp,
+    CAST(SUM(c*p) OVER w AS BIGINT) AS scp
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, c, p,
+       CAST(n*scp - sc*sp AS DOUBLE)
+       / (sqrt(CAST(n*scc - sc*sc AS DOUBLE))
+          * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) AS r
+FROM m WHERE n = 7 ORDER BY day
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test: users split into arms by the parity
+    of the first md5 hex digit of their id (engine-portable
+    deterministic hash — in production this is the experiment
+    bucketing hash), conversion = purchases make up MORE than their
+    uniform 1/5 share of the user's events (scale-free, exact
+    integer compare — 'did this user over-index on purchasing').
+    Per-user flags reduce on the user shuffle, the per-arm counts
+    collapse to ONE row via conditional aggregation, and the pooled
+    z-statistic is a fixed sequence of exactly-rounded double ops
+    over exact integers — deterministic to the last bit. z is NULL
+    when the pooled rate is degenerate (0 or 1: zero variance)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.ascii(F.substring(F.md5(F.col("user_id")
+                                     .cast("string")), 1, 1)) % 2)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("np"),
+                     F.count(F.lit(1)).alias("ne"))
+                .select("user_id",
+                        (F.col("np") * 5 > F.col("ne")).cast("int")
+                        .alias("conv"))
+                .withColumn("arm", arm))
+    row = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))
+              .otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))
+              .otherwise(0)).alias("x1"))
+    p0 = F.col("x0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    pp = ((F.col("x0") + F.col("x1")).cast("double")
+          / (F.col("n0") + F.col("n1")).cast("double"))
+    se = F.sqrt(pp * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n0").cast("double")
+                   + F.lit(1.0) / F.col("n1").cast("double")))
+    return row.select("n0", "n1", "x0", "x1",
+                      p0.alias("p0"), p1.alias("p1"),
+                      ((p0 - p1) / F.nullif(se, F.lit(0.0)))
+                      .alias("z"))
+
+
+_SQL_AB_TEST = """
+WITH pu AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) * 5 > COUNT(*)
+              THEN 1 ELSE 0 END AS conv,
+         ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm
+  FROM events GROUP BY 1
+), g AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+  FROM pu
+)
+SELECT n0, n1, x0, x1,
+       CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+       CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       / NULLIF(sqrt((CAST(x0 + x1 AS DOUBLE)
+                      / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 - CAST(x0 + x1 AS DOUBLE)
+                       / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 / CAST(n0 AS DOUBLE)
+                 + 1.0 / CAST(n1 AS DOUBLE))), 0.0) AS z
+FROM g
+"""
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region revenue trend: closed-form OLS slope of daily revenue
     on the epoch-day index, computed entirely in exact integer moments
@@ -4931,6 +5152,9 @@ BATCH_QUERIES = {
     "corr_matrix": (q_corr_matrix, _SQL_CORR_MATRIX),
     "golden_profile": (q_golden_profile, _SQL_GOLDEN_PROFILE),
     "asof_forward": (q_asof_forward, _SQL_ASOF_FORWARD),
+    "decile_lift": (q_decile_lift, _SQL_DECILE_LIFT),
+    "rolling_corr": (q_rolling_corr, _SQL_ROLLING_CORR),
+    "ab_test": (q_ab_test, _SQL_AB_TEST),
 }
 
 # ---------------------------------------------------------------------------

@@ -175,3 +175,42 @@ def test_dup_spectrum_accounts_for_every_document(spark, sf_small):
     n = load_table(spark, sf_small, "documents").count()
     assert sum(r.cluster_size * r.n_clusters for r in rows) == n
     assert sum(r.n_docs for r in rows) == n
+
+
+def test_decile_lift_partitions_all_customers(spark, sf_small):
+    """Deciles cover every customer, sizes differ by <= 1, cum_share
+    is monotone and ends at exactly 1.0."""
+    from kafka_connect_msk_demo_spark.queries import q_decile_lift
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    rows = q_decile_lift(spark, sf_small).collect()
+    n = load_table(spark, sf_small, "customer").count()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_cust for r in rows) == n
+    assert max(r.n_cust for r in rows) - min(r.n_cust for r in rows) <= 1
+    shares = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-12
+
+
+def test_rolling_corr_window_semantics(spark, sf_small):
+    """r is only emitted with a full 7-row frame and every value is a
+    valid correlation (or NULL when one series is constant)."""
+    from kafka_connect_msk_demo_spark.queries import q_rolling_corr
+    rows = q_rolling_corr(spark, sf_small).collect()
+    assert rows, "sf0.001 spans well over 7 days"
+    for r in rows:
+        assert r.r is None or -1.0 - 1e-12 <= r.r <= 1.0 + 1e-12
+
+
+def test_ab_test_accounts_for_every_user(spark, sf_small):
+    from kafka_connect_msk_demo_spark.queries import q_ab_test
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    row = q_ab_test(spark, sf_small).collect()[0]
+    n_users = (load_table(spark, sf_small, "events")
+               .select("user_id").distinct().count())
+    assert row.n0 + row.n1 == n_users
+    assert 0 <= row.x0 <= row.n0 and 0 <= row.x1 <= row.n1
+    if row.z is not None:
+        import math
+        assert math.copysign(1, row.z) == math.copysign(
+            1, row.p0 - row.p1) or row.z == 0
