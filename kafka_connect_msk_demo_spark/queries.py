@@ -4561,6 +4561,103 @@ FROM g
 """
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search (3 hops) over the co-purchase
+    graph from the smallest part key: shortest hop count per
+    reachable part. Distributed frontier expansion — each round joins
+    ONLY the new frontier against the edge list (shuffle keyed on the
+    node), dedups, and anti-joins the visited set, so per-round work
+    is O(frontier boundary), not O(paths); the depth bound makes the
+    loop a fixed 3-stage lazy plan with no driver data movement.
+    The oracle replays it as a recursive CTE with UNION dedup."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_partkey").alias("part"))
+          .distinct())
+    pairs = (li.alias("a")
+             .join(li.alias("b"),
+                   (F.col("a.okey") == F.col("b.okey"))
+                   & (F.col("a.part") < F.col("b.part")))
+             .select(F.col("a.part").alias("src"),
+                     F.col("b.part").alias("dst"))
+             .distinct())
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).persist()
+    src0 = edges.agg(F.min("src").alias("node"))
+    visited = src0.withColumn("hops", F.lit(0))
+    frontier = visited.select("node")
+    for h in (1, 2, 3):
+        nxt = (frontier.join(edges,
+                             F.col("node") == F.col("src"))
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h)))
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited.orderBy("node")
+
+
+_SQL_BFS_HOPS = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), pairs AS (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+), edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL SELECT dst, src FROM pairs
+), walk(node, hop) AS (
+  SELECT (SELECT MIN(src) FROM edges), 0
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.node WHERE w.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS INT) AS hops
+FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-style): purchases
+    immediately preceded by >= 3 consecutive clicks in the user's
+    event sequence — the 'browse burst converts' motif. One window
+    pass per user ordered by (ts, event_id) with a lag-3 chain; no
+    self-joins, no state beyond the 3-row lag buffer, so the plan is
+    a single user-keyed sort — the streaming-safe way to run regexes
+    over ordered event sequences at 100 TB."""
+    from pyspark.sql import Window
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros("ts").alias("ts_us")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    out = (ev
+           .withColumn("t1", F.lag("event_type", 1).over(w))
+           .withColumn("t2", F.lag("event_type", 2).over(w))
+           .withColumn("t3", F.lag("event_type", 3).over(w))
+           .filter((F.col("event_type") == "purchase")
+                   & (F.col("t1") == "click")
+                   & (F.col("t2") == "click")
+                   & (F.col("t3") == "click")))
+    return (out.select("user_id", "event_id", "ts_us")
+            .orderBy("user_id", "ts_us", "event_id"))
+
+
+_SQL_SEQ_PATTERN_DETECT = """
+SELECT user_id, event_id, ts_us FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type, 1) OVER w AS t1,
+         lag(event_type, 2) OVER w AS t2,
+         lag(event_type, 3) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+WHERE event_type = 'purchase'
+  AND t1 = 'click' AND t2 = 'click' AND t3 = 'click'
+ORDER BY user_id, ts_us, event_id
+"""
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region revenue trend: closed-form OLS slope of daily revenue
     on the epoch-day index, computed entirely in exact integer moments
@@ -5155,6 +5252,9 @@ BATCH_QUERIES = {
     "decile_lift": (q_decile_lift, _SQL_DECILE_LIFT),
     "rolling_corr": (q_rolling_corr, _SQL_ROLLING_CORR),
     "ab_test": (q_ab_test, _SQL_AB_TEST),
+    "bfs_hops": (q_bfs_hops, _SQL_BFS_HOPS),
+    "seq_pattern_detect": (q_seq_pattern_detect,
+                           _SQL_SEQ_PATTERN_DETECT),
 }
 
 # ---------------------------------------------------------------------------

@@ -214,3 +214,62 @@ def test_ab_test_accounts_for_every_user(spark, sf_small):
         import math
         assert math.copysign(1, row.z) == math.copysign(
             1, row.p0 - row.p1) or row.z == 0
+
+
+def test_bfs_hand_case(spark):
+    """Path graph 1-2-3-4-5-6 from source 1: hops bound at 3, so node
+    5 gets hop... only nodes within 3 hops appear."""
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 2), (11, 3), (12, 3), (12, 4),
+         (13, 4), (13, 5), (14, 5), (14, 6)],
+        "l_orderkey long, l_partkey long")
+    # reuse the registered query's machinery by monkey-loading: build
+    # the same plan inline
+    from pyspark.sql import functions as F
+    base = li.select(F.col("l_orderkey").alias("okey"),
+                     F.col("l_partkey").alias("part")).distinct()
+    pairs = (base.alias("a").join(
+        base.alias("b"), (F.col("a.okey") == F.col("b.okey"))
+        & (F.col("a.part") < F.col("b.part")))
+        .select(F.col("a.part").alias("src"),
+                F.col("b.part").alias("dst")).distinct())
+    edges = pairs.unionByName(pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")))
+    visited = edges.agg(F.min("src").alias("node")) \
+        .withColumn("hops", F.lit(0))
+    frontier = visited.select("node")
+    for h in (1, 2, 3):
+        nxt = (frontier.join(edges, F.col("node") == F.col("src"))
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h)))
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    got = {r.node: r.hops for r in visited.collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_seq_pattern_requires_three_consecutive_clicks(spark):
+    from pyspark.sql import Window
+
+    rows = [
+        # user 1: c c c p -> hit at event 4
+        (1, 1, 100, "click"), (1, 2, 200, "click"),
+        (1, 3, 300, "click"), (1, 4, 400, "purchase"),
+        # user 2: c c v p -> view breaks the run, no hit
+        (2, 5, 100, "click"), (2, 6, 200, "click"),
+        (2, 7, 300, "view"), (2, 8, 400, "purchase"),
+        # user 3: only two clicks before purchase, no hit
+        (3, 9, 100, "click"), (3, 10, 200, "click"),
+        (3, 11, 300, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    out = (ev.withColumn("t1", F.lag("event_type", 1).over(w))
+           .withColumn("t2", F.lag("event_type", 2).over(w))
+           .withColumn("t3", F.lag("event_type", 3).over(w))
+           .filter((F.col("event_type") == "purchase")
+                   & (F.col("t1") == "click") & (F.col("t2") == "click")
+                   & (F.col("t3") == "click")).collect())
+    assert [(r.user_id, r.event_id) for r in out] == [(1, 4)]
