@@ -204,6 +204,82 @@ ORDER BY 1, 2, 3
 """
 
 
+def stream_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (capability extension):
+    every click paired with the same user's purchases in the next 30
+    minutes — and clicks that never convert emit with NULL purchase
+    columns once the watermark PROVES no future purchase can match.
+
+    This is the semantics inner joins cannot give: the null row is a
+    *negative* result, and it is only safe to emit after the
+    purchase-side watermark passes click_ts + 30 min (state eviction
+    point). The ORACLE ENCODES THE WATERMARK CONTRACT like
+    stream_session_agg, including the MULTI-WATERMARK RULE: with two
+    watermarked inputs the global watermark is the MINIMUM of the
+    per-input watermarks (spark.sql.streaming.multipleWatermarkPolicy
+    = min), i.e. least(max(click_ts), max(purchase_ts)) - 1 h at the
+    end of an availableNow drain — NOT max(event_time) - 1 h.
+    Matched pairs are the batch interval join; unmatched clicks
+    appear iff click_ts + 30 min < that watermark; unmatched clicks
+    newer than it are legitimately still buffered when the drain
+    stops, and asserting their absence asserts the contract."""
+    clicks = (stream_table(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
+              .select("user_id",
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("click_ts", "1 hour"))
+    purchases = (stream_table(spark, sf_dir, "events")
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts")
+           + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer")
+    out = joined.select("user_id",
+                        F.unix_micros("click_ts").alias("click_us"),
+                        "click_id",
+                        F.unix_micros("p_ts").alias("purchase_us"),
+                        "purchase_id")
+    return (run_to_memory(out, "append")
+            .orderBy("user_id", "click_us", "click_id",
+                     F.asc_nulls_first("purchase_us")))
+
+
+_SQL_STREAM_LEFT_JOIN_NULLS = """
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+  ) - 3600000000 AS wm_us
+), c AS (
+  SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), lj AS (
+  SELECT c.user_id, c.click_us, c.click_id,
+         p.p_us AS purchase_us, p.purchase_id
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id
+   AND p.p_us >= c.click_us
+   AND p.p_us <= c.click_us + 1800000000
+)
+SELECT user_id, click_us, click_id, purchase_us, purchase_id
+FROM lj CROSS JOIN wm
+WHERE purchase_id IS NOT NULL
+   OR click_us + 1800000000 < wm_us
+ORDER BY user_id, click_us, click_id, purchase_us NULLS FIRST
+"""
+
+
 def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time SESSION windows (T2 capability extension): per-user
     gap-based sessions via ``session_window`` — 30-minute inactivity
@@ -415,6 +491,8 @@ STREAMING_QUERIES = {
     "stream_running_user_stats": (stream_running_user_stats,
                                   _SQL_STREAM_RUNNING_USER_STATS),
     "stream_stream_join": (stream_stream_join, _SQL_STREAM_STREAM_JOIN),
+    "stream_left_join_nulls": (stream_left_join_nulls,
+                               _SQL_STREAM_LEFT_JOIN_NULLS),
     "stream_session_agg": (stream_session_agg, _SQL_STREAM_SESSION_AGG),
     "stream_dedup_keys": (stream_dedup_keys, _SQL_STREAM_DEDUP_KEYS),
     "stream_anomaly": (stream_anomaly, _SQL_STREAM_ANOMALY),

@@ -273,3 +273,33 @@ def test_seq_pattern_requires_three_consecutive_clicks(spark):
                    & (F.col("t1") == "click") & (F.col("t2") == "click")
                    & (F.col("t3") == "click")).collect())
     assert [(r.user_id, r.event_id) for r in out] == [(1, 4)]
+
+
+def test_stream_left_join_nulls_watermark_contract(spark, sf_small):
+    """The outer join's null rows stop exactly at the MIN-of-inputs
+    watermark: every unmatched click satisfies
+    click_us + 30 min < least(max click, max purchase) - 1 h, and at
+    least one click past that horizon exists but is NOT emitted."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.streaming.queries import (
+        stream_left_join_nulls)
+    out = stream_left_join_nulls(spark, sf_small).collect()
+    ev = load_table(spark, sf_small, "events")
+    mx = {r.event_type: r.mx for r in
+          (ev.filter(F.col("event_type").isin("click", "purchase"))
+           .groupBy("event_type")
+           .agg(F.max(F.unix_micros("ts")).alias("mx")).collect())}
+    wm = min(mx["click"], mx["purchase"]) - 3_600_000_000
+    nulls = [r for r in out if r.purchase_id is None]
+    assert nulls, "some clicks never convert"
+    for r in nulls:
+        assert r.click_us + 1_800_000_000 < wm
+    # clicks in the un-provable tail are absent entirely if unmatched
+    emitted = {(r.click_id) for r in out}
+    tail_clicks = (ev.filter((F.col("event_type") == "click")
+                             & (F.unix_micros("ts")
+                                + 1_800_000_000 >= wm))
+                   .select("event_id").collect())
+    matched = {r.click_id for r in out if r.purchase_id is not None}
+    for t in tail_clicks:
+        assert t.event_id not in emitted or t.event_id in matched
