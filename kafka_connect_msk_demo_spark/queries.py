@@ -4658,6 +4658,198 @@ ORDER BY user_id, ts_us, event_id
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event temporal join, completing the as-of family
+    (asof_attribution = backward, asof_forward = forward): for every
+    order, the customer's closest event in time on either side,
+    ties (equidistant before/after) to the EARLIER event, then the
+    smaller event_id. One union-tagged sort per user yields BOTH
+    candidates — max(struct) over the preceding frame and min(struct)
+    over the following frame — and a null-safe least-distance pick
+    finishes per row; no self-join, ONE shuffle, the same pattern
+    that scales the other two as-ofs to 100 TB."""
+    from pyspark.sql import Window
+    # the before-side candidate is a MAX over structs, so same-instant
+    # ties need an inverted id field (neg_id) to resolve to the
+    # SMALLEST event_id like the oracle's event_id ASC; the third
+    # field just carries the id back out.
+    ev = (load_table(spark, sf_dir, "events")
+          .select(F.col("user_id"),
+                  F.unix_micros("ts").alias("us"),
+                  F.lit(1).alias("tag"),
+                  F.lit(None).cast("long").alias("o_orderkey"),
+                  F.struct(F.unix_micros("ts").alias("e_us"),
+                           (-F.col("event_id")).alias("neg_id"),
+                           "event_id").alias("evt_b"),
+                  F.struct(F.unix_micros("ts").alias("e_us"),
+                           "event_id").alias("evt_a")))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("user_id"),
+                      F.unix_micros("o_orderdate").alias("us"),
+                      F.lit(2).alias("tag"),
+                      "o_orderkey",
+                      F.lit(None).cast(
+                          "struct<e_us:long,neg_id:long,event_id:long>")
+                      .alias("evt_b"),
+                      F.lit(None).cast(
+                          "struct<e_us:long,event_id:long>")
+                      .alias("evt_a")))
+    # events sort BEFORE same-instant orders (tag 1 < 2) so an
+    # equal-instant event is in the PRECEDING frame: distance 0 on
+    # the "before" side wins the earlier-event tie-break naturally.
+    w_before = (Window.partitionBy("user_id")
+                .orderBy("us", "tag", F.col("evt_a.event_id"))
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+    w_after = (Window.partitionBy("user_id")
+               .orderBy("us", "tag", F.col("evt_a.event_id"))
+               .rowsBetween(Window.currentRow,
+                            Window.unboundedFollowing))
+    tagged = (ev.unionByName(orders)
+              .withColumn("prev", F.max("evt_b").over(w_before))
+              .withColumn("nxt", F.min("evt_a").over(w_after)))
+    o = (tagged.filter(F.col("tag") == 2)
+         .withColumn("prev",
+                     F.when(F.col("prev").isNotNull(),
+                            F.struct(F.col("prev.e_us").alias("e_us"),
+                                     F.col("prev.event_id")
+                                     .alias("event_id")))))
+    d_prev = F.col("us") - F.col("prev.e_us")
+    d_next = F.col("nxt.e_us") - F.col("us")
+    pick_prev = (F.col("nxt").isNull()
+                 | (F.col("prev").isNotNull() & (d_prev <= d_next)))
+    picked = o.withColumn(
+        "nearest", F.when(pick_prev, F.col("prev"))
+        .otherwise(F.col("nxt")))
+    return (picked.filter(F.col("nearest").isNotNull())
+            .select("o_orderkey", F.col("us").alias("order_us"),
+                    F.col("nearest.e_us").alias("event_us"),
+                    F.col("nearest.event_id").alias("event_id"),
+                    F.abs(F.col("nearest.e_us") - F.col("us"))
+                    .alias("dist_us"))
+            .orderBy("o_orderkey"))
+
+
+_SQL_ASOF_NEAREST = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us
+  FROM orders
+), e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS e_us FROM events
+), cand AS (
+  SELECT o_orderkey, order_us, e_us, event_id,
+         abs(e_us - order_us) AS dist_us,
+         row_number() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY abs(e_us - order_us),
+                      e_us, event_id) AS rn
+  FROM o JOIN e ON user_id = o_custkey
+)
+SELECT o_orderkey, order_us, e_us AS event_us, event_id, dist_us
+FROM cand WHERE rn = 1 ORDER BY o_orderkey
+"""
+
+
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy report (region > nation): each
+    nation's revenue with its share of the parent region and of the
+    grand total — the drill-down ratio columns every OLAP frontend
+    derives. The fact stream aggregates ONCE on (region, nation);
+    both shares are window sums over the tiny aggregate, and each
+    ratio is a single correctly-rounded division of exact integer
+    cents, so the percentages hash-match the oracle."""
+    from pyspark.sql import Window
+    t = load_tables(spark, sf_dir,
+                    ("orders", "customer", "nation", "region"))
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (t["orders"]
+         .join(t["customer"],
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(t["region"]),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+         .groupBy(F.col("r_name").alias("region"),
+                  F.col("n_name").alias("nation"))
+         .agg(F.sum(price_c.cast("decimal(38,0)")).alias("rev_c")))
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return (g.select(
+        "region", "nation",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.col("rev_c").cast("double")
+         / F.sum("rev_c").over(w_reg).cast("double"))
+        .alias("share_of_region"),
+        (F.col("rev_c").cast("double")
+         / F.sum("rev_c").over(w_all).cast("double"))
+        .alias("share_of_total"))
+        .orderBy("region", "nation"))
+
+
+_SQL_SHARE_OF_PARENT = """
+WITH g AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c AS DOUBLE)
+       / CAST(SUM(rev_c) OVER (PARTITION BY region) AS DOUBLE)
+       AS share_of_region,
+       CAST(rev_c AS DOUBLE)
+       / CAST(SUM(rev_c) OVER () AS DOUBLE) AS share_of_total
+FROM g ORDER BY region, nation
+"""
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: for each degree,
+    how many parts have exactly that many distinct co-purchase
+    partners — the first graph-health report before any traversal
+    (skew here predicts hot keys in every downstream graph shuffle).
+    Distinct pair extraction rides the orderkey self-join, degrees
+    aggregate on the node key, and the histogram collapses over one
+    row per node: each stage's shuffle shrinks by the fan-in."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_partkey").alias("part"))
+          .distinct())
+    pairs = (li.alias("a")
+             .join(li.alias("b"),
+                   (F.col("a.okey") == F.col("b.okey"))
+                   & (F.col("a.part") < F.col("b.part")))
+             .select(F.col("a.part").alias("src"),
+                     F.col("b.part").alias("dst"))
+             .distinct())
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .orderBy("degree"))
+
+
+_SQL_DEGREE_HISTOGRAM = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), pairs AS (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+), edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1
+)
+SELECT degree, COUNT(*) AS n_parts FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region revenue trend: closed-form OLS slope of daily revenue
     on the epoch-day index, computed entirely in exact integer moments
@@ -5255,6 +5447,9 @@ BATCH_QUERIES = {
     "bfs_hops": (q_bfs_hops, _SQL_BFS_HOPS),
     "seq_pattern_detect": (q_seq_pattern_detect,
                            _SQL_SEQ_PATTERN_DETECT),
+    "asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),
+    "share_of_parent": (q_share_of_parent, _SQL_SHARE_OF_PARENT),
+    "degree_histogram": (q_degree_histogram, _SQL_DEGREE_HISTOGRAM),
 }
 
 # ---------------------------------------------------------------------------

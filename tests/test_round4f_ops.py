@@ -303,3 +303,64 @@ def test_stream_left_join_nulls_watermark_contract(spark, sf_small):
     matched = {r.click_id for r in out if r.purchase_id is not None}
     for t in tail_clicks:
         assert t.event_id not in emitted or t.event_id in matched
+
+
+def test_asof_nearest_tie_and_side_selection(spark, sf_small):
+    """Every picked event is genuinely the minimum |distance| event
+    for its order (checked against a brute-force pandas recompute on
+    a 50-order sample), and equidistant ties resolve to the earlier
+    event."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.queries import q_asof_nearest
+    out = {r.o_orderkey: r for r in
+           q_asof_nearest(spark, sf_small).limit(50).collect()}
+    orders = {r.o_orderkey: (r.o_custkey, r.us) for r in
+              (load_table(spark, sf_small, "orders")
+               .select("o_orderkey", "o_custkey",
+                       F.unix_micros("o_orderdate").alias("us"))
+               .collect())}
+    ev = {}
+    for r in (load_table(spark, sf_small, "events")
+              .select("user_id", "event_id",
+                      F.unix_micros("ts").alias("us")).collect()):
+        ev.setdefault(r.user_id, []).append((r.us, r.event_id))
+    for okey, row in out.items():
+        user, ous = orders[okey]
+        cands = ev.get(user, [])
+        assert cands
+        best = min(cands, key=lambda c: (abs(c[0] - ous), c[0], c[1]))
+        assert (row.event_us, row.event_id) == best
+        assert row.dist_us == abs(best[0] - ous)
+
+
+def test_share_of_parent_shares_sum_to_one(spark, sf_small):
+    from collections import defaultdict
+    from kafka_connect_msk_demo_spark.queries import q_share_of_parent
+    rows = q_share_of_parent(spark, sf_small).collect()
+    per_region = defaultdict(float)
+    for r in rows:
+        per_region[r.region] += r.share_of_region
+    for region, s in per_region.items():
+        assert abs(s - 1.0) < 1e-9, region
+    assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-9
+
+
+def test_degree_histogram_counts_every_node(spark, sf_small):
+    """sum(n_parts) equals the number of distinct parts appearing in
+    at least one co-purchase pair."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.queries import q_degree_histogram
+    rows = q_degree_histogram(spark, sf_small).collect()
+    li = (load_table(spark, sf_small, "lineitem")
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_partkey").alias("part")).distinct())
+    pairs = (li.alias("a").join(
+        li.alias("b"), (F.col("a.okey") == F.col("b.okey"))
+        & (F.col("a.part") < F.col("b.part")))
+        .select(F.col("a.part").alias("s"), F.col("b.part").alias("d"))
+        .distinct())
+    n_nodes = (pairs.select(F.col("s").alias("p"))
+               .unionByName(pairs.select(F.col("d").alias("p")))
+               .distinct().count())
+    assert sum(r.n_parts for r in rows) == n_nodes
+    assert all(r.degree >= 1 for r in rows)
