@@ -72,6 +72,81 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def q_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token (hapax) scoring: per document, how many of its
+    whitespace tokens occur at most TWICE in the whole corpus, and
+    their share — the standard cheap detector for OCR noise, mangled
+    encodings, and boilerplate-free gibberish (junk text is rich in
+    corpus-unique tokens). Three shuffles, each on the natural key:
+    token explode -> global frequency hash-agg (token key) -> join
+    back on the SAME token key -> per-doc re-agg (doc key). The
+    frequency side never collects; the rare set is the long tail of
+    the vocabulary, so it stays a shuffle join, not a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs
+            .select("doc_id",
+                    F.explode(F.split(F.lower(F.trim("text")), " "))
+                    .alias("tok"))
+            .filter(F.col("tok") != ""))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (toks.join(freq, "tok")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0))
+                    .alias("n_rare")))
+    return (per_doc
+            .select("doc_id", "n_tokens", "n_rare",
+                    (F.col("n_rare").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("rare_share"))
+            .orderBy("doc_id"))
+
+
+_SQL_RARE_TOKEN_SCORE = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(trim(text)), ' '))
+                AS tok) t
+  WHERE t.tok <> ''
+), freq AS (
+  SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare
+  FROM toks JOIN freq USING (tok)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_rare,
+       CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_share
+FROM per_doc ORDER BY doc_id
+"""
+
+
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-duplicate pairs (same
+    exact prefix-filtered J >= 0.8 generator as dedup_near_pairs)
+    rolled up by the UNORDERED pair of source labels — the report
+    that tells a corpus owner WHERE the duplication lives (mirror
+    sites, cross-source syndication) before choosing a dedup policy.
+    Two broadcast-sized joins attach sources to the pair endpoints;
+    least/greatest normalizes the pair so (a,b) and (b,a) pool."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
+    src = docs.select("doc_id", "source")
+    lab = (pairs
+           .join(src.select(F.col("doc_id").alias("d1"),
+                            F.col("source").alias("s1")), "d1")
+           .join(src.select(F.col("doc_id").alias("d2"),
+                            F.col("source").alias("s2")), "d2"))
+    return (lab.groupBy(
+        F.least("s1", "s2").alias("source_a"),
+        F.greatest("s1", "s2").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b"))
+
+
 #: shared oracle for the exact and the LSH near-dup paths — the LSH
 #: variant must find the identical pair set (recall 1.0 at J ≥ 0.8 with
 #: b=16/r=8; verified in tests at sf0.001 and sf0.01).
@@ -89,6 +164,21 @@ JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
 JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
 WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
 ORDER BY d1, d2
+"""
+
+
+#: near pairs rolled up by unordered source pair (dup_source_matrix)
+_SQL_DUP_SOURCE_MATRIX = f"""
+WITH np AS ({_SQL_NEAR_PAIRS}),
+lab AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM np
+  JOIN documents a ON a.doc_id = np.d1
+  JOIN documents b ON b.doc_id = np.d2
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM lab GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -2591,6 +2681,8 @@ FROM g ORDER BY label
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
+    "rare_token_score": (q_rare_token_score, _SQL_RARE_TOKEN_SCORE),
+    "dup_source_matrix": (q_dup_source_matrix, _SQL_DUP_SOURCE_MATRIX),
     "array_hof_stats": (q_array_hof_stats, _SQL_ARRAY_HOF),
     "dedup_near_pairs": (q_dedup_near_pairs, _SQL_NEAR_PAIRS),
     "dedup_minhash": (q_dedup_minhash, _SQL_NEAR_PAIRS),

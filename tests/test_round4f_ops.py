@@ -364,3 +364,35 @@ def test_degree_histogram_counts_every_node(spark, sf_small):
                .distinct().count())
     assert sum(r.n_parts for r in rows) == n_nodes
     assert all(r.degree >= 1 for r in rows)
+
+
+def test_rare_token_score_hand_case(spark):
+    """Token 'zzz' appears once (rare), 'the' appears 4 times (not
+    rare with threshold <= 2)."""
+    docs = spark.createDataFrame(
+        [(1, "the cat zzz"), (2, "the dog"), (3, "the the qqq www")],
+        "doc_id long, text string")
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.lower(F.trim("text")), " "))
+                        .alias("tok"))
+            .filter(F.col("tok") != ""))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    got = {r.doc_id: (r.n_tokens, r.n_rare) for r in
+           (toks.join(freq, "tok").groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0))
+                 .alias("n_rare")).collect())}
+    # freqs: the=4, cat=1, zzz=1, dog=1, qqq=1, www=1
+    assert got == {1: (3, 2), 2: (2, 1), 3: (4, 2)}
+
+
+def test_dup_source_matrix_pools_unordered_pairs(spark, sf_small):
+    """n_pairs across the matrix equals the near-pair count, and each
+    row's sources are in canonical (a <= b) order."""
+    from kafka_connect_msk_demo_spark.pipeline.queries import (
+        q_dup_source_matrix, q_dedup_near_pairs)
+    rows = q_dup_source_matrix(spark, sf_small).collect()
+    n_pairs = q_dedup_near_pairs(spark, sf_small).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b
