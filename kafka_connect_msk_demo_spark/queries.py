@@ -4082,6 +4082,83 @@ ORDER BY s_name
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) — completes the adapted 22-query
+    battery. The corpus has no partsupp/ps_supplycost, so the supply
+    relation is distinct (l_partkey, l_suppkey) from lineitem and the
+    cost is the supplier's account balance in exact cents (lowest
+    balance wins; equal-cost suppliers all return, as in the
+    original). Parts: size 15, STANDARD type; suppliers from EUROPE.
+    The correlated min-cost subquery becomes a per-part min hash-agg
+    joined back on (part, cost) — the filtered part list and the
+    region's supplier dim both broadcast, so the only wide shuffle is
+    the distinct over the supply relation, keyed on partkey."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "supplier", "nation", "region",
+                     "part"))
+    eur = (t["nation"]
+           .join(t["region"],
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .filter(F.col("r_name") == "EUROPE")
+           .select("n_nationkey", "n_name"))
+    bal_c = F.round(F.col("s_acctbal") * 100).cast("long")
+    supp = (t["supplier"].join(F.broadcast(eur),
+                               F.col("s_nationkey")
+                               == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name",
+                    bal_c.alias("bal_c")))
+    srel = (t["lineitem"]
+            .select("l_partkey", "l_suppkey").distinct())
+    parts = (t["part"]
+             .filter((F.col("p_size") == 15)
+                     & (F.col("p_type") == "STANDARD"))
+             .select("p_partkey", "p_name"))
+    cand = (srel.join(F.broadcast(parts),
+                      F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey")))
+    mc = cand.groupBy(F.col("p_partkey").alias("mp"))\
+        .agg(F.min("bal_c").alias("min_bal"))
+    return (cand.join(F.broadcast(mc),
+                      (F.col("p_partkey") == F.col("mp"))
+                      & (F.col("bal_c") == F.col("min_bal")))
+            .select((F.col("bal_c").cast("double") / 100.0)
+                    .alias("s_acctbal"),
+                    "s_name", "n_name", "p_partkey", "p_name")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+_SQL_TPCH_Q2 = """
+WITH eur AS (
+  SELECT n_nationkey, n_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), supp AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+  FROM supplier JOIN eur ON s_nationkey = n_nationkey
+), srel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), parts AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+), cand AS (
+  SELECT p_partkey, p_name, s_name, n_name, bal_c
+  FROM srel
+  JOIN parts ON l_partkey = p_partkey
+  JOIN supp  ON l_suppkey = s_suppkey
+), mc AS (
+  SELECT p_partkey AS mp, MIN(bal_c) AS min_bal FROM cand GROUP BY 1
+)
+SELECT CAST(bal_c AS DOUBLE) / 100.0 AS s_acctbal,
+       s_name, n_name, p_partkey, p_name
+FROM cand JOIN mc ON p_partkey = mp AND bal_c = min_bal
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence census of event_type x market segment:
     the full contingency table with observed count, expected count
@@ -5435,6 +5512,7 @@ BATCH_QUERIES = {
     "tpch_q22": (q_tpch_q22, _SQL_TPCH_Q22),
     "tpch_q11": (q_tpch_q11, _SQL_TPCH_Q11),
     "tpch_q16": (q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q2": (q_tpch_q2, _SQL_TPCH_Q2),
     "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
     "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
     "chi2_independence": (q_chi2_independence, _SQL_CHI2_INDEPENDENCE),
