@@ -4159,6 +4159,81 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
 """
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot DIFF: what changed between changelog instant T1
+    (mid-initial-snapshot — keys <= 500 loaded) and the final state —
+    every key classified inserted / updated / deleted with its old
+    and new images. The audit query behind every incremental
+    publish: both states reconstruct with the same latest-wins rank
+    used by cdc_snapshot_at, then ONE full-outer join on the key
+    classifies; all three classes are non-empty at every SF by
+    construction of the deterministic envelope (sources/cdc.py)."""
+    from .sources.cdc import orders_cdc_envelope
+
+    env = orders_cdc_envelope(spark, sf_dir).drop("__phase")
+    key = F.coalesce(F.col("after.o_orderkey"),
+                     F.col("before.o_orderkey"))
+    w = Window.partitionBy("_key").orderBy(
+        F.col("ts_ms").desc(), F.col("source.lsn").desc())
+
+    def snap(upper_ts: int | None) -> DataFrame:
+        e = env if upper_ts is None else env.filter(
+            F.col("ts_ms") <= upper_ts)
+        return (e.withColumn("_key", key)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col("op") != "d"))
+                .select(F.col("_key").alias("k"),
+                        F.col("after.o_totalprice").alias("price"),
+                        F.col("after.order_month").alias("month")))
+
+    s1 = snap(1_000_000_500)
+    s2 = snap(None)
+    j = (s1.alias("a").join(s2.alias("b"),
+                            F.col("a.k") == F.col("b.k"), "full_outer"))
+    change = (F.when(F.col("a.k").isNull(), "inserted")
+              .when(F.col("b.k").isNull(), "deleted")
+              .when((F.col("a.price") != F.col("b.price"))
+                    | (F.col("a.month") != F.col("b.month")),
+                    "updated"))
+    return (j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(F.coalesce(F.col("a.k"), F.col("b.k"))
+                    .alias("o_orderkey"),
+                    "change",
+                    F.col("a.price").alias("price_old"),
+                    F.col("b.price").alias("price_new"),
+                    F.col("a.month").alias("month_old"),
+                    F.col("b.month").alias("month_new"))
+            .orderBy("o_orderkey"))
+
+
+_SQL_CDC_SNAPSHOT_DIFF = """
+WITH s1 AS (
+  SELECT o_orderkey AS k, o_totalprice AS price,
+         strftime(o_orderdate, '%Y-%m') AS month
+  FROM orders WHERE 1000000000 + o_orderkey <= 1000000500
+), s2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 IN (1, 2)
+              THEN o_totalprice * 1.1 ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 10 IN (1, 2)
+              THEN strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m')
+              ELSE strftime(o_orderdate, '%Y-%m') END AS month
+  FROM orders WHERE o_orderkey % 10 <> 0
+), j AS (
+  SELECT COALESCE(s1.k, s2.k) AS o_orderkey,
+         CASE WHEN s1.k IS NULL THEN 'inserted'
+              WHEN s2.k IS NULL THEN 'deleted'
+              WHEN s1.price <> s2.price OR s1.month <> s2.month
+                   THEN 'updated' END AS change,
+         s1.price AS price_old, s2.price AS price_new,
+         s1.month AS month_old, s2.month AS month_new
+  FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k
+)
+SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey
+"""
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence census of event_type x market segment:
     the full contingency table with observed count, expected count
@@ -5453,6 +5528,7 @@ BATCH_QUERIES = {
                                _SQL_SCHEMA_EVOLUTION_UNION),
     "dq_expectations": (q_dq_expectations, _SQL_DQ_EXPECTATIONS),
     "cdc_snapshot_at": (q_cdc_snapshot_at, _SQL_CDC_SNAPSHOT_AT),
+    "cdc_snapshot_diff": (q_cdc_snapshot_diff, _SQL_CDC_SNAPSHOT_DIFF),
     "event_pivot": (q_event_pivot, _SQL_EVENT_PIVOT),
     "window_battery": (q_window_battery, _SQL_WINDOW_BATTERY),
     "integrity_audit": (q_integrity_audit, _SQL_INTEGRITY_AUDIT),

@@ -396,3 +396,25 @@ def test_dup_source_matrix_pools_unordered_pairs(spark, sf_small):
     assert sum(r.n_pairs for r in rows) == n_pairs
     for r in rows:
         assert r.source_a <= r.source_b
+
+
+def test_cdc_snapshot_diff_classes(spark, sf_small):
+    """All three change classes appear, with the expected key-residue
+    structure: deleted => key <= 500 and key%10==0; updated => key <=
+    500 and key%10 in {1,2} with price_new ~ 1.1*price_old; inserted
+    => key > 500 and key%10 != 0."""
+    from kafka_connect_msk_demo_spark.queries import q_cdc_snapshot_diff
+    rows = q_cdc_snapshot_diff(spark, sf_small).collect()
+    classes = {r.change for r in rows}
+    assert classes == {"inserted", "updated", "deleted"}
+    for r in rows:
+        k = r.o_orderkey
+        if r.change == "deleted":
+            assert k <= 500 and k % 10 == 0
+            assert r.price_new is None
+        elif r.change == "updated":
+            assert k <= 500 and k % 10 in (1, 2)
+            assert abs(r.price_new - r.price_old * 1.1) < 1e-6
+        else:
+            assert k > 500 and k % 10 != 0
+            assert r.price_old is None
