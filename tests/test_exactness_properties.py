@@ -159,3 +159,75 @@ def test_ks_drift_spark_matches_reference(spark, samples):
         dnum = max(dnum, abs(c1 * n2 - c2 * n1))
     assert (got.n_early, got.n_late) == (n1, n2)
     assert got.d_stat == float(dnum) / float(n1 * n2)
+
+
+# ---------------------------------------------------------------------------
+# Pearson r from exact integer moments: the exactly-rounded-finisher claim
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10**6, 10**6),
+                          st.integers(-10**6, 10**6)),
+                min_size=2, max_size=60))
+def test_corr_finisher_is_deterministic_for_exact_moments(pairs):
+    """r computed as double(num)/(sqrt(double(va))*sqrt(double(vb)))
+    from EXACT integer moments is a fixed 5-op IEEE sequence: any two
+    evaluations agree bit-for-bit, and |r| <= 1 + 4 ulps whenever the
+    variances are nonzero. (This is the determinism contract
+    corr_matrix / rolling_corr / ols_trend rest on — the moments are
+    exact, only the finisher rounds.)"""
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    num = n * sxy - sx * sy
+    va, vb = n * sxx - sx * sx, n * syy - sy * sy
+    if va == 0 or vb == 0:
+        return
+    r1 = float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+    r2 = float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+    assert r1 == r2
+    assert abs(r1) <= 1.0 + 4 * abs(math.ulp(1.0))
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder decile formula: even split, exhaustive cover
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 5000))
+def test_decile_formula_partitions_ranks_evenly(n):
+    """decile = (rank-1)*10 div n + 1 assigns every rank 1..n to a
+    bucket 1..10 with sizes differing by at most 1 — the engine-
+    portable ntile replacement decile_lift uses on BOTH sides."""
+    from collections import Counter
+    c = Counter((r - 1) * 10 // n + 1 for r in range(1, n + 1))
+    assert set(c) <= set(range(1, 11))
+    if n >= 10:
+        assert max(c.values()) - min(c.values()) <= 1
+        assert set(c) == set(range(1, 11))
+    assert sum(c.values()) == n
+
+
+# ---------------------------------------------------------------------------
+# Chi-square cell arithmetic: marginal conservation at double precision
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 10**6), min_size=2, max_size=5),
+                min_size=2, max_size=5))
+def test_chi2_expected_preserves_marginals(table):
+    """Expected counts rt*ct/n (exact products, one double division)
+    reproduce each row marginal to within n*4 ulps — the tolerance
+    the chi2_independence semantic test uses."""
+    w = len(table[0])
+    table = [row[:w] + [0] * (w - len(row)) for row in table]
+    n = sum(map(sum, table))
+    if n == 0:
+        return
+    col = [sum(row[j] for row in table) for j in range(w)]
+    for row in table:
+        rt = sum(row)
+        exp = sum(float(rt * c) / float(n) for c in col)
+        assert abs(exp - rt) <= max(1.0, rt) * 1e-9
