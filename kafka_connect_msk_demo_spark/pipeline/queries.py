@@ -82,7 +82,12 @@ def q_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the SAME token key -> per-doc re-agg (doc key). The
     frequency side never collects; the rare set is the long tail of
     the vocabulary, so it stays a shuffle join, not a broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    return rare_token_frame(load_table(spark, sf_dir, "documents"))
+
+
+def rare_token_frame(docs: DataFrame, max_freq: int = 2) -> DataFrame:
+    """Hapax-scoring plan over a (doc_id, text) frame — tests inject
+    hand-built corpora here so they exercise the production plan."""
     toks = (docs
             .select("doc_id",
                     F.explode(F.split(F.lower(F.trim("text")), " "))
@@ -92,8 +97,8 @@ def q_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (toks.join(freq, "tok")
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0))
-                    .alias("n_rare")))
+                    F.sum(F.when(F.col("freq") <= max_freq, 1)
+                          .otherwise(0)).alias("n_rare")))
     return (per_doc
             .select("doc_id", "n_tokens", "n_rare",
                     (F.col("n_rare").cast("double")

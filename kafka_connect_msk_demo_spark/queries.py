@@ -3847,6 +3847,15 @@ _SQL_TOP_NATION = """
 """
 
 
+def _top_nation_suppliers(t: dict, *cols: str) -> DataFrame:
+    """Suppliers of the argmax nation, projected to ``cols`` — the
+    shared broadcast-dim filter of the Q11/Q20/Q21 adaptations."""
+    return (t["supplier"]
+            .join(F.broadcast(_top_supplier_nation(t)),
+                  F.col("s_nationkey") == F.col("top_nationkey"))
+            .select(*cols))
+
+
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting): for finalized
     orders ('F') with lines from >1 supplier where EXACTLY ONE
@@ -3880,10 +3889,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(per_o.filter((F.col("n_supp") > 1)
                                   & (F.col("n_late") == 1)),
                      "l_orderkey"))
-    supp = (t["supplier"]
-            .join(F.broadcast(_top_supplier_nation(t)),
-                  F.col("s_nationkey") == F.col("top_nationkey"))
-            .select("s_suppkey", "s_name"))
+    supp = _top_nation_suppliers(t, "s_suppkey", "s_name")
     return (culprit.join(F.broadcast(supp),
                          F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("s_name")
@@ -3931,10 +3937,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi join."""
     t = load_tables(spark, sf_dir,
                     ("lineitem", "supplier", "nation", "part"))
-    supp = (t["supplier"]
-            .join(F.broadcast(_top_supplier_nation(t)),
-                  F.col("s_nationkey") == F.col("top_nationkey"))
-            .select("s_suppkey"))
+    supp = _top_nation_suppliers(t, "s_suppkey")
     qty_l = F.round(F.col("l_quantity")).cast("long")
     price_c = F.round(F.col("p_retailprice") * 100).cast("long")
     li = (t["lineitem"]
@@ -4044,10 +4047,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum("qty_l").alias("qty")))
     stats = per_s.agg(F.sum("qty").alias("tot"),
                       F.count(F.lit(1)).alias("n_supp"))
-    supp = (t["supplier"]
-            .join(F.broadcast(_top_supplier_nation(t)),
-                  F.col("s_nationkey") == F.col("top_nationkey"))
-            .select("s_suppkey", "s_name"))
+    supp = _top_nation_suppliers(t, "s_suppkey", "s_name")
     return (per_s.crossJoin(F.broadcast(stats))
             .filter(F.col("qty") * F.col("n_supp") * 2 > F.col("tot"))
             .join(F.broadcast(supp),
@@ -4246,7 +4246,6 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution uses only exactly-rounded IEEE ops — per-cell rows
     instead of one float total, so no order-dependent summation can
     break the oracle hash."""
-    from pyspark.sql import Window
     events = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     cells = (events.select("user_id", "event_type")
@@ -4258,11 +4257,14 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     w_row = Window.partitionBy("event_type")
     w_col = Window.partitionBy("mktsegment")
-    rt = F.sum("observed").over(w_row)
-    ct = F.sum("observed").over(w_col)
+    # widen BEFORE the product: rt*ct in long wraps past 2^63 once the
+    # marginals reach ~3e9 (a day of 100 TB events); decimal(19)x
+    # decimal(19) stays exact in decimal(38), matching the oracle's
+    # HUGEINT product.
+    rt = F.sum("observed").over(w_row).cast("decimal(19,0)")
+    ct = F.sum("observed").over(w_col).cast("decimal(19,0)")
     n = F.sum("observed").over(w_all)
-    e = ((rt * ct).cast("decimal(38,0)").cast("double")
-         / n.cast("double"))
+    e = (rt * ct).cast("double") / n.cast("double")
     out = (cells
            .withColumn("expected", e)
            .withColumn("contrib",
@@ -4448,22 +4450,29 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     current-to-end frame; the struct min resolves same-instant ties
     to the smallest event_id with no self-join and ONE shuffle total.
     Orders whose customer never acts again drop (inner semantics)."""
-    from pyspark.sql import Window
     ev = (load_table(spark, sf_dir, "events")
-          .select(F.col("user_id"),
-                  F.unix_micros("ts").alias("us"),
-                  F.lit(1).alias("tag"),
-                  F.lit(None).cast("long").alias("o_orderkey"),
-                  F.struct(F.unix_micros("ts").alias("e_us"),
-                           "event_id").alias("evt")))
+          .select("user_id", F.unix_micros("ts").alias("us"),
+                  "event_id"))
     orders = (load_table(spark, sf_dir, "orders")
               .select(F.col("o_custkey").alias("user_id"),
                       F.unix_micros("o_orderdate").alias("us"),
-                      F.lit(0).alias("tag"),
-                      "o_orderkey",
-                      F.lit(None).cast(
-                          "struct<e_us:long,event_id:long>")
-                      .alias("evt")))
+                      "o_orderkey"))
+    return asof_forward_frame(ev, orders)
+
+
+def asof_forward_frame(ev: DataFrame, orders: DataFrame) -> DataFrame:
+    """Forward as-of plan over (user_id, us, event_id) events and
+    (user_id, us, o_orderkey) probes — q_asof_forward body; tests
+    inject hand-built sequences here so they exercise the production
+    plan, not a copy."""
+    ev = ev.select("user_id", "us", F.lit(1).alias("tag"),
+                   F.lit(None).cast("long").alias("o_orderkey"),
+                   F.struct(F.col("us").alias("e_us"),
+                            "event_id").alias("evt"))
+    orders = orders.select(
+        "user_id", "us", F.lit(0).alias("tag"), "o_orderkey",
+        F.lit(None).cast("struct<e_us:long,event_id:long>")
+        .alias("evt"))
     w = (Window.partitionBy("user_id")
          .orderBy("us", "tag", "o_orderkey", F.col("evt.event_id"))
          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
@@ -4504,7 +4513,6 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-1)*10 div n + 1 (even remainder spread; the oracle uses
     the identical formula, so no engine-specific ntile semantics).
     Customers with no orders count with zero revenue."""
-    from pyspark.sql import Window
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     rev = (orders.groupBy("o_custkey")
@@ -4585,7 +4593,6 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     finishes with the same exactly-rounded double recipe as
     corr_matrix — bit-stable, no float accumulation anywhere.
     Rows appear once 7 observed days are in frame."""
-    from pyspark.sql import Window
     ev = load_table(spark, sf_dir, "events")
     daily = (ev.filter(F.col("event_type").isin("click", "purchase"))
              .groupBy(_day("ts").alias("day"))
@@ -4595,11 +4602,18 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).alias("p")))
     w = (Window.orderBy("day")
          .rowsBetween(-6, Window.currentRow))
+    # products and the n*sxy-sx*sy finisher widen to decimal: with
+    # ~6e8-click days (100 TB events) c*c ~ 3.6e17 and 7*scp tops
+    # 2^63 — long would wrap silently while the oracle's HUGEINT
+    # stays exact. decimal(38,0) matches it.
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    cd, pd = F.col("c").cast(d19), F.col("p").cast(d19)
     n = F.count(F.lit(1)).over(w)
-    sc, sp = F.sum("c").over(w), F.sum("p").over(w)
-    scc = F.sum(F.col("c") * F.col("c")).over(w)
-    spp = F.sum(F.col("p") * F.col("p")).over(w)
-    scp = F.sum(F.col("c") * F.col("p")).over(w)
+    sc = F.sum(F.col("c").cast(d38)).over(w)
+    sp = F.sum(F.col("p").cast(d38)).over(w)
+    scc = F.sum((cd * cd).cast(d38)).over(w)
+    spp = F.sum((pd * pd).cast(d38)).over(w)
+    scp = F.sum((cd * pd).cast(d38)).over(w)
     num = (n * scp - sc * sp).cast("double")
     vc = (n * scc - sc * sc).cast("double")
     vp = (n * spp - sp * sp).cast("double")
@@ -4621,13 +4635,15 @@ WITH daily AS (
   FROM events WHERE event_type IN ('click', 'purchase')
   GROUP BY 1
 ), m AS (
+  -- sums and products stay in HUGEINT (exact), mirroring the Spark
+  -- side's decimal(38,0) widening; only the finisher rounds.
   SELECT day, c, p,
-    COUNT(*)                OVER w AS n,
-    CAST(SUM(c)   OVER w AS BIGINT) AS sc,
-    CAST(SUM(p)   OVER w AS BIGINT) AS sp,
-    CAST(SUM(c*c) OVER w AS BIGINT) AS scc,
-    CAST(SUM(p*p) OVER w AS BIGINT) AS spp,
-    CAST(SUM(c*p) OVER w AS BIGINT) AS scp
+    COUNT(*)        OVER w AS n,
+    SUM(c)          OVER w AS sc,
+    SUM(p)          OVER w AS sp,
+    SUM(c::HUGEINT * c) OVER w AS scc,
+    SUM(p::HUGEINT * p) OVER w AS spp,
+    SUM(c::HUGEINT * p) OVER w AS scp
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
@@ -4713,6 +4729,49 @@ FROM g
 """
 
 
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Symmetric distinct co-purchase edge list (src, dst) from a
+    lineitem-shaped frame — the shared graph-extraction step of
+    bfs_hops and degree_histogram (keep the twin SQL CTE in their
+    oracles in sync with this)."""
+    base = (li.select(F.col("l_orderkey").alias("okey"),
+                      F.col("l_partkey").alias("part"))
+            .distinct())
+    pairs = (base.alias("a")
+             .join(base.alias("b"),
+                   (F.col("a.okey") == F.col("b.okey"))
+                   & (F.col("a.part") < F.col("b.part")))
+             .select(F.col("a.part").alias("src"),
+                     F.col("b.part").alias("dst"))
+             .distinct())
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst")))
+
+
+def bfs_hops_frame(li: DataFrame, max_hops: int = 3) -> DataFrame:
+    """BFS plan over a lineitem-shaped frame (q_bfs_hops body; tests
+    inject hand-built graphs here so they exercise the production
+    plan, not a copy). The edge list is deliberately NOT persisted:
+    a registered query must leave no cached state behind in a
+    long-lived session (the bench sweeps 196 queries in one JVM), so
+    the edge derivation recomputes per round — bounded at max_hops+1
+    scans, and each is scan-speed."""
+    edges = copurchase_edges(li)
+    src0 = edges.agg(F.min("src").alias("node"))
+    visited = src0.withColumn("hops", F.lit(0))
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(edges,
+                             F.col("node") == F.col("src"))
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h)))
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited.orderBy("node")
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded breadth-first search (3 hops) over the co-purchase
     graph from the smallest part key: shortest hop count per
@@ -4722,32 +4781,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(frontier boundary), not O(paths); the depth bound makes the
     loop a fixed 3-stage lazy plan with no driver data movement.
     The oracle replays it as a recursive CTE with UNION dedup."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("okey"),
-                  F.col("l_partkey").alias("part"))
-          .distinct())
-    pairs = (li.alias("a")
-             .join(li.alias("b"),
-                   (F.col("a.okey") == F.col("b.okey"))
-                   & (F.col("a.part") < F.col("b.part")))
-             .select(F.col("a.part").alias("src"),
-                     F.col("b.part").alias("dst"))
-             .distinct())
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"),
-                     F.col("src").alias("dst"))).persist()
-    src0 = edges.agg(F.min("src").alias("node"))
-    visited = src0.withColumn("hops", F.lit(0))
-    frontier = visited.select("node")
-    for h in (1, 2, 3):
-        nxt = (frontier.join(edges,
-                             F.col("node") == F.col("src"))
-               .select(F.col("dst").alias("node")).distinct()
-               .join(visited.select("node"), "node", "left_anti")
-               .withColumn("hops", F.lit(h)))
-        visited = visited.unionByName(nxt)
-        frontier = nxt.select("node")
-    return visited.orderBy("node")
+    return bfs_hops_frame(load_table(spark, sf_dir, "lineitem"))
 
 
 _SQL_BFS_HOPS = """
@@ -4770,18 +4804,10 @@ FROM walk GROUP BY 1 ORDER BY 1
 """
 
 
-def q_seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequential pattern detection (MATCH_RECOGNIZE-style): purchases
-    immediately preceded by >= 3 consecutive clicks in the user's
-    event sequence — the 'browse burst converts' motif. One window
-    pass per user ordered by (ts, event_id) with a lag-3 chain; no
-    self-joins, no state beyond the 3-row lag buffer, so the plan is
-    a single user-keyed sort — the streaming-safe way to run regexes
-    over ordered event sequences at 100 TB."""
-    from pyspark.sql import Window
-    ev = (load_table(spark, sf_dir, "events")
-          .select("user_id", "event_id", "event_type",
-                  F.unix_micros("ts").alias("ts_us")))
+def seq_pattern_frame(ev: DataFrame) -> DataFrame:
+    """Lag-chain pattern plan over a (user_id, event_id, event_type,
+    ts_us) frame — q_seq_pattern_detect body; tests inject hand-built
+    sequences here so they exercise the production plan."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     out = (ev
            .withColumn("t1", F.lag("event_type", 1).over(w))
@@ -4793,6 +4819,20 @@ def q_seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("t3") == "click")))
     return (out.select("user_id", "event_id", "ts_us")
             .orderBy("user_id", "ts_us", "event_id"))
+
+
+def q_seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-style): purchases
+    immediately preceded by >= 3 consecutive clicks in the user's
+    event sequence — the 'browse burst converts' motif. One window
+    pass per user ordered by (ts, event_id) with a lag-3 chain; no
+    self-joins, no state beyond the 3-row lag buffer, so the plan is
+    a single user-keyed sort — the streaming-safe way to run regexes
+    over ordered event sequences at 100 TB."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros("ts").alias("ts_us")))
+    return seq_pattern_frame(ev)
 
 
 _SQL_SEQ_PATTERN_DETECT = """
@@ -4820,7 +4860,6 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the following frame — and a null-safe least-distance pick
     finishes per row; no self-join, ONE shuffle, the same pattern
     that scales the other two as-ofs to 100 TB."""
-    from pyspark.sql import Window
     # the before-side candidate is a MAX over structs, so same-instant
     # ties need an inverted id field (neg_id) to resolve to the
     # SMALLEST event_id like the oracle's event_id ASC; the third
@@ -4910,7 +4949,6 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     both shares are window sums over the tiny aggregate, and each
     ratio is a single correctly-rounded division of exact integer
     cents, so the percentages hash-match the oracle."""
-    from pyspark.sql import Window
     t = load_tables(spark, sf_dir,
                     ("orders", "customer", "nation", "region"))
     price_c = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -4967,20 +5005,7 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct pair extraction rides the orderkey self-join, degrees
     aggregate on the node key, and the histogram collapses over one
     row per node: each stage's shuffle shrinks by the fan-in."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("okey"),
-                  F.col("l_partkey").alias("part"))
-          .distinct())
-    pairs = (li.alias("a")
-             .join(li.alias("b"),
-                   (F.col("a.okey") == F.col("b.okey"))
-                   & (F.col("a.part") < F.col("b.part")))
-             .select(F.col("a.part").alias("src"),
-                     F.col("b.part").alias("dst"))
-             .distinct())
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"),
-                     F.col("src").alias("dst")))
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return (deg.groupBy("degree")
             .agg(F.count(F.lit(1)).alias("n_parts"))

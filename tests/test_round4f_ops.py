@@ -75,34 +75,21 @@ def test_q20_keeps_only_oversupplying_suppliers(spark, sf_small):
         assert min(r.qty for r in rows) > 0
 
 
-def test_asof_forward_hand_case(spark, tmp_path):
-    """Forward as-of picks the FIRST event at-or-after each order,
-    ties on instant resolved to the smallest event_id, and orders
-    with no future event drop."""
-    from pyspark.sql import Window
+def test_asof_forward_hand_case(spark):
+    """Forward as-of (the registered plan via asof_forward_frame)
+    picks the FIRST event at-or-after each order, ties on instant
+    resolved to the smallest event_id, and orders with no future
+    event drop."""
+    from kafka_connect_msk_demo_spark.queries import asof_forward_frame
 
     ev = spark.createDataFrame(
         [(1, 100, 5), (1, 100, 3), (1, 200, 7), (2, 50, 9)],
         "user_id long, us long, event_id long")
-    ev = ev.select("user_id", "us", F.lit(1).alias("tag"),
-                   F.lit(None).cast("long").alias("o_orderkey"),
-                   F.struct(F.col("us").alias("e_us"),
-                            "event_id").alias("evt"))
     orders = spark.createDataFrame(
         [(1, 100, 11), (1, 150, 12), (1, 250, 13), (3, 10, 14)],
         "user_id long, us long, o_orderkey long")
-    orders = orders.select(
-        "user_id", "us", F.lit(0).alias("tag"), "o_orderkey",
-        F.lit(None).cast("struct<e_us:long,event_id:long>").alias("evt"))
-    w = (Window.partitionBy("user_id")
-         .orderBy("us", "tag", "o_orderkey", F.col("evt.event_id"))
-         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    got = {r.o_orderkey: (r["nxt"]["e_us"], r["nxt"]["event_id"])
-           for r in (orders.unionByName(ev)
-                     .withColumn("nxt", F.min("evt").over(w))
-                     .filter((F.col("tag") == 0)
-                             & F.col("nxt").isNotNull())
-                     .collect())}
+    got = {r.o_orderkey: (r.next_us, r.next_event_id)
+           for r in asof_forward_frame(ev, orders).collect()}
     # order@100 matches same-instant event (>=), tie -> event_id 3;
     # order@150 matches the 200 event; order@250 has no future event;
     # user 3 has no events at all.
@@ -217,40 +204,19 @@ def test_ab_test_accounts_for_every_user(spark, sf_small):
 
 
 def test_bfs_hand_case(spark):
-    """Path graph 1-2-3-4-5-6 from source 1: hops bound at 3, so node
-    5 gets hop... only nodes within 3 hops appear."""
+    """Path graph 1-2-3-4-5-6 from source 1 through the registered
+    plan (bfs_hops_frame): hops bound at 3, nodes beyond it absent."""
+    from kafka_connect_msk_demo_spark.queries import bfs_hops_frame
     li = spark.createDataFrame(
         [(10, 1), (10, 2), (11, 2), (11, 3), (12, 3), (12, 4),
          (13, 4), (13, 5), (14, 5), (14, 6)],
         "l_orderkey long, l_partkey long")
-    # reuse the registered query's machinery by monkey-loading: build
-    # the same plan inline
-    from pyspark.sql import functions as F
-    base = li.select(F.col("l_orderkey").alias("okey"),
-                     F.col("l_partkey").alias("part")).distinct()
-    pairs = (base.alias("a").join(
-        base.alias("b"), (F.col("a.okey") == F.col("b.okey"))
-        & (F.col("a.part") < F.col("b.part")))
-        .select(F.col("a.part").alias("src"),
-                F.col("b.part").alias("dst")).distinct())
-    edges = pairs.unionByName(pairs.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")))
-    visited = edges.agg(F.min("src").alias("node")) \
-        .withColumn("hops", F.lit(0))
-    frontier = visited.select("node")
-    for h in (1, 2, 3):
-        nxt = (frontier.join(edges, F.col("node") == F.col("src"))
-               .select(F.col("dst").alias("node")).distinct()
-               .join(visited.select("node"), "node", "left_anti")
-               .withColumn("hops", F.lit(h)))
-        visited = visited.unionByName(nxt)
-        frontier = nxt.select("node")
-    got = {r.node: r.hops for r in visited.collect()}
+    got = {r.node: r.hops for r in bfs_hops_frame(li).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
 
 
 def test_seq_pattern_requires_three_consecutive_clicks(spark):
-    from pyspark.sql import Window
+    from kafka_connect_msk_demo_spark.queries import seq_pattern_frame
 
     rows = [
         # user 1: c c c p -> hit at event 4
@@ -265,13 +231,7 @@ def test_seq_pattern_requires_three_consecutive_clicks(spark):
     ]
     ev = spark.createDataFrame(
         rows, "user_id long, event_id long, ts_us long, event_type string")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    out = (ev.withColumn("t1", F.lag("event_type", 1).over(w))
-           .withColumn("t2", F.lag("event_type", 2).over(w))
-           .withColumn("t3", F.lag("event_type", 3).over(w))
-           .filter((F.col("event_type") == "purchase")
-                   & (F.col("t1") == "click") & (F.col("t2") == "click")
-                   & (F.col("t3") == "click")).collect())
+    out = seq_pattern_frame(ev).collect()
     assert [(r.user_id, r.event_id) for r in out] == [(1, 4)]
 
 
@@ -368,20 +328,15 @@ def test_degree_histogram_counts_every_node(spark, sf_small):
 
 def test_rare_token_score_hand_case(spark):
     """Token 'zzz' appears once (rare), 'the' appears 4 times (not
-    rare with threshold <= 2)."""
+    rare with threshold <= 2) — through the registered plan
+    (rare_token_frame)."""
+    from kafka_connect_msk_demo_spark.pipeline.queries import (
+        rare_token_frame)
     docs = spark.createDataFrame(
         [(1, "the cat zzz"), (2, "the dog"), (3, "the the qqq www")],
         "doc_id long, text string")
-    toks = (docs.select("doc_id",
-                        F.explode(F.split(F.lower(F.trim("text")), " "))
-                        .alias("tok"))
-            .filter(F.col("tok") != ""))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     got = {r.doc_id: (r.n_tokens, r.n_rare) for r in
-           (toks.join(freq, "tok").groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0))
-                 .alias("n_rare")).collect())}
+           rare_token_frame(docs).collect()}
     # freqs: the=4, cat=1, zzz=1, dog=1, qqq=1, www=1
     assert got == {1: (3, 2), 2: (2, 1), 3: (4, 2)}
 
