@@ -280,6 +280,35 @@ ORDER BY user_id, click_us, click_id, purchase_us NULLS FIRST
 """
 
 
+def stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high detection with one double of state per user
+    (streaming/stateful.py :: record_high_stream): append-mode
+    emissions whenever a value strictly exceeds the user's running
+    maximum. The oracle is the batch window twin — value > max over
+    all strictly-earlier (ts, id) rows — which the drained emission
+    set must equal exactly."""
+    from .stateful import record_high_stream
+
+    events = stream_table(spark, sf_dir, "events")
+    out = record_high_stream(events)
+    return (run_to_memory(out, "append")
+            .orderBy("user_id", "ts_us", "event_id"))
+
+
+_SQL_STREAM_RECORD_HIGH = """
+SELECT user_id, event_id, ts_us, value FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         MAX(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM events
+)
+WHERE pm IS NULL OR value > pm
+ORDER BY user_id, ts_us, event_id
+"""
+
+
 def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time SESSION windows (T2 capability extension): per-user
     gap-based sessions via ``session_window`` — 30-minute inactivity
@@ -493,6 +522,7 @@ STREAMING_QUERIES = {
     "stream_stream_join": (stream_stream_join, _SQL_STREAM_STREAM_JOIN),
     "stream_left_join_nulls": (stream_left_join_nulls,
                                _SQL_STREAM_LEFT_JOIN_NULLS),
+    "stream_record_high": (stream_record_high, _SQL_STREAM_RECORD_HIGH),
     "stream_session_agg": (stream_session_agg, _SQL_STREAM_SESSION_AGG),
     "stream_dedup_keys": (stream_dedup_keys, _SQL_STREAM_DEDUP_KEYS),
     "stream_anomaly": (stream_anomaly, _SQL_STREAM_ANOMALY),

@@ -373,3 +373,25 @@ def test_cdc_snapshot_diff_classes(spark, sf_small):
         else:
             assert k > 500 and k % 10 != 0
             assert r.price_old is None
+
+
+def test_stream_record_high_emissions_are_strict_highs(spark, sf_small):
+    """Every emitted row strictly exceeds all earlier values for the
+    user, and the first event per user is always emitted."""
+    from kafka_connect_msk_demo_spark.streaming.queries import (
+        stream_record_high)
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    out = stream_record_high(spark, sf_small).collect()
+    ev = {}
+    for r in (load_table(spark, sf_small, "events")
+              .select("user_id", "event_id", "value",
+                      F.unix_micros("ts").alias("us")).collect()):
+        ev.setdefault(r.user_id, []).append((r.us, r.event_id, r.value))
+    emitted = {(r.user_id, r.event_id) for r in out}
+    for user, rows in ev.items():
+        rows.sort()
+        mx = None
+        for us, eid, v in rows:
+            should = mx is None or v > mx
+            assert ((user, eid) in emitted) == should, (user, eid)
+            mx = v if mx is None else max(mx, v)
