@@ -849,6 +849,38 @@ FROM orders
 """
 
 
+def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry WIRE-FORMAT roundtrip: orders Avro-encoded, framed
+    with the Confluent/Apicurio 5-byte header (0x00 magic + BE
+    schema id — the envelope the reference's registry serdes put on
+    every Avro topic, `11_incremental_sales_avro.py:112-119`),
+    unframed with inline magic validation and schema-id dispatch,
+    then decoded. Framing and unframing are pure JVM column
+    expressions (hex/unhex/substring) — the only Python is the
+    container's Avro codec itself. Rows whose id does not match the
+    catalog entry would route to the dead letter path; here all ids
+    match and the identity must hold, which the avro_roundtrip
+    oracle checks."""
+    from .catalog import struct_to_avro_json
+    from .serde import (frame_registry, from_avro_column,
+                        to_avro_column, unframe_registry)
+
+    orders = load_table(spark, sf_dir, "orders")
+    avro_json = struct_to_avro_json("orders", orders.schema)
+    framed = orders.select(
+        frame_registry(to_avro_column(orders, avro_json), 7)
+        .alias("value"))
+    sid, payload = unframe_registry(F.col("value"))
+    unframed = (framed.select(sid.alias("schema_id"),
+                              payload.alias("value"))
+                .filter(F.col("schema_id") == 7))
+    back = from_avro_column(unframed, avro_json, orders.schema)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority")
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 end-to-end: Debezium envelope stream → unwrap (P11) →
     foreachBatch latest-wins MERGE into a partitioned table with delete
@@ -5106,8 +5138,9 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, division-free until the end — the centered prefix is
     P_i = n·S_i − i·T (exact integers), so max−min and the argmax
     location are engine-replayable. One shuffle+sort (the prefix
-    window) plus a broadcast of per-type totals; the change-point location is the first instant achieving
-    max |P| (a second window max + MIN(ts) tie-break, no self-join)."""
+    window) plus a broadcast of per-type totals; the change-point
+    location is the first instant achieving max |P| (a second window
+    max + MIN(ts) tie-break, no self-join)."""
     ev = load_table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100).cast("long")
     base = ev.select("event_type", "event_id",
@@ -5541,6 +5574,7 @@ BATCH_QUERIES = {
                            _SQL_SCD2_TEMPORAL_JOIN),
     "csv_dim_sales": (q_csv_dim_sales, _SQL_CSV_DIM_SALES),
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
+    "avro_wire_roundtrip": (q_avro_wire_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
     "asof_attribution": (q_asof_attribution, _SQL_ASOF_ATTRIBUTION),
     "range_join_promo": (q_range_join_promo, _SQL_RANGE_JOIN_PROMO),

@@ -335,6 +335,33 @@ _PROMOTIONS = {
 }
 
 
+def frame_registry(value: Column, schema_id: int) -> Column:
+    """Confluent/Apicurio wire framing: ``0x00 magic + 4-byte
+    big-endian schema id + payload`` — the envelope every
+    registry-backed serde puts on the topic (the reference's Avro
+    topics carry it via the Apicurio Confluent-compatible serdes,
+    `10_create_schemas.py:77-118` / `11:112-119`). Pure JVM column
+    expression: the id renders through hex/unhex, so framing runs at
+    scan speed with no Python."""
+    if not (0 <= schema_id <= 0x7FFFFFFF):
+        raise ValueError(f"schema id out of range: {schema_id}")
+    header = "00" + format(schema_id, "08x")
+    return F.concat(F.unhex(F.lit(header)), value)
+
+
+def unframe_registry(value: Column) -> tuple[Column, Column]:
+    """Inverse of :func:`frame_registry`: returns ``(schema_id,
+    payload)`` columns. The magic byte is validated inline — a
+    non-0x00 first byte yields a NULL schema id, the dead-letter
+    routing signal."""
+    magic_ok = F.hex(F.substring(value, 1, 1)) == "00"
+    sid = F.when(
+        magic_ok,
+        F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("int"))
+    payload = F.substring(value, 6, 2147483647)
+    return sid, payload
+
+
 def _parse_schema_defaults(avro_json: str) -> dict[str, object]:
     """field name → declared default (only fields that have one)."""
     rec = json.loads(avro_json)

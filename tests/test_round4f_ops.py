@@ -395,3 +395,28 @@ def test_stream_record_high_emissions_are_strict_highs(spark, sf_small):
             should = mx is None or v > mx
             assert ((user, eid) in emitted) == should, (user, eid)
             mx = v if mx is None else max(mx, v)
+
+
+def test_registry_wire_framing(spark):
+    """frame/unframe invert each other; a corrupted magic byte yields
+    a NULL schema id (dead-letter signal) while the payload column
+    still projects."""
+    from kafka_connect_msk_demo_spark.serde import (
+        frame_registry, unframe_registry)
+    df = spark.createDataFrame([(b"payload-1",), (b"",)],
+                               "value binary")
+    framed = df.select(frame_registry(F.col("value"), 1234)
+                       .alias("value"))
+    sid, payload = unframe_registry(F.col("value"))
+    rows = framed.select(sid.alias("sid"),
+                         payload.alias("p")).collect()
+    assert [(r.sid, bytes(r.p)) for r in rows] == \
+        [(1234, b"payload-1"), (1234, b"")]
+    # corrupt the magic byte
+    bad = spark.createDataFrame([(b"\x01\x00\x00\x04\xd2xyz",)],
+                                "value binary")
+    sid2, _ = unframe_registry(F.col("value"))
+    assert bad.select(sid2.alias("sid")).collect()[0].sid is None
+    import pytest
+    with pytest.raises(ValueError):
+        frame_registry(F.col("value"), -1)
