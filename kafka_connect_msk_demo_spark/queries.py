@@ -3914,13 +3914,17 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("int")))
     per_os = (lo.groupBy("l_orderkey", "l_suppkey")
               .agg(F.max("late").alias("supp_late")))
-    per_o = (per_os.groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("n_supp"),
-                  F.sum("supp_late").alias("n_late")))
-    culprit = (per_os.filter(F.col("supp_late") == 1)
-               .join(per_o.filter((F.col("n_supp") > 1)
-                                  & (F.col("n_late") == 1)),
-                     "l_orderkey"))
+    # per-order counts as WINDOW sums over the per-(order,supplier)
+    # frame, not a groupBy + self-join back: the self-join form plans
+    # TWO full lineitem scans (Spark shares no subplans without an
+    # explicit cache); this is one branch, one scan.
+    w_o = Window.partitionBy("l_orderkey")
+    culprit = (per_os
+               .withColumn("n_supp", F.count(F.lit(1)).over(w_o))
+               .withColumn("n_late", F.sum("supp_late").over(w_o))
+               .filter((F.col("supp_late") == 1)
+                       & (F.col("n_supp") > 1)
+                       & (F.col("n_late") == 1)))
     supp = _top_nation_suppliers(t, "s_suppkey", "s_name")
     return (culprit.join(F.broadcast(supp),
                          F.col("l_suppkey") == F.col("s_suppkey"))
