@@ -87,14 +87,18 @@ def q_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rare_token_frame(docs: DataFrame, max_freq: int = 2) -> DataFrame:
     """Hapax-scoring plan over a (doc_id, text) frame — tests inject
-    hand-built corpora here so they exercise the production plan."""
+    hand-built corpora here so they exercise the production plan.
+    Global token frequency is a WINDOW count over the token
+    partition, not a groupBy + join back: the join form plans the
+    explode branch twice (one full corpus re-scan); this is one
+    explode, one token exchange, one doc exchange."""
     toks = (docs
             .select("doc_id",
                     F.explode(F.split(F.lower(F.trim("text")), " "))
                     .alias("tok"))
             .filter(F.col("tok") != ""))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    per_doc = (toks.join(freq, "tok")
+    freq = F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    per_doc = (toks.withColumn("freq", freq)
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
                     F.sum(F.when(F.col("freq") <= max_freq, 1)
