@@ -101,6 +101,9 @@ def run() -> None:
     for name, fn in registry.items():
         if name in SKIP:
             continue
+        # progress marker on stderr (stdout carries ONLY the JSON line):
+        # names the in-flight query if the sweep dies mid-run
+        print(f"bench: {name}", file=sys.stderr, flush=True)
         samples = []
         reps = REPEATS
         for _ in range(reps):
@@ -108,6 +111,10 @@ def run() -> None:
             _force(fn(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # queries may persist shared subplans (dedup shingle tables,
+        # BFS edge lists) for reuse WITHIN one plan; drop them between
+        # sweeps so no query is timed against another query's cache
+        spark.catalog.clearCache()
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -4788,24 +4788,33 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
 def bfs_hops_frame(li: DataFrame, max_hops: int = 3) -> DataFrame:
     """BFS plan over a lineitem-shaped frame (q_bfs_hops body; tests
     inject hand-built graphs here so they exercise the production
-    plan, not a copy). The edge list is deliberately NOT persisted:
-    a registered query must leave no cached state behind in a
-    long-lived session (the bench sweeps 196 queries in one JVM), so
-    the edge derivation recomputes per round — bounded at max_hops+1
-    scans, and each is scan-speed."""
-    edges = copurchase_edges(li)
+    plan, not a copy). The edge list MUST be persisted: every
+    frontier round references both the frontier and the accumulated
+    visited set, so the unpersisted plan tree embeds the edge
+    self-join ~2^hops times — measured as an executor OOM at sf0.1
+    under a 1 GiB heap. The persist is LRU-evictable and the bench
+    harness clears the cache between query sweeps, so no state
+    outlives the measurement."""
+    edges = copurchase_edges(li).persist()
     src0 = edges.agg(F.min("src").alias("node"))
-    visited = src0.withColumn("hops", F.lit(0))
+    visited = src0.withColumn("hops", F.lit(0)).persist()
     frontier = visited.select("node")
+    out = visited
     for h in range(1, max_hops + 1):
+        # persist each round's frontier too: it is referenced by the
+        # next round's expansion AND by every later round's visited
+        # anti-join — unpersisted, those references re-execute the
+        # whole prior cascade (2^hops blow-up, the same pathology as
+        # the edge list)
         nxt = (frontier.join(edges,
                              F.col("node") == F.col("src"))
                .select(F.col("dst").alias("node")).distinct()
                .join(visited.select("node"), "node", "left_anti")
-               .withColumn("hops", F.lit(h)))
-        visited = visited.unionByName(nxt)
+               .withColumn("hops", F.lit(h)).persist())
+        visited = visited.unionByName(nxt).persist()
+        out = out.unionByName(nxt)
         frontier = nxt.select("node")
-    return visited.orderBy("node")
+    return out.orderBy("node")
 
 
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
