@@ -4270,6 +4270,63 @@ SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey
 """
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup CASCADE: daily revenue aggregates once from
+    the fact stream, weekly rolls up FROM THE DAILY frame, monthly
+    (30-day epoch bucket) FROM THE WEEKLY-compatible daily frame —
+    the warehouse pattern where each coarser grain reads the previous
+    rollup, never the facts (at 100 TB the fact scan happens exactly
+    once; the cascade's inputs shrink ~7x then ~4x). Grains use
+    tz-free integer epoch buckets (day div 7 / day div 30) so the
+    containment day ⊂ week-bucket, day ⊂ month-bucket is exact.
+    Output: the monthly grain with the day/week counts that fed it —
+    provable conservation across grains."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (orders.groupBy(_day("o_orderdate").alias("day"))
+             .agg(F.sum(price_c.cast("decimal(38,0)")).alias("rev_c"),
+                  F.count(F.lit(1)).alias("n_orders")))
+    weekly = (daily.groupBy(F.expr("day div 7").alias("week"))
+              .agg(F.sum("rev_c").alias("rev_c"),
+                   F.sum("n_orders").alias("n_orders"),
+                   F.count(F.lit(1)).alias("n_days")))
+    monthly = (weekly.groupBy(F.expr("(week * 7) div 30")
+                              .alias("month"))
+               .agg(F.sum("rev_c").alias("rev_c"),
+                    F.sum("n_orders").alias("n_orders"),
+                    F.sum("n_days").alias("n_days"),
+                    F.count(F.lit(1)).alias("n_weeks")))
+    return (monthly.select(
+        "month",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        "n_orders", "n_days", "n_weeks")
+        .orderBy("month"))
+
+
+_SQL_ROLLUP_CASCADE = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), weekly AS (
+  SELECT day // 7 AS week, SUM(rev_c) AS rev_c,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+), monthly AS (
+  SELECT (week * 7) // 30 AS month, SUM(rev_c) AS rev_c,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+         CAST(SUM(n_days) AS BIGINT) AS n_days,
+         COUNT(*) AS n_weeks
+  FROM weekly GROUP BY 1
+)
+SELECT month, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       n_orders, n_days, n_weeks
+FROM monthly ORDER BY month
+"""
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence census of event_type x market segment:
     the full contingency table with observed count, expected count
@@ -5664,6 +5721,7 @@ BATCH_QUERIES = {
     "tpch_q20": (q_tpch_q20, _SQL_TPCH_Q20),
     "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
     "chi2_independence": (q_chi2_independence, _SQL_CHI2_INDEPENDENCE),
+    "rollup_cascade": (q_rollup_cascade, _SQL_ROLLUP_CASCADE),
     "corr_matrix": (q_corr_matrix, _SQL_CORR_MATRIX),
     "golden_profile": (q_golden_profile, _SQL_GOLDEN_PROFILE),
     "asof_forward": (q_asof_forward, _SQL_ASOF_FORWARD),

@@ -420,3 +420,23 @@ def test_registry_wire_framing(spark):
     import pytest
     with pytest.raises(ValueError):
         frame_registry(F.col("value"), -1)
+
+
+def test_rollup_cascade_conserves_counts(spark, sf_small):
+    """Orders/days/weeks counted at the monthly grain reconcile with
+    the fact table exactly (conservation across the cascade)."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.queries import q_rollup_cascade
+    rows = q_rollup_cascade(spark, sf_small).collect()
+    orders = load_table(spark, sf_small, "orders")
+    n_orders = orders.count()
+    n_days = (orders.select(
+        (F.unix_micros("o_orderdate") / 86400000000)
+        .cast("long").alias("d")).distinct().count())
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert sum(r.n_days for r in rows) == n_days
+    total = sum(r.revenue for r in rows)
+    exact = (orders.select(F.round(F.col("o_totalprice") * 100)
+                           .cast("long").alias("c"))
+             .agg(F.sum("c")).collect()[0][0])
+    assert abs(total - exact / 100.0) < 1e-6 * max(1.0, total)
