@@ -4270,6 +4270,109 @@ SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey
 """
 
 
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon lag feature build — the feature-engineering pass
+    every sequence model trains on: per user, the previous 3 values,
+    the trailing-5 mean, and the gap to the previous event, in ONE
+    window pass ordered by (ts, event_id). The trailing mean divides
+    the exact long window sum of value-cents by the window count —
+    both engines perform the identical correctly-rounded division, so
+    even the float feature hash-matches. One shuffle total; rows
+    stream through the window buffer (bounded at 5 rows/key)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_micros("ts").alias("ts_us"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("v_c")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w5 = w.rowsBetween(-4, Window.currentRow)
+    return (ev
+            .withColumn("lag1_c", F.lag("v_c", 1).over(w))
+            .withColumn("lag2_c", F.lag("v_c", 2).over(w))
+            .withColumn("lag3_c", F.lag("v_c", 3).over(w))
+            .withColumn("gap_us",
+                        F.col("ts_us") - F.lag("ts_us", 1).over(w))
+            .withColumn("mean5",
+                        F.sum("v_c").over(w5).cast("double")
+                        / F.count(F.lit(1)).over(w5).cast("double")
+                        / 100.0)
+            .select("user_id", "event_id", "ts_us",
+                    (F.col("v_c").cast("double") / 100.0)
+                    .alias("value"),
+                    (F.col("lag1_c").cast("double") / 100.0)
+                    .alias("lag1"),
+                    (F.col("lag2_c").cast("double") / 100.0)
+                    .alias("lag2"),
+                    (F.col("lag3_c").cast("double") / 100.0)
+                    .alias("lag3"),
+                    "gap_us", "mean5")
+            .orderBy("user_id", "ts_us", "event_id"))
+
+
+_SQL_LAG_FEATURES = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       CAST(v_c AS DOUBLE) / 100.0 AS value,
+       CAST(lag(v_c, 1) OVER w AS DOUBLE) / 100.0 AS lag1,
+       CAST(lag(v_c, 2) OVER w AS DOUBLE) / 100.0 AS lag2,
+       CAST(lag(v_c, 3) OVER w AS DOUBLE) / 100.0 AS lag3,
+       ts_us - lag(ts_us, 1) OVER w AS gap_us,
+       CAST(SUM(v_c) OVER w5 AS DOUBLE)
+       / CAST(COUNT(*) OVER w5 AS DOUBLE) / 100.0 AS mean5
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+       w5 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical column — the
+    standard leakage-safe categorical feature: each event's
+    event_type encodes as the mean purchase-ish value of all OTHER
+    rows of that type, (sum_cat - v) / (n_cat - 1). Category sums are
+    WINDOW aggregates over the category partition, so one shuffle on
+    the category key and no join-back; the subtraction stays in exact
+    cents and only the final division rounds. Singleton categories
+    yield NULL (nothing to borrow) via the null-guarded divisor."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("v_c")))
+    w = Window.partitionBy("event_type")
+    sum_c = F.sum(F.col("v_c").cast("decimal(38,0)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    loo = ((sum_c - F.col("v_c")).cast("double")
+           / F.nullif((n - 1).cast("double"), F.lit(0.0)) / 100.0)
+    return (ev.select("event_id", "event_type",
+                      (F.col("v_c").cast("double") / 100.0)
+                      .alias("value"),
+                      loo.alias("loo_mean"))
+            .orderBy("event_id"))
+
+
+_SQL_TARGET_ENCODE_LOO = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(v_c AS DOUBLE) / 100.0 AS value,
+       CAST(SUM(v_c) OVER w - v_c AS DOUBLE)
+       / NULLIF(CAST(COUNT(*) OVER w - 1 AS DOUBLE), 0.0) / 100.0
+       AS loo_mean
+FROM ev
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
+"""
+
+
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain rollup CASCADE: daily revenue aggregates once from
     the fact stream, weekly rolls up FROM THE DAILY frame, monthly
@@ -5722,6 +5825,8 @@ BATCH_QUERIES = {
     "tpch_q21": (q_tpch_q21, _SQL_TPCH_Q21),
     "chi2_independence": (q_chi2_independence, _SQL_CHI2_INDEPENDENCE),
     "rollup_cascade": (q_rollup_cascade, _SQL_ROLLUP_CASCADE),
+    "lag_features": (q_lag_features, _SQL_LAG_FEATURES),
+    "target_encode_loo": (q_target_encode_loo, _SQL_TARGET_ENCODE_LOO),
     "corr_matrix": (q_corr_matrix, _SQL_CORR_MATRIX),
     "golden_profile": (q_golden_profile, _SQL_GOLDEN_PROFILE),
     "asof_forward": (q_asof_forward, _SQL_ASOF_FORWARD),

@@ -440,3 +440,43 @@ def test_rollup_cascade_conserves_counts(spark, sf_small):
                            .cast("long").alias("c"))
              .agg(F.sum("c")).collect()[0][0])
     assert abs(total - exact / 100.0) < 1e-6 * max(1.0, total)
+
+
+def test_lag_features_hand_case(spark, sf_small):
+    """First event per user has NULL lags/gap; mean5 over the first k
+    rows equals the mean of those rows (exact cents division)."""
+    from kafka_connect_msk_demo_spark.queries import q_lag_features
+    rows = q_lag_features(spark, sf_small).collect()
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, rs in by_user.items():
+        assert rs[0].lag1 is None and rs[0].gap_us is None
+        if len(rs) >= 2:
+            assert rs[1].lag1 == rs[0].value
+            assert rs[1].gap_us == rs[1].ts_us - rs[0].ts_us
+        for i, r in enumerate(rs[:6]):
+            frame = rs[max(0, i - 4):i + 1]
+            cents = [round(x.value * 100) for x in frame]
+            assert abs(r.mean5 - sum(cents) / len(cents) / 100.0) \
+                < 1e-9
+
+
+def test_target_encode_loo_excludes_self(spark):
+    from pyspark.sql import Window
+    from kafka_connect_msk_demo_spark.queries import F as _F  # noqa
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0)],
+        "event_id long, event_type string, value double")
+    w = Window.partitionBy("event_type")
+    v_c = F.round(F.col("value") * 100).cast("long")
+    base = df.select("event_id", "event_type", v_c.alias("v_c"))
+    loo = ((F.sum(F.col("v_c").cast("decimal(38,0)")).over(w)
+            - F.col("v_c")).cast("double")
+           / F.nullif((F.count(F.lit(1)).over(w) - 1).cast("double"),
+                      F.lit(0.0)) / 100.0)
+    got = {r.event_id: r.m for r in
+           base.select("event_id", loo.alias("m")).collect()}
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None  # singleton category
