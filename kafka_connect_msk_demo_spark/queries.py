@@ -4125,10 +4125,13 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is the supplier's account balance in exact cents (lowest
     balance wins; equal-cost suppliers all return, as in the
     original). Parts: size 15, STANDARD type; suppliers from EUROPE.
-    The correlated min-cost subquery becomes a per-part min hash-agg
-    joined back on (part, cost) — the filtered part list and the
-    region's supplier dim both broadcast, so the only wide shuffle is
-    the distinct over the supply relation, keyed on partkey."""
+    The correlated min-cost subquery becomes a WINDOW min over the
+    part partition with an equality filter — not a hash-agg joined
+    back, which would plan the expensive supply-relation distinct
+    twice (Spark shares no subplans without a cache). The filtered
+    part list and the region's supplier dim both broadcast, so the
+    only wide shuffle is the distinct over the supply relation,
+    keyed on partkey."""
     t = load_tables(spark, sf_dir,
                     ("lineitem", "supplier", "nation", "region",
                      "part"))
@@ -4153,11 +4156,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("l_partkey") == F.col("p_partkey"))
             .join(F.broadcast(supp),
                   F.col("l_suppkey") == F.col("s_suppkey")))
-    mc = cand.groupBy(F.col("p_partkey").alias("mp"))\
-        .agg(F.min("bal_c").alias("min_bal"))
-    return (cand.join(F.broadcast(mc),
-                      (F.col("p_partkey") == F.col("mp"))
-                      & (F.col("bal_c") == F.col("min_bal")))
+    min_bal = F.min("bal_c").over(Window.partitionBy("p_partkey"))
+    return (cand.withColumn("min_bal", min_bal)
+            .filter(F.col("bal_c") == F.col("min_bal"))
             .select((F.col("bal_c").cast("double") / 100.0)
                     .alias("s_acctbal"),
                     "s_name", "n_name", "p_partkey", "p_name")
@@ -4341,18 +4342,26 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents and only the final division rounds. Singleton categories
     yield NULL (nothing to borrow) via the null-guarded divisor."""
     ev = (load_table(spark, sf_dir, "events")
-          .select("event_id", "event_type",
-                  F.round(F.col("value") * 100).cast("long")
-                  .alias("v_c")))
+          .select("event_id", "event_type", "value"))
+    return target_encode_frame(ev)
+
+
+def target_encode_frame(ev: DataFrame) -> DataFrame:
+    """LOO-encoding plan over an (event_id, event_type, value) frame —
+    q_target_encode_loo body; tests inject hand-built frames here so
+    they exercise the production plan."""
+    base = ev.select("event_id", "event_type",
+                     F.round(F.col("value") * 100).cast("long")
+                     .alias("v_c"))
     w = Window.partitionBy("event_type")
     sum_c = F.sum(F.col("v_c").cast("decimal(38,0)")).over(w)
     n = F.count(F.lit(1)).over(w)
     loo = ((sum_c - F.col("v_c")).cast("double")
            / F.nullif((n - 1).cast("double"), F.lit(0.0)) / 100.0)
-    return (ev.select("event_id", "event_type",
-                      (F.col("v_c").cast("double") / 100.0)
-                      .alias("value"),
-                      loo.alias("loo_mean"))
+    return (base.select("event_id", "event_type",
+                        (F.col("v_c").cast("double") / 100.0)
+                        .alias("value"),
+                        loo.alias("loo_mean"))
             .orderBy("event_id"))
 
 
@@ -4375,14 +4384,16 @@ ORDER BY event_id
 
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain rollup CASCADE: daily revenue aggregates once from
-    the fact stream, weekly rolls up FROM THE DAILY frame, monthly
-    (30-day epoch bucket) FROM THE WEEKLY-compatible daily frame —
-    the warehouse pattern where each coarser grain reads the previous
-    rollup, never the facts (at 100 TB the fact scan happens exactly
-    once; the cascade's inputs shrink ~7x then ~4x). Grains use
-    tz-free integer epoch buckets (day div 7 / day div 30) so the
-    containment day ⊂ week-bucket, day ⊂ month-bucket is exact.
-    Output: the monthly grain with the day/week counts that fed it —
+    the fact stream, weekly (7-day epoch bucket) rolls up FROM THE
+    DAILY frame, and the 4-weekly period (28-day bucket = week div 4)
+    FROM THE WEEKLY frame — the warehouse pattern where each coarser
+    grain reads the previous rollup, never the facts (at 100 TB the
+    fact scan happens exactly once; the cascade's inputs shrink ~7x
+    then ~4x). The grains NEST EXACTLY (day ⊂ 7-day week ⊂ 28-day
+    period; a calendar month would NOT nest in weeks — 7 does not
+    divide 30 — which is why retail reporting uses 4-week periods),
+    so no revenue is ever attributed across a coarser boundary.
+    Output: the period grain with the day/week counts that fed it —
     provable conservation across grains."""
     orders = load_table(spark, sf_dir, "orders")
     price_c = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -4393,17 +4404,16 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum("rev_c").alias("rev_c"),
                    F.sum("n_orders").alias("n_orders"),
                    F.count(F.lit(1)).alias("n_days")))
-    monthly = (weekly.groupBy(F.expr("(week * 7) div 30")
-                              .alias("month"))
-               .agg(F.sum("rev_c").alias("rev_c"),
-                    F.sum("n_orders").alias("n_orders"),
-                    F.sum("n_days").alias("n_days"),
-                    F.count(F.lit(1)).alias("n_weeks")))
-    return (monthly.select(
-        "month",
+    period = (weekly.groupBy(F.expr("week div 4").alias("period4w"))
+              .agg(F.sum("rev_c").alias("rev_c"),
+                   F.sum("n_orders").alias("n_orders"),
+                   F.sum("n_days").alias("n_days"),
+                   F.count(F.lit(1)).alias("n_weeks")))
+    return (period.select(
+        "period4w",
         (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
         "n_orders", "n_days", "n_weeks")
-        .orderBy("month"))
+        .orderBy("period4w"))
 
 
 _SQL_ROLLUP_CASCADE = """
@@ -4417,16 +4427,16 @@ WITH daily AS (
          CAST(SUM(n_orders) AS BIGINT) AS n_orders,
          COUNT(*) AS n_days
   FROM daily GROUP BY 1
-), monthly AS (
-  SELECT (week * 7) // 30 AS month, SUM(rev_c) AS rev_c,
+), period AS (
+  SELECT week // 4 AS period4w, SUM(rev_c) AS rev_c,
          CAST(SUM(n_orders) AS BIGINT) AS n_orders,
          CAST(SUM(n_days) AS BIGINT) AS n_days,
          COUNT(*) AS n_weeks
   FROM weekly GROUP BY 1
 )
-SELECT month, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+SELECT period4w, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
        n_orders, n_days, n_weeks
-FROM monthly ORDER BY month
+FROM period ORDER BY period4w
 """
 
 
@@ -4959,21 +4969,26 @@ def bfs_hops_frame(li: DataFrame, max_hops: int = 3) -> DataFrame:
     src0 = edges.agg(F.min("src").alias("node"))
     visited = src0.withColumn("hops", F.lit(0)).persist()
     frontier = visited.select("node")
-    out = visited
+    rounds = [visited]
     for h in range(1, max_hops + 1):
         # persist each round's frontier too: it is referenced by the
         # next round's expansion AND by every later round's visited
         # anti-join — unpersisted, those references re-execute the
         # whole prior cascade (2^hops blow-up, the same pathology as
-        # the edge list)
+        # the edge list). ONLY the per-round frontiers are cached;
+        # the visited set is rebuilt as a union of the cached rounds,
+        # so no row is cached twice.
         nxt = (frontier.join(edges,
                              F.col("node") == F.col("src"))
                .select(F.col("dst").alias("node")).distinct()
                .join(visited.select("node"), "node", "left_anti")
                .withColumn("hops", F.lit(h)).persist())
-        visited = visited.unionByName(nxt).persist()
-        out = out.unionByName(nxt)
+        rounds.append(nxt)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
     return out.orderBy("node")
 
 

@@ -351,12 +351,15 @@ def frame_registry(value: Column, schema_id: int) -> Column:
 
 def unframe_registry(value: Column) -> tuple[Column, Column]:
     """Inverse of :func:`frame_registry`: returns ``(schema_id,
-    payload)`` columns. The magic byte is validated inline — a
-    non-0x00 first byte yields a NULL schema id, the dead-letter
-    routing signal."""
-    magic_ok = F.hex(F.substring(value, 1, 1)) == "00"
+    payload)`` columns. Malformed frames — a non-0x00 magic byte OR a
+    frame shorter than the 5-byte header (a truncated id would
+    otherwise right-align through conv() into a bogus-but-plausible
+    schema id) — yield a NULL schema id, the dead-letter routing
+    signal."""
+    intact = (F.length(value) >= 5) \
+        & (F.hex(F.substring(value, 1, 1)) == "00")
     sid = F.when(
-        magic_ok,
+        intact,
         F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("int"))
     payload = F.substring(value, 6, 2147483647)
     return sid, payload

@@ -464,19 +464,26 @@ def test_lag_features_hand_case(spark, sf_small):
 
 
 def test_target_encode_loo_excludes_self(spark):
-    from pyspark.sql import Window
-    from kafka_connect_msk_demo_spark.queries import F as _F  # noqa
+    """Through the registered plan (target_encode_frame): each row's
+    encoding is the mean of the OTHER rows of its category; singleton
+    categories yield NULL."""
+    from kafka_connect_msk_demo_spark.queries import target_encode_frame
     df = spark.createDataFrame(
         [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0)],
         "event_id long, event_type string, value double")
-    w = Window.partitionBy("event_type")
-    v_c = F.round(F.col("value") * 100).cast("long")
-    base = df.select("event_id", "event_type", v_c.alias("v_c"))
-    loo = ((F.sum(F.col("v_c").cast("decimal(38,0)")).over(w)
-            - F.col("v_c")).cast("double")
-           / F.nullif((F.count(F.lit(1)).over(w) - 1).cast("double"),
-                      F.lit(0.0)) / 100.0)
-    got = {r.event_id: r.m for r in
-           base.select("event_id", loo.alias("m")).collect()}
+    got = {r.event_id: r.loo_mean
+           for r in target_encode_frame(df).collect()}
     assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
     assert got[4] is None  # singleton category
+
+
+def test_unframe_rejects_truncated_frames(spark):
+    """A frame shorter than the 5-byte header yields a NULL schema id
+    even with a valid magic byte (a truncated id would otherwise
+    right-align through conv() into a bogus-but-plausible id)."""
+    from kafka_connect_msk_demo_spark.serde import unframe_registry
+    bad = spark.createDataFrame(
+        [(b"\x00\x00\x04\xd2",), (b"\x00",), (b"",)], "value binary")
+    sid, _ = unframe_registry(F.col("value"))
+    assert [r.sid for r in bad.select(sid.alias("sid")).collect()] \
+        == [None, None, None]
