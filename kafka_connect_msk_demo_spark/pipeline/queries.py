@@ -2175,6 +2175,116 @@ FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 25
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round greedy BPE merge training (text_analysis.bpe_trained) —
+    the real iterative trainer over the distinct-word table: each
+    round's argmax pair is counted AFTER the previous merges were
+    applied leftmost-greedily, which is exactly what distinguishes it
+    from the round-0 ``bpe_merges`` statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bpe_train_merges(docs, rounds=3)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 corpus tokens AFTER applying the 3 trained BPE merges —
+    the tokenizer's apply half (merged units outrank their constituent
+    characters), weighted by word frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bpe_vocab_census(docs, rounds=3, top=15)
+
+
+def _sql_bpe_cte(rounds: int) -> str:
+    """CTE chain replaying the BPE trainer: per round, pair census of
+    the current packed representation, deterministic argmax, and the
+    identical leftmost-greedy ``list_reduce`` fold (string accumulator
+    + substr arithmetic — regex-free on both engines, because Spark's
+    regexp_replace replaces all matches and DuckDB's only the first).
+    The argmax is DERIVED inside the SQL each round, so the oracle
+    shares no literals with the Spark plan."""
+    parts = ["""words AS (
+  SELECT w, COUNT(*)::BIGINT AS wc
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+), rep0 AS (
+  SELECT wc,
+         array_to_string([substr(w, CAST(i AS INT), 1)
+                          FOR i IN generate_series(1, length(w))],
+                         chr(31)) AS rep
+  FROM words
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"rep{r - 1}"
+        parts.append(f"""p{r} AS (
+  SELECT pr.l AS lft, pr.r AS rgt, SUM(wc)::BIGINT AS cnt
+  FROM (SELECT wc, unnest([struct_pack(l := t[CAST(i AS INT)],
+                                       r := t[CAST(i AS INT) + 1])
+                           FOR i IN generate_series(1, len(t) - 1)]) AS pr
+        FROM (SELECT wc, string_split(rep, chr(31)) AS t FROM {prev}))
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1
+), rep{r} AS (
+  SELECT wc, list_reduce(string_split(rep, chr(31)), (a, b) ->
+    CASE WHEN string_split(a, chr(31))[-1] = m{r}.lft AND b = m{r}.rgt
+         THEN substr(a, 1, length(a) - length(m{r}.lft))
+              || m{r}.lft || m{r}.rgt
+         ELSE a || chr(31) || b END) AS rep
+  FROM {prev} CROSS JOIN m{r}
+)""")
+    return ",\n".join(parts)
+
+
+_SQL_BPE_TRAIN = f"""
+WITH {_sql_bpe_cte(3)}
+SELECT * FROM (
+  SELECT 1 AS merge_rank, lft, rgt, cnt FROM m1
+  UNION ALL SELECT 2, lft, rgt, cnt FROM m2
+  UNION ALL SELECT 3, lft, rgt, cnt FROM m3
+) ORDER BY merge_rank
+"""
+
+_SQL_BPE_VOCAB = f"""
+WITH {_sql_bpe_cte(3)},
+tok AS (SELECT wc, unnest(string_split(rep, chr(31))) AS token
+        FROM rep3)
+SELECT token, SUM(wc)::BIGINT AS cnt
+FROM tok GROUP BY token
+ORDER BY cnt DESC, token LIMIT 15
+"""
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission check (dedup.incremental_neardup):
+    the 20%-of-ids delta batch probed against the other 80%'s LSH
+    bucket index — O(delta) per-batch dedup instead of re-running the
+    corpus-wide pair search. Oracle: the exact cross-split Jaccard
+    pair set (LSH recall is 1.0 on this corpus, the same guarantee the
+    minhash twin rests on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_neardup(
+        docs, F.col("doc_id") % 10 < 2, threshold=0.8, k=3)
+
+
+_SQL_INCREMENTAL_NEARDUP = f"""
+WITH {duckdb_shingle_cte(3)},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.sg = b.sg
+  WHERE a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2
+  GROUP BY 1, 2
+)
+SELECT pairs.doc_id AS doc_id, pairs.dup_of AS dup_of,
+       inter::DOUBLE / (sa.n + sb.n - inter) AS jac
+FROM pairs
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = pairs.doc_id
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = pairs.dup_of
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+ORDER BY pairs.doc_id, pairs.dup_of
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user estimate via the deterministic
     HyperLogLog sketch (pipeline/sketches.py hll_distinct) — fixed
@@ -2755,5 +2865,9 @@ PIPELINE_QUERIES: dict = {
     "triangle_count": (q_triangle_count, _SQL_TRIANGLE_COUNT),
     "kcore_peel": (q_kcore_peel, _SQL_KCORE_PEEL),
     "bpe_merges": (q_bpe_merges, _SQL_BPE_MERGES),
+    "bpe_train": (q_bpe_train, _SQL_BPE_TRAIN),
+    "bpe_vocab": (q_bpe_vocab, _SQL_BPE_VOCAB),
+    "incremental_neardup": (q_incremental_neardup,
+                            _SQL_INCREMENTAL_NEARDUP),
     "corpus_pipeline": (q_corpus_pipeline, _SQL_CORPUS_PIPELINE),
 }

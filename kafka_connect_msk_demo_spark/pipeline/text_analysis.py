@@ -509,6 +509,133 @@ def bpe_merge_candidates(docs: DataFrame, top: int = 25,
             .limit(top))
 
 
+# ---------------------------------------------------------------------------
+# BPE trainer — multi-round greedy merge learning + application
+# ---------------------------------------------------------------------------
+
+#: separator packing a token sequence into one string during BPE folds
+#: (unit separator — never appears in the whitespace-tokenized corpus;
+#: asserted by the planted-corpus tests).
+_BPE_US = "chr(31)"
+
+
+def _bpe_lit(s: str) -> str:
+    """Spark-SQL string literal for a data-derived token (backslash and
+    quote escaped — Spark treats backslash as an escape in literals)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _bpe_fold_sql(tk_sql: str, lft: str, rgt: str) -> str:
+    """SQL expression applying ONE merge (lft, rgt) leftmost-greedily
+    over the token array named by ``tk_sql``, returning the re-packed
+    representation string (tokens joined by the unit separator).
+
+    The fold keeps a packed-string accumulator and compares its LAST
+    token against ``lft``: on a match with the incoming ``rgt`` the
+    last token is replaced by the merged unit via pure substr
+    arithmetic — deliberately regex-free, because Spark's
+    ``regexp_replace`` replaces every match while DuckDB's replaces
+    the first, so a regex formulation could not be oracle-shared."""
+    l, r, m = _bpe_lit(lft), _bpe_lit(rgt), _bpe_lit(lft + rgt)
+    return (
+        f"aggregate(slice({tk_sql}, 2, size({tk_sql}) - 1), "
+        f"element_at({tk_sql}, 1), "
+        f"(acc, x) -> CASE WHEN element_at(split(acc, {_BPE_US}), -1) = {l}"
+        f" AND x = {r} "
+        f"THEN concat(substr(acc, 1, length(acc) - length({l})), {m}) "
+        f"ELSE concat(acc, {_BPE_US}, x) END)"
+    )
+
+
+#: adjacent-pair list over a token array — zip_with over the two
+#: off-by-one slices (NOT transform(sequence(1, n-1), ...): Spark's
+#: ``sequence(1, 0)`` DESCENDS, which under ANSI mode turns the
+#: single-token edge case into an element_at(0) error).
+def _bpe_pairs_sql(tk_sql: str) -> str:
+    return (f"zip_with(slice({tk_sql}, 1, size({tk_sql}) - 1), "
+            f"slice({tk_sql}, 2, size({tk_sql}) - 1), "
+            f"(a, b) -> named_struct('lft', a, 'rgt', b))")
+
+
+def bpe_trained(docs: DataFrame, rounds: int = 3,
+                text_col: str = "text"):
+    """Distributed BPE merge training (Sennrich et al. 2016): ``rounds``
+    greedy rounds, each picking the corpus's most frequent adjacent
+    token pair (ties: count desc, pair asc) and merging every
+    leftmost-greedy occurrence before recounting — the real iterative
+    trainer, not the round-0 approximation of
+    :func:`bpe_merge_candidates`.
+
+    Returns ``(rep, merge_frames, merges)``: the distinct-word frame
+    with the final token array ``tk`` and weight ``wc``; one 1-row
+    DataFrame per round (merge_rank, lft, rgt, cnt) still expressed as
+    a distributed argmax so the registered outputs stay in-plan; and
+    the driver-side merge list.
+
+    Scale shape — the standard trainer decomposition: pair statistics
+    live on the DISTINCT-WORD table (vocabulary-sized, weighted by
+    word count), not the corpus, so the only corpus-scale pass is the
+    initial tokenize + word count (one shuffle on the word key,
+    persisted and reused by every round). Each round is then a
+    scan-speed fold over the vocabulary, a map-side-combined hash-agg
+    on tiny pair keys, and a 1-row argmax fetch — O(1) driver traffic
+    per round, the same bounded-literal re-broadcast pattern as the
+    Lloyd trainer in ``similarity.py``."""
+    words = (docs.select(F.explode(tokens(text_col)).alias("w"))
+             .filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+             .persist())
+    rep = words.withColumn(
+        "tk",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    merge_frames = []
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        cand = (rep.select("wc",
+                           F.explode(F.expr(_bpe_pairs_sql("tk"))).alias("p"))
+                .groupBy(F.col("p.lft").alias("lft"),
+                         F.col("p.rgt").alias("rgt"))
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "lft", "rgt")
+                .limit(1))
+        merge_frames.append(cand.select(
+            F.lit(rnd).alias("merge_rank"), "lft", "rgt", "cnt"))
+        top = cand.collect()
+        if not top:  # vocabulary fully merged — stop early
+            break
+        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["cnt"]
+        merges.append((lft, rgt, cnt))
+        rep = (rep.withColumn("packed", F.expr(_bpe_fold_sql("tk", lft, rgt)))
+               .withColumn("tk", F.expr(f"split(packed, {_BPE_US})"))
+               .drop("packed"))
+    return rep, merge_frames, merges
+
+
+def bpe_train_merges(docs: DataFrame, rounds: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """(merge_rank, lft, rgt, cnt): the learned BPE merge table —
+    round r's row is the argmax pair AFTER applying merges 1..r-1."""
+    _, frames, _ = bpe_trained(docs, rounds, text_col)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("merge_rank")
+
+
+def bpe_vocab_census(docs: DataFrame, rounds: int = 3, top: int = 15,
+                     text_col: str = "text") -> DataFrame:
+    """(token, cnt): corpus token census AFTER applying the ``rounds``
+    trained merges — the apply half of the tokenizer: merged units rise
+    above their constituent characters exactly as the trainer intends.
+    Cost: the trainer plus one more vocabulary fold + tiny-key hash-agg
+    and a distributed top-k (TakeOrderedAndProject, no global sort)."""
+    rep, _, _ = bpe_trained(docs, rounds, text_col)
+    return (rep.select("wc", F.explode("tk").alias("token"))
+            .groupBy("token").agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "token")
+            .limit(top))
+
+
 def rrf_retrieval_fusion(docs: DataFrame, query_terms: list[str],
                          k: int = 25, pool: int = 100,
                          c: int = 60) -> DataFrame:

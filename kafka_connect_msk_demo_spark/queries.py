@@ -5909,6 +5909,8 @@ _DRIVER_PRIORITY = [
     "windowed_distinct_users", "unpivot_metrics",
     "grouping_sets_report", "null_safe_join", "user_profile_json",
     "scd2_temporal_join",
+    # round-4 late additions (verified by rotation in later rounds)
+    "bpe_train", "bpe_vocab", "incremental_neardup",
 ]
 
 
