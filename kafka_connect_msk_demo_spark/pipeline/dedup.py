@@ -602,7 +602,9 @@ def minhash_jaccard_estimates(docs: DataFrame, threshold: float = 0.5,
     pairs = jaccard_pairs(docs, threshold=threshold, k=k,
                           id_col=id_col, text_col=text_col,
                           shingles=sh)
-    sigs = minhash_signatures(sh, num_hashes)
+    # persist: BOTH pair legs consume the signature kernel — without
+    # this the Arrow pass over the shingle table runs twice
+    sigs = minhash_signatures(sh, num_hashes).persist()
     s1 = sigs.select(F.col("doc_id").alias("d1"),
                      F.col("sig").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("d2"),

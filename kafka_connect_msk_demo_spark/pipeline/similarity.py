@@ -631,13 +631,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
               .filter(F.col("rk") <= nprobe)
               .select("q_id", "q_vec", F.col("c_id").alias("cell")))
     cand = (data.join(F.broadcast(probes), "cell")
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .withColumn("cos", cosine(F.col("q_vec"), F.col("v"), 64)))
-    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    return (cand.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "vec_id", "cos", "rank")
-            .orderBy("q_id", "rank"))
+            .filter(F.col("vec_id") != F.col("q_id")))
+    return _rerank_topk(cand, k, 64)
 
 
 def embedding_dim_stats(vecs: DataFrame, vec_col: str = "embedding",
