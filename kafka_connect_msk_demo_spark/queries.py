@@ -5712,6 +5712,103 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Scale-engineering audits (operators/audit.py)
+# ---------------------------------------------------------------------------
+
+#: (relation, key) targets for the skew census — the engine's own join
+#: and aggregation keys.
+_SKEW_TARGETS = [("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+                 ("orders", "o_custkey"), ("events", "user_id"),
+                 ("events", "event_type"), ("documents", "source")]
+
+#: (name, left, lkey, right, rkey) targets for the statistics join.
+_JOINCARD_TARGETS = [
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+#: relation -> stable (int/string) column list for the content hash —
+#: deliberately excludes doubles and event-time columns, whose textual
+#: rendering is not dialect-portable.
+_FP_TARGETS = [
+    ("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]),
+    ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"]),
+    ("part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]),
+    ("region", ["r_regionkey", "r_name"]),
+]
+
+
+def q_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census (operators/audit.py key_skew_census) over
+    the engine's own shuffle keys — the top_share vs 1/n_distinct gap
+    is the broadcast/salt/AQE-skew-join decision input."""
+    from .operators.audit import key_skew_census
+    return key_skew_census([(t, load_table(spark, sf_dir, t), k)
+                            for t, k in _SKEW_TARGETS])
+
+
+_SQL_SKEW_CENSUS = "\nUNION ALL\n".join(f"""
+SELECT * FROM (
+  WITH c AS (SELECT CAST({k} AS VARCHAR) AS k, COUNT(*) AS cnt
+             FROM {t} GROUP BY 1),
+  top AS (SELECT k AS top_key, cnt AS top_cnt FROM c
+          ORDER BY cnt DESC, k LIMIT 1)
+  SELECT '{t}' AS relation, '{k}' AS key_col,
+         (SELECT CAST(SUM(cnt) AS BIGINT) FROM c) AS n_rows,
+         (SELECT COUNT(*) FROM c) AS n_distinct,
+         top_key, CAST(top_cnt AS BIGINT) AS top_cnt,
+         top_cnt::DOUBLE / (SELECT CAST(SUM(cnt) AS BIGINT) FROM c)
+           AS top_share
+  FROM top
+)""" for t, k in _SKEW_TARGETS) + "\nORDER BY relation, key_col"
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size prediction from per-key count tables
+    (operators/audit.py join_cardinality) — the statistics join a
+    planner runs instead of the data join it sizes."""
+    from .operators.audit import join_cardinality
+    return join_cardinality(
+        [(n, load_table(spark, sf_dir, lt), lk,
+          load_table(spark, sf_dir, rt), rk)
+         for n, lt, lk, rt, rk in _JOINCARD_TARGETS])
+
+
+_SQL_JOIN_CARDINALITY = "\nUNION ALL\n".join(f"""
+SELECT * FROM (
+  WITH a AS (SELECT {lk} AS k, COUNT(*) AS ca FROM {lt} GROUP BY 1),
+  b AS (SELECT {rk} AS k, COUNT(*) AS cb FROM {rt} GROUP BY 1)
+  SELECT '{n}' AS join_name,
+         (SELECT COUNT(*) FROM a) AS distinct_left,
+         (SELECT COUNT(*) FROM b) AS distinct_right,
+         CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS matched_keys,
+         CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS out_rows
+  FROM a JOIN b USING (k)
+)""" for n, lt, lk, rt, rk in _JOINCARD_TARGETS) + "\nORDER BY join_name"
+
+
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable multiset content hash per relation (operators/audit.py
+    dataset_fingerprint) — the replication/migration equality check."""
+    from .operators.audit import dataset_fingerprint
+    return dataset_fingerprint([(t, load_table(spark, sf_dir, t), cols)
+                                for t, cols in _FP_TARGETS])
+
+
+_SQL_DATASET_FINGERPRINT = "\nUNION ALL\n".join(f"""
+SELECT '{t}' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || substr(md5('fp:{t}' || '|' ||
+                {" || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)}),
+                1, 12) AS BIGINT)) % 281474976710656 AS BIGINT)
+         AS content_hash
+FROM {t}""" for t, cols in _FP_TARGETS) + "\nORDER BY relation"
+
+
 BATCH_QUERIES = {
     "sales_by_country": (q_sales_by_country, _SQL_SALES_BY_COUNTRY),
     "sales_by_country_decimal": (q_sales_by_country_decimal,
@@ -5854,6 +5951,10 @@ BATCH_QUERIES = {
     "asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),
     "share_of_parent": (q_share_of_parent, _SQL_SHARE_OF_PARENT),
     "degree_histogram": (q_degree_histogram, _SQL_DEGREE_HISTOGRAM),
+    "skew_census": (q_skew_census, _SQL_SKEW_CENSUS),
+    "join_cardinality": (q_join_cardinality, _SQL_JOIN_CARDINALITY),
+    "dataset_fingerprint": (q_dataset_fingerprint,
+                            _SQL_DATASET_FINGERPRINT),
 }
 
 # ---------------------------------------------------------------------------
@@ -5911,6 +6012,7 @@ _DRIVER_PRIORITY = [
     "scd2_temporal_join",
     # round-4 late additions (verified by rotation in later rounds)
     "bpe_train", "bpe_vocab", "incremental_neardup",
+    "skew_census", "join_cardinality", "dataset_fingerprint",
 ]
 
 

@@ -51,7 +51,10 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "tpch_q14", "tpch_q15", "tpch_q22",
                 # q11: one-row (total, n_parts) threshold broadcast;
                 # q20: one-row min-ship-day bound + (tot, n_supp) pair
-                "tpch_q11", "tpch_q20"}
+                "tpch_q11", "tpch_q20",
+                # audit queries assemble ONE-ROW aggregate frames per
+                # relation/join (scalar-subquery plan, like tfidf)
+                "skew_census", "join_cardinality"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query
