@@ -140,3 +140,54 @@ def kfold_assign(df: DataFrame, key_col: str, k: int = 5,
         F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 12),
         16, 10).cast("long")
     return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))
+
+
+def temperature_quota_sample(df: DataFrame, strata_col: str,
+                             key_col: str, budget: int,
+                             salt: str = "temp") -> DataFrame:
+    """Temperature-scaled mixture sampling at alpha = 1/2 — the
+    multilingual-pretraining rebalance (T5 / mBERT style): stratum s
+    receives a share of the ``budget`` proportional to ``n_s**alpha``,
+    upweighting tail strata relative to raw proportions without letting
+    the head dominate. Unlike :func:`mixture_hash_sample` (expected
+    counts via a rate threshold), quotas here are EXACT row counts:
+
+        quota_s = budget * isqrt(n_s) // sum_t isqrt(n_t)
+
+    kept entirely in int64 — ``isqrt`` is ``floor(sqrt(n))`` via the
+    IEEE-754 correctly-rounded double sqrt, which cannot cross an
+    integer boundary for n < 2^52 (the nearest non-square sqrt sits
+    >= 1/(2*sqrt(n)) from an integer, orders of magnitude beyond a
+    half-ulp), so both engines compute identical quotas with no
+    float-sum order dependence. Alpha values other than 1/2 need
+    ``pow``, whose libm rounding is NOT engine-portable — the sqrt
+    point on the temperature curve is the one that stays exact.
+
+    Membership: rank rows within each stratum by md5(salt:key) (a
+    deterministic uniform permutation) and keep rank <= quota. One
+    tiny per-stratum count aggregate broadcast back, one window rank
+    per stratum. At 100 TB the head stratum's window is the skew
+    point; since only quota_s survivors matter, pre-filter with the
+    rate threshold ``(quota_s + slack) / n_s`` (the
+    :func:`weighted_hash_sample` predicate on the same digest) before
+    ranking, which cuts the window input to ~quota rows per stratum —
+    noted here, unnecessary at test scale.
+    """
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("_n_stratum")))
+    isqrt = F.floor(F.sqrt(F.col("_n_stratum"))).cast("long")
+    wsum = counts.agg(F.sum(isqrt).alias("_isqrt_sum"))
+    quota = (counts.crossJoin(F.broadcast(wsum))
+             .select(strata_col,
+                     F.expr(f"({budget} * CAST(FLOOR(SQRT(_n_stratum)) "
+                            f"AS BIGINT)) div _isqrt_sum")
+                     .alias("_quota")))
+    c = F.col(key_col)
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(digest.asc(), c.asc())
+    return (df.join(F.broadcast(quota), strata_col)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.col("_quota"))
+            .drop("_rk", "_quota"))

@@ -619,3 +619,46 @@ def minhash_jaccard_estimates(docs: DataFrame, threshold: float = 0.5,
                         / F.lit(float(num_hashes)))
             .select("d1", "d2", "jac", "matches", "est_jac")
             .orderBy("d1", "d2"))
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
+                              threshold: float = 0.5, k: int = 3,
+                              key_len: int = 40,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernandez & Stolfo 1995,
+    the merge/purge method): sort the corpus by a blocking key — here
+    the first ``key_len`` chars of the normalized text — slide a
+    ``window``-row window down the sorted order, and verify only pairs
+    that co-occur in some window. The classic alternative to
+    LSH/prefix-filter blocking: O(N log N + N*w) candidates, catches
+    near-dups whose edits are PAST the key prefix (shared openings),
+    and misses pairs whose first edit lands inside it — complementary
+    recall to :func:`minhash_lsh_pairs`, which is edit-position-blind.
+
+    Candidate generation is shuffle-friendly: ranks come from one
+    global sort, then each row emits (rn, rn+off) for off in
+    [1, window-1] and candidates materialize via an EQUI-join on the
+    offset rank (no non-equi/BNLJ). Verification reuses the exact
+    Jaccard kernel. At 100 TB the single-partition rank window is the
+    scale point: production SNM range-partitions on the key and sorts
+    within partitions, handing each partition its neighbor's first
+    ``window - 1`` rows as boundary overlap — same pair set, no global
+    window; kept as the one-window form here for oracle parity.
+    """
+    key = F.substring(F.lower(F.trim(F.col(text_col))), 1, key_len)
+    ranked = (docs.select(F.col(id_col).alias("doc_id"),
+                          key.alias("ky"))
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy("ky", "doc_id")))
+              .select("doc_id", "rn")).persist()
+    probes = ranked.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(rn + 1, rn + {window - 1})"))
+        .alias("rn2"))
+    cand = (probes.join(ranked.select(F.col("doc_id").alias("o_id"),
+                                      F.col("rn").alias("rn2")), "rn2")
+            .select(F.least("doc_id", "o_id").alias("d1"),
+                    F.greatest("doc_id", "o_id").alias("d2")))
+    sh = doc_shingles(docs, id_col, text_col, k).persist()
+    return _verify_jaccard(cand, sh, threshold)

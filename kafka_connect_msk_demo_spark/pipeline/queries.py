@@ -2797,6 +2797,213 @@ FROM g ORDER BY label
 """
 
 
+def q_repeated_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. 2022 suffix-array
+    dedup restricted to 8-token granularity): every 8-token gram
+    occurring >=2 times corpus-wide marks its positions everywhere;
+    marked intervals merge into maximal spans per document, which are
+    reported and excised (see pipeline/clean.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean.repeated_span_mask(docs, k=8, min_count=2)
+
+
+_SQL_REPEATED_SPAN_MASK = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), ex AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+  FROM tok WHERE len(t) >= 8
+), kg AS (
+  SELECT doc_id, i AS pos, i + 7 AS e,
+         array_to_string(t[i:i+7], ' ') AS g
+  FROM ex
+), dup AS (
+  SELECT g FROM kg GROUP BY 1 HAVING COUNT(*) >= 2
+), mk AS (
+  SELECT doc_id, pos, e FROM kg WHERE g IN (SELECT g FROM dup)
+), fl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) + 1
+              THEN 1 ELSE 0 END AS nf
+  FROM mk
+), isl AS (
+  SELECT doc_id, pos, e,
+         SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS iid
+  FROM fl
+), spans AS (
+  SELECT doc_id, iid, MIN(pos) AS s, MAX(e) AS e
+  FROM isl GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS masked_tokens
+  FROM spans GROUP BY 1
+), tp AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tok
+), kept AS (
+  SELECT tp.doc_id,
+         array_to_string(list(tp.t[tp.p] ORDER BY tp.p), ' ') AS clean_text
+  FROM tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tp.doc_id
+                      AND tp.p BETWEEN sp.s AND sp.e)
+  GROUP BY 1
+)
+SELECT tok.doc_id,
+       CAST(len(tok.t) AS BIGINT) AS n_tokens,
+       COALESCE(pd.n_spans, 0) AS n_spans,
+       COALESCE(pd.masked_tokens, 0) AS masked_tokens,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM tok
+LEFT JOIN per_doc pd USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail LM bucketing (Wenzek et al. 2020)
+    via the exact integer unigram score — mean corpus frequency of the
+    document's tokens in floor-ppm (see pipeline/text_analysis.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.unigram_lm_score(docs)
+
+
+_SQL_UNIGRAM_LM = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), ex AS (
+  SELECT doc_id, unnest(t) AS w FROM tok
+), cnt AS (
+  SELECT w, COUNT(*) AS c FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt
+), doc AS (
+  SELECT ex.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(cnt.c) AS BIGINT) AS sum_cnt
+  FROM ex JOIN cnt USING (w) GROUP BY 1
+), sc AS (
+  SELECT doc_id, n_tokens, sum_cnt,
+         CAST((sum_cnt * 1000000) // (n_tokens * tot.n_total) AS BIGINT)
+           AS score_ppm
+  FROM doc, tot
+)
+SELECT doc_id, n_tokens, sum_cnt, score_ppm,
+       CASE NTILE(3) OVER (ORDER BY score_ppm DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM sc ORDER BY doc_id
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha=1/2, T5/mBERT
+    rebalance): per-source quotas proportional to isqrt(n_source),
+    exact int64 arithmetic, membership by md5-rank within source —
+    operators/sampling.py temperature_quota_sample."""
+    from ..operators.sampling import temperature_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (temperature_quota_sample(docs, "source", "doc_id",
+                                     budget=100, salt="tmix-v1")
+            .select("doc_id", "source", "lang")
+            .orderBy("doc_id"))
+
+
+_SQL_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT CAST(SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS BIGINT) AS s FROM c
+), q AS (
+  SELECT source,
+         (100 * CAST(FLOOR(SQRT(n)) AS BIGINT)) // w.s AS quota
+  FROM c, w
+), r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('tmix-v1:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.lang
+FROM r JOIN q USING (source)
+WHERE r.rk <= q.quota
+ORDER BY doc_id
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernandez & Stolfo
+    merge/purge): sort by a 40-char normalized-text key, verify exact
+    shingle-Jaccard >= 0.8 inside a 4-row sliding window — the classic
+    ER blocking alternative to LSH (see pipeline/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(docs, window=4,
+                                           threshold=0.8, k=3)
+
+
+_SQL_SORTED_NEIGHBORHOOD = f"""
+WITH {duckdb_shingle_cte(3)},
+keyed AS (
+  SELECT doc_id, substr(lower(trim(text)), 1, 40) AS ky FROM documents
+), r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ky, doc_id) AS rn FROM keyed
+), cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS d1,
+         greatest(a.doc_id, b.doc_id) AS d2
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), pairs AS (
+  SELECT c.d1, c.d2, COUNT(*) AS inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.d1
+  JOIN ex b ON b.doc_id = c.d2 AND b.sg = a.sg
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter::DOUBLE / (sa.n + sb.n - inter) AS jac
+FROM pairs
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+ORDER BY d1, d2
+"""
+
+
+def q_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency vocabulary audit: top-50 tokens with exact
+    floor-ppm corpus share and rank-1-relative frequency (see
+    pipeline/text_analysis.py zipf_census)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.zipf_census(docs, top=50)
+
+
+_SQL_ZIPF_CENSUS = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         CAST(MAX(c) AS BIGINT) AS c_max FROM cnt
+), head AS (
+  SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 50
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS INT) AS rank,
+       w AS token, c AS cnt,
+       (c * 1000000) // tot.n_total AS share_ppm,
+       (c * 1000000) // tot.c_max AS rel_ppm
+FROM head, tot
+ORDER BY rank
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -2870,4 +3077,10 @@ PIPELINE_QUERIES: dict = {
     "incremental_neardup": (q_incremental_neardup,
                             _SQL_INCREMENTAL_NEARDUP),
     "corpus_pipeline": (q_corpus_pipeline, _SQL_CORPUS_PIPELINE),
+    "repeated_span_mask": (q_repeated_span_mask, _SQL_REPEATED_SPAN_MASK),
+    "unigram_lm": (q_unigram_lm, _SQL_UNIGRAM_LM),
+    "temperature_mix": (q_temperature_mix, _SQL_TEMPERATURE_MIX),
+    "sorted_neighborhood": (q_sorted_neighborhood,
+                            _SQL_SORTED_NEIGHBORHOOD),
+    "zipf_census": (q_zipf_census, _SQL_ZIPF_CENSUS),
 }

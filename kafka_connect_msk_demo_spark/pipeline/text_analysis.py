@@ -674,3 +674,91 @@ def rrf_retrieval_fusion(docs: DataFrame, query_terms: list[str],
             .select("doc_id", "r_bm25", "r_qual", rrf.alias("rrf"))
             .orderBy(F.col("rrf").desc(), "doc_id")
             .limit(k))
+
+
+def unigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     ppm: int = 1_000_000) -> DataFrame:
+    """CCNet-style LM document scoring (Wenzek et al. 2020 score each
+    document with a 5-gram KenLM and split the corpus into head /
+    middle / tail perplexity terciles). The score here is the exact
+    unigram analogue kept in integer arithmetic so DuckDB replays it
+    bit-for-bit: a document's score is the arithmetic mean of its
+    tokens' corpus frequencies,
+
+        mean_p = sum(count(tok)) / (n_tokens * N),
+
+    reported as floor-ppm (``sum_cnt * ppm div (n_tokens * N)``) —
+    sum/count/N are integers, so the quantized division is
+    engine-independent (no libm log). High mean frequency = common
+    well-modeled text = "head"; rare/garbled text lands in "tail",
+    matching CCNet's orientation (low perplexity -> head).
+
+    Shape at scale: one explode (narrow), one hash-aggregate with the
+    token as the shuffle key, one co-partitioned join back on that same
+    key, one hash-aggregate on doc_id. The corpus total N is a one-row
+    broadcast. The tercile split uses an exact global ``ntile(3)``
+    (single-partition window over one row per document) for
+    oracle-ability; a 100 TB run would replace that one step with
+    broadcast thresholds from ``approx_percentile`` — the scoring
+    pipeline upstream is unchanged.
+
+    Overflow bound: ``sum_cnt * ppm`` with ppm=1e6 stays inside int64
+    while ``sum_cnt`` < 9.2e12 — a ~9-trillion-token corpus per the
+    sum bound ``sum_cnt <= n_tokens * max_count``; past that, lift the
+    multiply to DECIMAL(38,0) (both engines widen losslessly).
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens(text_col)).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"))
+    doc = (tok.join(cnt, "w")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("c").alias("sum_cnt")))
+    sc = (doc.crossJoin(F.broadcast(tot))
+          .select("doc_id", "n_tokens", "sum_cnt",
+                  F.expr(f"(sum_cnt * {ppm}) div (n_tokens * n_total)")
+                  .alias("score_ppm")))
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    bucket = (F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+              .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (sc.select("doc_id", "n_tokens", "sum_cnt", "score_ppm",
+                      bucket.alias("bucket"))
+            .orderBy("doc_id"))
+
+
+def zipf_census(docs: DataFrame, top: int = 50, id_col: str = "doc_id",
+                text_col: str = "text",
+                ppm: int = 1_000_000) -> DataFrame:
+    """Rank-frequency vocabulary audit (Zipf census): the ``top`` most
+    frequent tokens with their corpus share and their frequency
+    relative to rank 1, both as exact floor-ppm integers — the
+    corpus-health check that catches boilerplate explosions (a token
+    whose share is far above the Zipf curve) and tokenizer damage (a
+    head full of fragments) before a training run.
+
+    All arithmetic is integer (count * ppm div total), so DuckDB
+    replays bit-for-bit. Plan shape: one explode, one hash-aggregate
+    with the token as the shuffle key, then ``orderBy(...).limit(top)``
+    — Spark's distributed TakeOrdered (per-partition top-``top`` then a
+    driver merge of partition heads), NOT a global sort: the
+    vocabulary never lands on one partition, so a 100M-type vocab at
+    100 TB costs each executor a bounded heap. The rank window runs on
+    the ``top``-row survivor frame only; the corpus total and max
+    count ride one-row broadcasts.
+    """
+    tok = docs.select(F.explode(tokens(text_col)).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"),
+                  F.max("c").alias("c_max"))
+    head = cnt.orderBy(F.col("c").desc(), "w").limit(top)
+    w_rk = Window.orderBy(F.col("c").desc(), "w")
+    return (head.crossJoin(F.broadcast(tot))
+            .select(F.row_number().over(w_rk).alias("rank"),
+                    F.col("w").alias("token"),
+                    F.col("c").alias("cnt"),
+                    F.expr(f"(c * {ppm}) div n_total").alias("share_ppm"),
+                    F.expr(f"(c * {ppm}) div c_max").alias("rel_ppm"))
+            .orderBy("rank"))

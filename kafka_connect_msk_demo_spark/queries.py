@@ -6013,6 +6013,8 @@ _DRIVER_PRIORITY = [
     # round-4 late additions (verified by rotation in later rounds)
     "bpe_train", "bpe_vocab", "incremental_neardup",
     "skew_census", "join_cardinality", "dataset_fingerprint",
+    "repeated_span_mask", "unigram_lm", "temperature_mix",
+    "sorted_neighborhood", "zipf_census",
 ]
 
 

@@ -54,7 +54,11 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "tpch_q11", "tpch_q20",
                 # audit queries assemble ONE-ROW aggregate frames per
                 # relation/join (scalar-subquery plan, like tfidf)
-                "skew_census", "join_cardinality"}
+                "skew_census", "join_cardinality",
+                # unigram_lm / temperature_mix / zipf_census broadcast
+                # ONE-ROW corpus-total frames (scalar-subquery plan,
+                # same class as tfidf)
+                "unigram_lm", "temperature_mix", "zipf_census"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

@@ -1,0 +1,142 @@
+"""Round-4j additions: exact unigram LM scoring with CCNet-style
+head/middle/tail bucketing."""
+
+from kafka_connect_msk_demo_spark.pipeline import text_analysis
+
+
+def _score(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_analysis.unigram_lm_score(df)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_hand_computed_ppm(spark):
+    # corpus: "a a b" + "c" -> counts a:2 b:1 c:1, N=4
+    got = _score(spark, [(1, "a a b"), (2, "c")])
+    # doc1: sum_cnt = 2+2+1 = 5, n_tokens=3 -> 5*1e6 // 12 = 416666
+    assert (got[1].n_tokens, got[1].sum_cnt, got[1].score_ppm) == \
+        (3, 5, 416666)
+    # doc2: sum_cnt = 1, n_tokens=1 -> 1e6 // 4 = 250000
+    assert (got[2].n_tokens, got[2].sum_cnt, got[2].score_ppm) == \
+        (1, 1, 250000)
+
+
+def test_common_text_lands_in_head_rare_in_tail(spark):
+    rows = [(1, "the the the the"),   # all max-frequency tokens
+            (2, "the zq wv xk"),      # mixed
+            (3, "qqq www eee rrr")]   # all singletons
+    got = _score(spark, rows)
+    assert got[1].bucket == "head"
+    assert got[2].bucket == "middle"
+    assert got[3].bucket == "tail"
+    assert got[1].score_ppm > got[2].score_ppm > got[3].score_ppm
+
+
+def test_terciles_partition_the_corpus_evenly(spark):
+    # 6 docs -> exactly 2 per bucket under ntile(3)
+    rows = [(i, " ".join(["tok%d" % i] * i)) for i in range(1, 7)]
+    got = _score(spark, rows)
+    from collections import Counter
+    assert Counter(r.bucket for r in got.values()) == \
+        {"head": 2, "middle": 2, "tail": 2}
+
+
+def test_score_is_scale_free_for_uniform_corpus(spark):
+    # every token unique -> every doc scores floor(1e6 / N) regardless
+    # of doc length (mean frequency of singletons)
+    rows = [(1, "a b c"), (2, "d e"), (3, "f")]
+    got = _score(spark, rows)
+    assert {r.score_ppm for r in got.values()} == {1000000 // 6}
+
+
+def test_temperature_quota_exact_counts(spark):
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        temperature_quota_sample)
+    # strata sizes 64 and 4: isqrt = 8 and 2, sum 10
+    rows = [(i, "big") for i in range(64)] + \
+           [(100 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_quota_sample(df, "source", "doc_id", budget=10)
+    got = [(r.source,) for r in out.collect()]
+    from collections import Counter
+    # quotas: 10*8//10 = 8, 10*2//10 = 2 — exact, not expected
+    assert Counter(s for s, in got) == {"big": 8, "small": 2}
+
+
+def test_temperature_quota_membership_is_stable_under_partitioning(spark):
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        temperature_quota_sample)
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r.doc_id for r in temperature_quota_sample(
+        df, "source", "doc_id", budget=30).collect()}
+    b = {r.doc_id for r in temperature_quota_sample(
+        df.repartition(7), "source", "doc_id", budget=30).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_temperature_flattens_toward_tail(spark):
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        temperature_quota_sample)
+    # raw proportions 400:16 = 25:1; sqrt proportions 20:4 = 5:1
+    rows = [(i, "head") for i in range(400)] + \
+           [(1000 + i, "tail") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_quota_sample(df, "source", "doc_id", budget=24)
+    from collections import Counter
+    c = Counter(r.source for r in out.collect())
+    # quotas: 24*20//24 = 20, 24*4//24 = 4 — 5:1, not 25:1
+    assert c == {"head": 20, "tail": 4}
+
+
+def test_sorted_neighborhood_finds_prefix_sharing_near_dups(spark):
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base),
+            (2, base + " extra"),          # same 40-char prefix
+            (3, "zz " + base),             # edit INSIDE the key prefix
+            (4, "completely different text about other things entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.sorted_neighborhood_pairs(df, window=2, threshold=0.5,
+                                          k=3)
+    pairs = {(r.d1, r.d2) for r in out.collect()}
+    # docs 1/2 sort adjacent (shared prefix) -> found; doc 3's edit
+    # falls inside the blocking key, so with window=2 it may only pair
+    # with whoever sorts next to it
+    assert (1, 2) in pairs
+
+
+def test_sorted_neighborhood_wide_window_recovers_neighbors(spark):
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + " tail one"), (3, base + " tail two"),
+            (4, "unrelated words entirely about something else here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.sorted_neighborhood_pairs(df, window=3, threshold=0.5,
+                                          k=3)
+    pairs = {(r.d1, r.d2) for r in out.collect()}
+    # all three prefix-sharers sit within a 3-row window of each other
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_zipf_census_ranks_and_ppm(spark):
+    from kafka_connect_msk_demo_spark.pipeline import text_analysis
+    rows = [(1, "a a a a b b c"), (2, "a a b c d")]
+    # counts: a:6 b:3 c:2 d:1, total 12
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_analysis.zipf_census(df, top=3).collect()
+    assert [(r.rank, r.token, r.cnt) for r in out] == \
+        [(1, "a", 6), (2, "b", 3), (3, "c", 2)]
+    assert out[0].share_ppm == 6 * 1000000 // 12
+    assert out[0].rel_ppm == 1000000
+    assert out[1].rel_ppm == 3 * 1000000 // 6
+
+
+def test_zipf_census_tie_breaks_lexicographically(spark):
+    from kafka_connect_msk_demo_spark.pipeline import text_analysis
+    df = spark.createDataFrame([(1, "z y z y x")],
+                               "doc_id long, text string")
+    out = text_analysis.zipf_census(df, top=3).collect()
+    # y and z tie at 2 -> y first
+    assert [r.token for r in out] == ["y", "z", "x"]
