@@ -191,3 +191,60 @@ def temperature_quota_sample(df: DataFrame, strata_col: str,
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= F.col("_quota"))
             .drop("_rk", "_quota"))
+
+
+def weighted_bootstrap_counts(df: DataFrame, weight_col: str,
+                              draws: int = 500, bucket: int = 4096,
+                              key_col: str = "doc_id",
+                              salt: str = "boot") -> DataFrame:
+    """Deterministic weighted sampling WITH replacement (bootstrap):
+    ``draws`` independent draws where row i is selected with
+    probability w_i / W — epoch construction when upweighted sources
+    should repeat, and the resampling primitive under bootstrap
+    confidence intervals. Returns (key, w, n_draws) for rows drawn at
+    least once.
+
+    Everything is integer-exact, so the oracle replays it: the CDF is
+    an exclusive prefix sum of integer weights — row i owns the
+    interval [lo_i, lo_i + w_i) of [0, W) — and draw j lands at
+    u_j = md5_48(salt:j) mod W. Both engines agree on every md5, mod,
+    and interval bound; no float inverse-CDF.
+
+    The interval-containment join is bucketed to stay equi: row
+    intervals explode to the ~(w/bucket + 1) buckets they overlap,
+    draws hash to their single bucket, and the join key is the bucket
+    id with a residual range filter — candidates per draw are the
+    O(bucket/avg_w) rows sharing it, never the corpus. At 100 TB the
+    one global structure is the exclusive prefix sum (here one window;
+    production splits it into per-partition sums + a broadcast offset
+    vector, O(P) driver traffic); the draws frame is ``draws`` rows and
+    broadcasts. Zero-weight rows own empty intervals and are excluded
+    up front (also keeps ``sequence()`` ascending).
+    """
+    from pyspark.sql import Window
+
+    d = (df.select(F.col(key_col).alias("k"),
+                   F.col(weight_col).cast("long").alias("w"))
+         .filter(F.col("w") > 0))
+    win = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    cdf = d.withColumn("lo", F.coalesce(F.sum("w").over(win), F.lit(0)))
+    tot = d.agg(F.sum("w").alias("tw"))
+    spans = cdf.select(
+        "k", "w", "lo",
+        F.explode(F.expr(
+            f"sequence(lo div {bucket}, (lo + w - 1) div {bucket})"))
+        .alias("bk"))
+    spark = df.sparkSession
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("j").cast("string"))),
+        1, 12), 16, 10).cast("long")
+    drw = (spark.range(draws).select(F.col("id").alias("j"))
+           .crossJoin(F.broadcast(tot))
+           .select(F.pmod(h, F.col("tw")).alias("u"))
+           .withColumn("bk", F.expr(f"u div {bucket}")))
+    return (drw.join(spans, "bk")
+            .filter((F.col("u") >= F.col("lo"))
+                    & (F.col("u") < F.col("lo") + F.col("w")))
+            .groupBy(F.col("k").alias("doc_id"), "w")
+            .agg(F.count(F.lit(1)).alias("n_draws"))
+            .orderBy("doc_id"))

@@ -3004,6 +3004,43 @@ ORDER BY rank
 """
 
 
+def q_weighted_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bootstrap (sampling WITH replacement):
+    500 draws from the exact integer n_chars CDF via md5-mod positions
+    and a bucketed interval join — operators/sampling.py
+    weighted_bootstrap_counts."""
+    from ..operators.sampling import weighted_bootstrap_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_bootstrap_counts(docs, "n_chars", draws=500,
+                                     bucket=4096, salt="boot-v1")
+
+
+_SQL_WEIGHTED_BOOTSTRAP = """
+WITH d AS (
+  SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS w
+  FROM documents WHERE n_chars > 0
+), cdf AS (
+  SELECT k, w,
+         CAST(COALESCE(SUM(w) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS lo
+  FROM d
+), tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d
+), drw AS (
+  SELECT CAST(concat('0x',
+             substr(md5('boot-v1:' || CAST(gs.j AS VARCHAR)), 1, 12))
+           AS BIGINT) % tot.tw AS u
+  FROM generate_series(0, 499) gs(j), tot
+)
+SELECT cdf.k AS doc_id, cdf.w, COUNT(*) AS n_draws
+FROM drw JOIN cdf ON drw.u >= cdf.lo AND drw.u < cdf.lo + cdf.w
+GROUP BY 1, 2
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -3083,4 +3120,6 @@ PIPELINE_QUERIES: dict = {
     "sorted_neighborhood": (q_sorted_neighborhood,
                             _SQL_SORTED_NEIGHBORHOOD),
     "zipf_census": (q_zipf_census, _SQL_ZIPF_CENSUS),
+    "weighted_bootstrap": (q_weighted_bootstrap,
+                           _SQL_WEIGHTED_BOOTSTRAP),
 }

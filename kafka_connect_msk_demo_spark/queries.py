@@ -6014,7 +6014,7 @@ _DRIVER_PRIORITY = [
     "bpe_train", "bpe_vocab", "incremental_neardup",
     "skew_census", "join_cardinality", "dataset_fingerprint",
     "repeated_span_mask", "unigram_lm", "temperature_mix",
-    "sorted_neighborhood", "zipf_census",
+    "sorted_neighborhood", "zipf_census", "weighted_bootstrap",
 ]
 
 

@@ -58,7 +58,10 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 # unigram_lm / temperature_mix / zipf_census broadcast
                 # ONE-ROW corpus-total frames (scalar-subquery plan,
                 # same class as tfidf)
-                "unigram_lm", "temperature_mix", "zipf_census"}
+                "unigram_lm", "temperature_mix", "zipf_census",
+                # weighted_bootstrap broadcasts the ONE-ROW total-
+                # weight frame into the draws generator (same class)
+                "weighted_bootstrap"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

@@ -140,3 +140,50 @@ def test_zipf_census_tie_breaks_lexicographically(spark):
     out = text_analysis.zipf_census(df, top=3).collect()
     # y and z tie at 2 -> y first
     assert [r.token for r in out] == ["y", "z", "x"]
+
+
+def _bootstrap_expected(rows, draws, salt="boot"):
+    # pure-Python replay of the md5-mod draw positions
+    import hashlib
+    rows = [(k, w) for k, w in rows if w > 0]
+    rows.sort()
+    lo, cdf = 0, []
+    for k, w in rows:
+        cdf.append((k, w, lo)); lo += w
+    W = lo
+    from collections import Counter
+    got = Counter()
+    for j in range(draws):
+        h = int(hashlib.md5(f"{salt}:{j}".encode()).hexdigest()[:12], 16)
+        u = h % W
+        for k, w, l in cdf:
+            if l <= u < l + w:
+                got[k] += 1
+                break
+    return got
+
+
+def test_weighted_bootstrap_matches_python_replay(spark):
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        weighted_bootstrap_counts)
+    rows = [(1, 100), (2, 300), (3, 50), (4, 0), (5, 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_bootstrap_counts(df, "n_chars", draws=200,
+                                    bucket=128, salt="boot")
+    got = {r.doc_id: r.n_draws for r in out.collect()}
+    exp = _bootstrap_expected(rows, 200)
+    assert got == dict(exp)
+    assert sum(got.values()) == 200          # intervals tile [0, W)
+    assert 4 not in got                      # zero weight never drawn
+
+
+def test_weighted_bootstrap_stable_under_partitioning(spark):
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        weighted_bootstrap_counts)
+    rows = [(i, 10 * (1 + i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = {(r.doc_id, r.n_draws) for r in weighted_bootstrap_counts(
+        df, "n_chars", draws=100, bucket=64).collect()}
+    b = {(r.doc_id, r.n_draws) for r in weighted_bootstrap_counts(
+        df.repartition(9), "n_chars", draws=100, bucket=64).collect()}
+    assert a == b and sum(n for _, n in a) == 100
