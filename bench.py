@@ -66,7 +66,8 @@ SKIP = {"cdc_upsert", "stream_anomaly", "stream_sales_by_type", "stream_windowed
         "stream_enriched_windowed", "stream_running_user_stats",
         "stream_stream_join", "stream_session_agg", "stream_dedup_keys",
         "stream_hll", "stream_ewma", "stream_topk_users",
-        "stream_left_join_nulls", "stream_record_high"}
+        "stream_left_join_nulls", "stream_record_high",
+        "stream_dedup_census"}
 
 
 def _force(df) -> None:

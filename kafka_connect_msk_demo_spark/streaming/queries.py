@@ -510,6 +510,38 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank
 """
 
 
+def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dup census over an INGESTING corpus: documents
+    arrive in micro-batches (the Kafka-topic stand-in), and a
+    complete-mode aggregation keyed on the normalized-text md5 keeps
+    (copies, canonical doc) per digest — the online view a
+    dedup-at-ingest service maintains. Count and min are commutative
+    and batch-order-independent, so the drained final emission equals
+    the batch census exactly — which is precisely what the oracle
+    checks. State is one row per DISTINCT digest (the 100 TB bound:
+    corpus-distinct, not corpus-size; digests are the shuffle key).
+    Emitted: digests seen >= 2 times, i.e. the duplicate clusters."""
+    docs = stream_table(spark, sf_dir, "documents",
+                        max_files_per_trigger=1)
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    agg = (docs.groupBy(digest.alias("digest"))
+           .agg(F.count(F.lit(1)).alias("n_copies"),
+                F.min("doc_id").alias("canonical")))
+    drained = run_to_memory(agg, "complete")
+    return (drained.filter(F.col("n_copies") >= 2)
+            .orderBy("digest"))
+
+
+_SQL_STREAM_DEDUP_CENSUS = """
+SELECT md5(lower(trim(text))) AS digest,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical
+FROM documents
+GROUP BY 1 HAVING COUNT(*) >= 2
+ORDER BY digest
+"""
+
+
 STREAMING_QUERIES = {
     "stream_sales_by_type": (stream_sales_by_type,
                              _SQL_STREAM_SALES_BY_TYPE),
@@ -529,4 +561,6 @@ STREAMING_QUERIES = {
     "stream_hll": (stream_hll, _SQL_STREAM_HLL),
     "stream_ewma": (stream_ewma, _SQL_STREAM_EWMA),
     "stream_topk_users": (stream_topk_users, _SQL_STREAM_TOPK_USERS),
+    "stream_dedup_census": (stream_dedup_census,
+                            _SQL_STREAM_DEDUP_CENSUS),
 }
