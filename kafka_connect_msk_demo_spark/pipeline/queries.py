@@ -3041,6 +3041,21 @@ ORDER BY doc_id
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column census over customer/orders/part: null
+    count, exact distinct count, min/max per column under
+    engine-stable string rendering — operators/profiling.py."""
+    from ..operators.profiling import PROFILE_COLUMNS, profile_tables
+
+    tables = {t: load_table(spark, sf_dir, t) for t in PROFILE_COLUMNS}
+    return profile_tables(tables)
+
+
+def _sql_table_profile() -> str:
+    from ..operators.profiling import profile_oracle_sql
+    return profile_oracle_sql()
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -3122,4 +3137,5 @@ PIPELINE_QUERIES: dict = {
     "zipf_census": (q_zipf_census, _SQL_ZIPF_CENSUS),
     "weighted_bootstrap": (q_weighted_bootstrap,
                            _SQL_WEIGHTED_BOOTSTRAP),
+    "table_profile": (q_table_profile, _sql_table_profile()),
 }

@@ -187,3 +187,21 @@ def test_weighted_bootstrap_stable_under_partitioning(spark):
     b = {(r.doc_id, r.n_draws) for r in weighted_bootstrap_counts(
         df.repartition(9), "n_chars", draws=100, bucket=64).collect()}
     assert a == b and sum(n for _, n in a) == 100
+
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    from kafka_connect_msk_demo_spark.operators.profiling import (
+        profile_table)
+    rows = [(1, "b", None), (2, "a", 5.0), (3, "a", 7.25), (4, None, 5.0)]
+    df = spark.createDataFrame(rows, "k long, s string, d double")
+    out = profile_table(df, "t", [("k", "int"), ("s", "str"),
+                                  ("d", "dec")])
+    got = {r.col_name: r for r in out.collect()}
+    assert (got["k"].n_rows, got["k"].n_null, got["k"].n_distinct) == \
+        (4, 0, 4)
+    assert (got["k"].min_v, got["k"].max_v) == ("1", "4")
+    assert (got["s"].n_null, got["s"].n_distinct) == (1, 2)
+    assert (got["s"].min_v, got["s"].max_v) == ("a", "b")
+    # decimal rendering: 5.0 -> '5.00', 7.25 -> '7.25'
+    assert (got["d"].n_null, got["d"].n_distinct) == (1, 2)
+    assert (got["d"].min_v, got["d"].max_v) == ("5.00", "7.25")
