@@ -299,3 +299,73 @@ def repeated_span_mask(docs: DataFrame, k: int = 8, min_count: int = 2,
                     .alias("masked_tokens"),
                     clean.alias("clean_text"))
             .orderBy("doc_id"))
+
+
+def contamination_spans(corpus: DataFrame, benchmark: DataFrame,
+                        n: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Contiguous-overlap contamination: where
+    :func:`benchmark_contamination` counts how MANY of a document's
+    n-grams appear in the eval set, this measures the longest
+    CONTIGUOUS run of matching grams — a 50-token verbatim quote and
+    50 scattered common n-grams have the same overlap count but very
+    different leak severity (the PaLM/GPT-4 reports use exactly this
+    consecutive-overlap criterion for their decontamination).
+
+    Per corpus document: total n-gram positions, matched positions,
+    and the longest matched run in TOKENS (consecutive matched gram
+    starts p..q cover q - p + n tokens; 0 when nothing matches).
+    Matched start positions merge into runs by gaps-and-islands — an
+    island breaks when the next matched start skips a position.
+
+    Shape at scale: the benchmark collapses to a distinct-gram set and
+    broadcasts (eval suites are small); the corpus side is one narrow
+    gram explode, a broadcast semi join, and two doc_id-keyed window/
+    aggregate passes whose per-group state is bounded by document
+    length. The corpus never shuffles on anything but doc_id.
+    """
+    from pyspark.sql import Window
+
+    def kg(df):
+        t = df.select(F.col(id_col).alias("doc_id"),
+                      tokens(text_col).alias("t"))
+        return t.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"CASE WHEN size(t) >= {n} THEN "
+                f"transform(sequence(1, size(t) - {n} + 1), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice(t, i, {n})) AS g)) "
+                f"ELSE array() END")).alias("x")) \
+            .select("doc_id", "x.pos", "x.g")
+
+    bench = kg(benchmark).select("g").distinct()
+    grams = kg(corpus)
+    marked = grams.join(F.broadcast(bench), "g", "leftsemi") \
+                  .select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_run = F.when(F.lag("pos").over(w).isNull()
+                     | (F.col("pos") > F.lag("pos").over(w) + 1),
+                     F.lit(1)).otherwise(F.lit(0))
+    runs = (marked.withColumn("rid", F.sum(new_run).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("doc_id", "rid")
+            .agg((F.max("pos") - F.min("pos") + n).alias("run_tokens")))
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_tokens").cast("long").alias("max_run_tokens"))
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    hits = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    base = corpus.select(F.col(id_col).alias("doc_id"))
+    return (base.join(totals, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+                    F.coalesce("max_run_tokens", F.lit(0))
+                    .alias("max_run_tokens"))
+            .orderBy("doc_id"))

@@ -3056,6 +3056,104 @@ def _sql_table_profile() -> str:
     return profile_oracle_sql()
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer bigram LM fluency score: mean floor-ppm
+    conditional bigram frequency per document (see
+    pipeline/text_analysis.py bigram_lm_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bigram_lm_score(docs)
+
+
+_SQL_BIGRAM_LM = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), uni AS (
+  SELECT unnest(t) AS w1 FROM tok
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM tok WHERE len(t) >= 2)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+), term AS (
+  SELECT doc_id, (c2.c2 * 1000000) // c1.c1 AS tq
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+), pd AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(tq) // COUNT(*) AS BIGINT) AS score_ppm
+  FROM term GROUP BY 1
+)
+SELECT tok.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       COALESCE(pd.score_ppm, 0) AS score_ppm
+FROM tok LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-overlap contamination severity: longest consecutive
+    run of benchmark-matching 5-grams per corpus document (doc_id % 23
+    == 0 is the stand-in eval set, as in benchmark_contamination) —
+    pipeline/clean.py contamination_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return clean.contamination_spans(corpus, bench, n=5)
+
+
+_SQL_CONTAMINATION_SPANS = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5 + 2)) AS i
+        FROM tok WHERE len(t) >= 5)
+), bench AS (
+  SELECT DISTINCT g FROM kg WHERE doc_id % 23 = 0
+), corp AS (
+  SELECT doc_id, pos, g FROM kg WHERE doc_id % 23 <> 0
+), marked AS (
+  SELECT doc_id, pos FROM corp WHERE g IN (SELECT g FROM bench)
+), fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) + 1
+              THEN 1 ELSE 0 END AS nf
+  FROM marked
+), runs0 AS (
+  SELECT doc_id, pos,
+         SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS rid
+  FROM fl
+), runs AS (
+  SELECT doc_id, rid, MAX(pos) - MIN(pos) + 5 AS run_tokens
+  FROM runs0 GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, COUNT(*) AS n_runs,
+         CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+  FROM runs GROUP BY 1
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY 1
+), hit AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM marked GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(tot.n_grams, 0) AS n_grams,
+       COALESCE(hit.n_hits, 0) AS n_hits,
+       COALESCE(pd.n_runs, 0) AS n_runs,
+       COALESCE(pd.max_run_tokens, 0) AS max_run_tokens
+FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN hit USING (doc_id)
+LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -3138,4 +3236,7 @@ PIPELINE_QUERIES: dict = {
     "weighted_bootstrap": (q_weighted_bootstrap,
                            _SQL_WEIGHTED_BOOTSTRAP),
     "table_profile": (q_table_profile, _sql_table_profile()),
+    "bigram_lm": (q_bigram_lm, _SQL_BIGRAM_LM),
+    "contamination_spans": (q_contamination_spans,
+                            _SQL_CONTAMINATION_SPANS),
 }

@@ -762,3 +762,51 @@ def zipf_census(docs: DataFrame, top: int = 50, id_col: str = "doc_id",
                     F.expr(f"(c * {ppm}) div n_total").alias("share_ppm"),
                     F.expr(f"(c * {ppm}) div c_max").alias("rel_ppm"))
             .orderBy("rank"))
+
+
+def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    ppm: int = 1_000_000) -> DataFrame:
+    """Exact integer bigram LM fluency score — the local-coherence
+    upgrade of :func:`unigram_lm_score`. Each adjacent token pair
+    contributes the floor-ppm conditional frequency
+
+        t_i = c2(w_{i-1}, w_i) * ppm div c1(w_{i-1})
+
+    (c2 = corpus bigram count, c1 = corpus unigram count of the
+    prefix), and the document score is the integer mean of its terms —
+    jumbled text scores near zero even when every token is common,
+    which the unigram score cannot see. Every quantity is an integer
+    count or a floor division, so DuckDB replays bit-for-bit (no log
+    probabilities — same rationale as the unigram scorer).
+
+    Plan shape: two narrow explodes (unigrams, bigrams), two
+    hash-aggregates keyed on the gram, then co-partitioned joins back
+    on those same keys and one doc_id hash-aggregate. Docs shorter
+    than two tokens emit zero bigrams and score 0.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    uni = toks.select(F.explode("t").alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN "
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, "
+            "element_at(t, i + 1) AS w2)) "
+            "ELSE array() END")).alias("x")) \
+        .select("doc_id", "x.w1", "x.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    term = (bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+            .select("doc_id",
+                    F.expr(f"(c2 * {ppm}) div c1").alias("tq")))
+    per_doc = (term.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.expr("sum(tq) div count(1)").alias("score_ppm")))
+    return (toks.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("score_ppm", F.lit(0)).alias("score_ppm"))
+            .orderBy("doc_id"))

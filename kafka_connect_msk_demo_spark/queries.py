@@ -6015,7 +6015,8 @@ _DRIVER_PRIORITY = [
     "skew_census", "join_cardinality", "dataset_fingerprint",
     "repeated_span_mask", "unigram_lm", "temperature_mix",
     "sorted_neighborhood", "zipf_census", "weighted_bootstrap",
-    "stream_dedup_census", "table_profile",
+    "stream_dedup_census", "table_profile", "bigram_lm",
+    "contamination_spans",
 ]
 
 

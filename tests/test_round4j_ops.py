@@ -205,3 +205,50 @@ def test_profile_counts_nulls_distincts_minmax(spark):
     # decimal rendering: 5.0 -> '5.00', 7.25 -> '7.25'
     assert (got["d"].n_null, got["d"].n_distinct) == (1, 2)
     assert (got["d"].min_v, got["d"].max_v) == ("5.00", "7.25")
+
+
+def test_bigram_lm_hand_computed(spark):
+    from kafka_connect_msk_demo_spark.pipeline import text_analysis
+    # corpus: "a b a b" and "a c". unigrams: a:3 b:2 c:1
+    # bigrams: (a,b):2 (b,a):1 (a,c):1
+    rows = [(1, "a b a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_analysis.bigram_lm_score(df).collect()}
+    # doc1 terms: ab: 2e6//3=666666, ba: 1e6//2=500000, ab: 666666
+    assert got[1].n_bigrams == 3
+    assert got[1].score_ppm == (666666 + 500000 + 666666) // 3
+    # doc2: ac: 1e6//3 = 333333
+    assert (got[2].n_bigrams, got[2].score_ppm) == (1, 333333)
+
+
+def test_bigram_lm_short_doc_scores_zero(spark):
+    from kafka_connect_msk_demo_spark.pipeline import text_analysis
+    df = spark.createDataFrame([(1, "single"), (2, "two words")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_analysis.bigram_lm_score(df).collect()}
+    assert (got[1].n_bigrams, got[1].score_ppm) == (0, 0)
+    assert got[2].n_bigrams == 1
+
+
+def test_contamination_spans_measures_contiguous_runs(spark):
+    from kafka_connect_msk_demo_spark.pipeline import clean
+    quote = "one two three four five six seven"      # 7 tokens
+    bench = spark.createDataFrame([(100, quote)],
+                                  "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, f"intro words here {quote} outro words there"),
+         (2, "one two three nothing four five six scattered"),
+         (3, "totally clean document with no overlap at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           clean.contamination_spans(corpus, bench, n=3).collect()}
+    # doc1 embeds the full 7-token quote: run of 5 matched 3-gram
+    # starts -> 5 - 1 + 3 = 7 tokens
+    assert got[1].max_run_tokens == 7
+    assert got[1].n_runs == 1
+    # doc2 has "one two three" and "four five six" separately: two
+    # runs of exactly 3 tokens each
+    assert (got[2].n_runs, got[2].max_run_tokens) == (2, 3)
+    assert (got[3].n_hits, got[3].max_run_tokens) == (0, 0)
