@@ -3154,6 +3154,60 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition audit — the mixing dashboard a
+    pretraining run reads before setting quotas: document and token
+    shares (exact floor-ppm), mean chars per token (bigint/bigint
+    division, engine-exact), and language spread per source. One
+    hash-aggregate keyed on source plus a one-row totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (docs.select("source", "lang",
+                       F.size(F.split(F.lower(F.trim(F.col("text"))),
+                                      " ")).alias("nt"),
+                       F.col("n_chars"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens"),
+                F.sum("n_chars").alias("n_chars"),
+                F.count_distinct("lang").alias("n_langs")))
+    tot = per.agg(F.sum("n_docs").alias("td"),
+                  F.sum("n_tokens").alias("tt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.expr("(n_docs * 1000000) div td")
+                    .alias("doc_share_ppm"),
+                    "n_tokens",
+                    F.expr("(n_tokens * 1000000) div tt")
+                    .alias("tok_share_ppm"),
+                    (F.col("n_chars").cast("double")
+                     / F.col("n_tokens")).alias("chars_per_token"),
+                    "n_langs")
+            .orderBy("source"))
+
+
+_SQL_CORPUS_MIX_AUDIT = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+           AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+         CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per
+)
+SELECT source, n_docs,
+       (n_docs * 1000000) // tot.td AS doc_share_ppm,
+       n_tokens,
+       (n_tokens * 1000000) // tot.tt AS tok_share_ppm,
+       n_chars::DOUBLE / n_tokens AS chars_per_token,
+       n_langs
+FROM per, tot
+ORDER BY source
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -3239,4 +3293,5 @@ PIPELINE_QUERIES: dict = {
     "bigram_lm": (q_bigram_lm, _SQL_BIGRAM_LM),
     "contamination_spans": (q_contamination_spans,
                             _SQL_CONTAMINATION_SPANS),
+    "corpus_mix_audit": (q_corpus_mix_audit, _SQL_CORPUS_MIX_AUDIT),
 }

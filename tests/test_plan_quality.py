@@ -61,7 +61,9 @@ BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "unigram_lm", "temperature_mix", "zipf_census",
                 # weighted_bootstrap broadcasts the ONE-ROW total-
                 # weight frame into the draws generator (same class)
-                "weighted_bootstrap"}
+                "weighted_bootstrap",
+                # corpus_mix_audit broadcasts the ONE-ROW totals frame
+                "corpus_mix_audit"}
 
 #: queries that materialize side state (files/streams/tables) during
 #: build — exercised by the oracle harness instead; the bucketed query

@@ -73,3 +73,50 @@ def test_fully_masked_doc_yields_empty_clean_text(spark):
     for r in got.values():
         assert (r.n_spans, r.masked_tokens) == (1, 4)
         assert r.clean_text == ""
+
+
+def _span_mask_replay(rows, k, min_count):
+    """Pure-Python reference for repeated_span_mask."""
+    from collections import Counter
+    toks = {d: t.strip(" ").lower().split(" ") for d, t in rows}
+    grams = Counter()
+    for t in toks.values():
+        for i in range(len(t) - k + 1):
+            grams[" ".join(t[i:i + k])] += 1
+    out = {}
+    for d, t in toks.items():
+        marked = set()
+        for i in range(len(t) - k + 1):
+            if grams[" ".join(t[i:i + k])] >= min_count:
+                marked.update(range(i, i + k))
+        spans = []
+        for p in sorted(marked):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p))
+            else:
+                spans.append((p, p))
+        clean = " ".join(t[p] for p in range(len(t)) if p not in marked)
+        out[d] = (len(t), len(spans), len(marked), clean)
+    return out
+
+
+def test_span_mask_matches_python_replay_on_random_corpora(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        rows = [(i + 1, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_spans, r.masked_tokens,
+                          r.clean_text)
+               for r in clean.repeated_span_mask(
+                   df, k=3, min_count=2).collect()}
+        assert got == _span_mask_replay(rows, 3, 2)
+
+    run()
