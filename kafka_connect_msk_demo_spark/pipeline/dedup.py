@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textprep import doc_shingles
+from .textprep import doc_shingles, tokens
 
 # ---------------------------------------------------------------------------
 # Shared batch-axis hashing for the signature kernels
@@ -662,3 +662,73 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
                     F.greatest("doc_id", "o_id").alias("d2")))
     sh = doc_shingles(docs, id_col, text_col, k).persist()
     return _verify_jaccard(cand, sh, threshold)
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every overlapping ``k``-gram,
+    slide a ``w``-window over the hash sequence, and keep each
+    window's MINIMUM hash; the distinct kept hashes are the document's
+    fingerprint set. Guarantees: any shared run of ``w + k - 1``
+    tokens contributes at least one COMMON fingerprint (detection
+    floor), and expected density is 2/(w+1) — the index is a fixed
+    fraction of the gram stream, which is the whole point vs indexing
+    every shingle. Position-aware where MinHash is bag-of-shingles:
+    winnowing catches contiguous plagiarized passages, MinHash global
+    resemblance.
+
+    Hashes are the 48-bit md5 prefix of the gram (the engine-portable
+    integer idiom used across this package), window minima are a plain
+    ROWS frame over the dense per-doc position order, and the output
+    is distinct (doc_id, fp). Docs with fewer than ``k + w - 1``
+    tokens keep the minimum over whatever grams they have (one partial
+    window), so short docs still fingerprint.
+
+    Scale shape: narrow gram explode, one per-doc window pass (state =
+    ``w`` hashes), distinct on (doc_id, fp) — the fingerprint is the
+    downstream shuffle/join key.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("t"))
+    kg = toks.select(
+        "doc_id", F.size("t").alias("n"),
+        F.explode(F.expr(
+            f"CASE WHEN size(t) >= {k} THEN "
+            f"transform(sequence(1, size(t) - {k} + 1), "
+            f"i -> struct(i AS pos, concat_ws(' ', slice(t, i, {k})) AS g)) "
+            f"ELSE array(struct(1 AS pos, concat_ws(' ', t) AS g)) END"))
+        .alias("x")) \
+        .select("doc_id", F.col("x.pos").alias("pos"),
+                F.conv(F.substring(F.md5(F.col("x.g")), 1, 12), 16, 10)
+                .cast("long").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_pos = Window.partitionBy("doc_id")
+    sel = (kg.withColumn("np", F.max("pos").over(n_pos))
+           .withColumn("wm", F.min("h").over(win))
+           # a window must be FULL (or the doc's single partial
+           # window starting at pos 1) to select its minimum
+           .filter((F.col("pos") + (w - 1) <= F.col("np"))
+                   | (F.col("pos") == 1)))
+    return sel.select("doc_id", F.col("wm").alias("fp")).distinct()
+
+
+def winnowing_pairs(docs: DataFrame, k: int = 3, w: int = 4,
+                    min_shared: int = 2,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Near-dup candidates by shared winnowing fingerprints: pairs
+    (d1 < d2) sharing >= ``min_shared`` fingerprints with the shared
+    count — the MOSS match report. The join key is the fingerprint
+    (inverted index over the 2/(w+1)-dense fingerprint set, never the
+    full shingle set)."""
+    fps = winnowing_fingerprints(docs, k, w, id_col, text_col)
+    a = fps.select(F.col("doc_id").alias("d1"), "fp")
+    b = fps.select(F.col("doc_id").alias("d2"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .orderBy("d1", "d2"))

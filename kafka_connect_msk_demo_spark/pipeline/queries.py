@@ -3208,6 +3208,43 @@ ORDER BY source
 """
 
 
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint match report: pairs sharing >= 3
+    window-minimum 3-gram hashes under w=4 windows — position-aware
+    passage-level dedup, 2/(w+1) index density (see
+    pipeline/dedup.py winnowing_fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnowing_pairs(docs, k=3, w=4, min_shared=3)
+
+
+_SQL_WINNOWING_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x',
+              substr(md5(array_to_string(t[i:i+2], ' ')), 1, 12))
+           AS BIGINT) AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - 3 + 1, 1) + 1)) AS i
+        FROM tok)
+), sel AS (
+  SELECT doc_id, pos, h,
+         MAX(pos) OVER (PARTITION BY doc_id) AS np,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+  FROM kg
+), fps AS (
+  SELECT DISTINCT doc_id, wm AS fp FROM sel
+  WHERE pos + 3 <= np OR pos = 1
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+ORDER BY d1, d2
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -3294,4 +3331,5 @@ PIPELINE_QUERIES: dict = {
     "contamination_spans": (q_contamination_spans,
                             _SQL_CONTAMINATION_SPANS),
     "corpus_mix_audit": (q_corpus_mix_audit, _SQL_CORPUS_MIX_AUDIT),
+    "winnowing_pairs": (q_winnowing_pairs, _SQL_WINNOWING_PAIRS),
 }

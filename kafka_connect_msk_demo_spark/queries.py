@@ -6016,7 +6016,7 @@ _DRIVER_PRIORITY = [
     "repeated_span_mask", "unigram_lm", "temperature_mix",
     "sorted_neighborhood", "zipf_census", "weighted_bootstrap",
     "stream_dedup_census", "table_profile", "bigram_lm",
-    "contamination_spans", "corpus_mix_audit",
+    "contamination_spans", "corpus_mix_audit", "winnowing_pairs",
 ]
 
 

@@ -252,3 +252,41 @@ def test_contamination_spans_measures_contiguous_runs(spark):
     # runs of exactly 3 tokens each
     assert (got[2].n_runs, got[2].max_run_tokens) == (2, 3)
     assert (got[3].n_hits, got[3].max_run_tokens) == (0, 0)
+
+
+def test_winnowing_detects_shared_passage(spark):
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+    passage = "the rain in spain falls mainly on the plain today"
+    rows = [(1, f"intro text {passage} closing words"),
+            (2, f"{passage} different ending entirely"),
+            (3, "nothing in common with those documents at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.d1, r.d2): r.n_shared
+           for r in dedup.winnowing_pairs(df, k=3, w=4,
+                                          min_shared=1).collect()}
+    # shared 10-token passage >= w + k - 1 = 6 tokens guarantees at
+    # least one common fingerprint (the winnowing detection floor)
+    assert (1, 2) in out
+    assert all(3 not in p for p in out)
+
+
+def test_winnowing_density_bound(spark):
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+    text = " ".join("w%d" % i for i in range(60))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fps = dedup.winnowing_fingerprints(df, k=3, w=4).count()
+    n_grams = 60 - 3 + 1
+    # selected set is a strict sample: windows overlap so adjacent
+    # windows usually share their minimum; must be well under n_grams
+    # and at least n_windows/w (each window contributes SOME min)
+    assert fps <= n_grams
+    assert fps >= (n_grams - 4 + 1) // 4
+
+
+def test_winnowing_short_doc_still_fingerprints(spark):
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+    df = spark.createDataFrame([(1, "tiny"), (2, "a b c d")],
+                               "doc_id long, text string")
+    got = {r.doc_id for r in
+           dedup.winnowing_fingerprints(df, k=3, w=4).collect()}
+    assert got == {1, 2}
