@@ -732,3 +732,31 @@ def winnowing_pairs(docs: DataFrame, k: int = 3, w: int = 4,
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
             .orderBy("d1", "d2"))
+
+
+def dedup_keep_policy(docs: DataFrame, pairs: DataFrame,
+                      order_col: str = "n_chars",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Policy-pluggable dedup retention: like :func:`dedup_clusters`
+    but the survivor of each near-dup cluster is chosen by a QUALITY
+    ordering (``order_col`` desc, id asc) instead of the minimum id —
+    production pipelines keep the longest / highest-scoring variant of
+    a duplicated document, not an arbitrary one. Same contract as
+    dedup_clusters: ``pairs`` must derive from ``docs``.
+
+    Shuffle story: the corpus is touched once (label left-join), then
+    one window pass partitioned by cluster_id — per-group state is one
+    row, and cluster sizes are near-dup-cluster sized, so no skew
+    beyond the pathological all-duplicates corpus (where retention is
+    moot anyway)."""
+    comp = connected_components(pairs)
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(order_col))
+            .join(comp, F.col("doc_id") == F.col("node"), "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("cluster_id"),
+                    F.col(order_col)))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(order_col).desc(), F.col("doc_id"))
+    return (base.withColumn("keep", F.row_number().over(w) == 1)
+            .orderBy("doc_id"))

@@ -3245,6 +3245,54 @@ ORDER BY d1, d2
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention: near-dup clusters (exact J >=
+    0.8 pairs -> connected components) keep the LONGEST member
+    (n_chars desc, doc_id tiebreak), not the minimum id — see
+    pipeline/dedup.py dedup_keep_policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
+    return dedup.dedup_keep_policy(docs, pairs, order_col="n_chars")
+
+
+_SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {duckdb_shingle_cte(3)},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2
+  FROM cand
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = d1
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = d2
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM jac
+  UNION
+  SELECT d2 AS a, d1 AS b FROM jac
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY 1),
+base AS (
+  SELECT doc_id, COALESCE(comp.c, doc_id) AS cluster_id, n_chars
+  FROM documents LEFT JOIN comp ON documents.doc_id = comp.n
+)
+SELECT doc_id, cluster_id, n_chars,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM base
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -3332,4 +3380,5 @@ PIPELINE_QUERIES: dict = {
                             _SQL_CONTAMINATION_SPANS),
     "corpus_mix_audit": (q_corpus_mix_audit, _SQL_CORPUS_MIX_AUDIT),
     "winnowing_pairs": (q_winnowing_pairs, _SQL_WINNOWING_PAIRS),
+    "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
 }

@@ -290,3 +290,19 @@ def test_winnowing_short_doc_still_fingerprints(spark):
     got = {r.doc_id for r in
            dedup.winnowing_fingerprints(df, k=3, w=4).collect()}
     assert got == {1, 2}
+
+
+def test_dedup_keep_best_keeps_longest(spark):
+    from kafka_connect_msk_demo_spark.pipeline import dedup
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 80), (4, 10)],
+        "doc_id long, n_chars long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    out = {r.doc_id: r for r in
+           dedup.dedup_keep_policy(docs, pairs,
+                                   order_col="n_chars").collect()}
+    # cluster {1,2,3}: longest is 2 and 3 tied at 80 -> doc 2 wins
+    assert [out[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert len({out[i].cluster_id for i in (1, 2, 3)}) == 1
+    # singleton 4 keeps itself
+    assert out[4].keep and out[4].cluster_id == 4
