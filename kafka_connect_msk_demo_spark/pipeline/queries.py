@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from . import clean, dedup, multimodal, similarity, text_analysis
 from .text_analysis import LANG_MARKERS, STOPWORDS
-from .textprep import duckdb_shingle_cte
+from .textprep import duckdb_shingle_cte, tokens
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
@@ -3293,6 +3293,147 @@ ORDER BY doc_id
 """
 
 
+def q_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detector (FineWeb-style crawl
+    diagnostic): the fraction of a source's 5-gram POSITIONS whose
+    gram recurs in >= 5 distinct documents of the SAME source —
+    template headers/footers light up a source long before global
+    dedup sees pairs. Exact floor-ppm integers throughout. Shape: one
+    gram explode, one (source, gram) distinct-doc aggregate, one
+    co-partitioned semi join back, one source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    kg = (docs.select("source", F.col("doc_id"),
+                      tokens("text").alias("t"))
+          .select("source", "doc_id",
+                  F.explode(F.expr(
+                      "CASE WHEN size(t) >= 5 THEN "
+                      "transform(sequence(1, size(t) - 4), "
+                      "i -> concat_ws(' ', slice(t, i, 5))) "
+                      "ELSE array() END")).alias("g")))
+    boiler = (kg.select("source", "g", "doc_id").distinct()
+              .groupBy("source", "g")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") >= 5)
+              .select("source", "g"))
+    hits = (kg.join(boiler, ["source", "g"], "leftsemi")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_boiler")))
+    totals = kg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_positions"))
+    return (totals.join(hits, "source", "left")
+            .select("source", "n_positions",
+                    F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+                    F.expr("(coalesce(n_boiler, 0) * 1000000) "
+                           "div n_positions").alias("boiler_ppm"))
+            .orderBy("source"))
+
+
+_SQL_BOILERPLATE_AUDIT = """
+WITH tok AS (
+  SELECT source, doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), kg AS (
+  SELECT source, doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT source, doc_id, t, unnest(range(1, len(t) - 5 + 2)) AS i
+        FROM tok WHERE len(t) >= 5)
+), boiler AS (
+  SELECT source, g FROM (
+    SELECT source, g, COUNT(DISTINCT doc_id) AS df
+    FROM kg GROUP BY 1, 2
+  ) WHERE df >= 5
+), hits AS (
+  SELECT kg.source, COUNT(*) AS n_boiler
+  FROM kg JOIN boiler USING (source, g) GROUP BY 1
+), totals AS (
+  SELECT source, COUNT(*) AS n_positions FROM kg GROUP BY 1
+)
+SELECT totals.source, totals.n_positions,
+       COALESCE(hits.n_boiler, 0) AS n_boiler,
+       (COALESCE(hits.n_boiler, 0) * 1000000) // totals.n_positions
+         AS boiler_ppm
+FROM totals LEFT JOIN hits USING (source)
+ORDER BY source
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: confusion matrix of the stored ``lang``
+    label vs the marker-based lang_id prediction — the agreement check
+    a pipeline runs before trusting either signal. One narrow compose
+    of the audited lang_id plan plus a (label, predicted) rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_analysis.lang_id(docs).select("doc_id", "pred_lang")
+    lab = docs.select("doc_id", F.col("lang").alias("label_lang"))
+    return (lab.join(pred, "doc_id")
+            .groupBy("label_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("label_lang", "pred_lang"))
+
+
+_SQL_LANG_CONFUSION = f"""
+WITH m(lang, w) AS (VALUES {_MARKER_VALUES}),
+toks AS (
+  SELECT doc_id, lang AS label_lang,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+), ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+hits AS (
+  SELECT ex.doc_id, m.lang, COUNT(*) AS c
+  FROM ex JOIN m ON ex.w = m.w
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang) AS rn
+  FROM hits
+), pred AS (
+  SELECT t.doc_id, t.label_lang,
+         COALESCE(b.pred_lang, 'und') AS pred_lang
+  FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    ON t.doc_id = b.doc_id
+)
+SELECT label_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2
+ORDER BY label_lang, pred_lang
+"""
+
+
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination retention report: drop corpus docs whose
+    longest contiguous eval-overlap run is >= 8 tokens (the
+    contamination_spans criterion) and report kept/dropped counts per
+    source — the go/no-go summary before a training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    spans = clean.contamination_spans(corpus, bench, n=5)
+    lab = corpus.select("doc_id", "source")
+    return (lab.join(spans, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("max_run_tokens") >= 8).cast("long"))
+                 .alias("n_dropped"),
+                 F.sum((F.col("max_run_tokens") < 8).cast("long"))
+                 .alias("n_kept"))
+            .orderBy("source"))
+
+
+_SQL_DECONTAMINATE_REPORT = f"""
+WITH rep AS ({_SQL_CONTAMINATION_SPANS}),
+lab AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 23 <> 0
+)
+SELECT lab.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rep.max_run_tokens >= 8 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rep.max_run_tokens < 8 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept
+FROM lab JOIN rep USING (doc_id)
+GROUP BY 1
+ORDER BY source
+"""
+
+
 PIPELINE_QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dup_spectrum": (q_dup_spectrum, _SQL_DUP_SPECTRUM),
@@ -3381,4 +3522,8 @@ PIPELINE_QUERIES: dict = {
     "corpus_mix_audit": (q_corpus_mix_audit, _SQL_CORPUS_MIX_AUDIT),
     "winnowing_pairs": (q_winnowing_pairs, _SQL_WINNOWING_PAIRS),
     "dedup_keep_best": (q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
+    "boilerplate_audit": (q_boilerplate_audit, _SQL_BOILERPLATE_AUDIT),
+    "lang_confusion": (q_lang_confusion, _SQL_LANG_CONFUSION),
+    "decontaminate_report": (q_decontaminate_report,
+                             _SQL_DECONTAMINATE_REPORT),
 }

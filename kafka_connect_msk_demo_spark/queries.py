@@ -6017,7 +6017,8 @@ _DRIVER_PRIORITY = [
     "sorted_neighborhood", "zipf_census", "weighted_bootstrap",
     "stream_dedup_census", "table_profile", "bigram_lm",
     "contamination_spans", "corpus_mix_audit", "winnowing_pairs",
-    "dedup_keep_best",
+    "dedup_keep_best", "boilerplate_audit", "lang_confusion",
+    "decontaminate_report",
 ]
 
 
