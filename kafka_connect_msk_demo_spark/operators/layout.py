@@ -78,3 +78,86 @@ def zorder_file_stats(df: DataFrame, b1: Column, b2: Column,
             .withColumn("b2_span",
                         F.col("b2_max") - F.col("b2_min") + F.lit(1))
             .orderBy("file_id"))
+
+
+def compaction_bins(df: DataFrame, part_col: str, order_col: str,
+                    size_col: str, target: int) -> DataFrame:
+    """Small-file compaction plan: within each ``part_col`` partition,
+    first-fit bin-packing of items (in ``order_col`` order) into
+    output files of ~``target`` bytes — the maintenance pass behind
+    the reference's ``hoodie.parquet.small.file.limit=134217728``
+    (deltastreamer_artists_apicurio_cow.properties:23-24) and every
+    lakehouse OPTIMIZE/compact command.
+
+    bin = cumulative-size-before DIV target: an item starts a new bin
+    exactly when the bytes already placed reach the next target
+    multiple, so every bin but the last holds >= target bytes minus
+    one item (first-fit-decreasing is NOT used — preserving
+    ``order_col`` order keeps min/max stats tight, which is the point
+    of compaction). Pure integer arithmetic -> portable to the oracle.
+
+    Scale: one window cumsum per partition (parallel across
+    partitions — there is no global sequence) + one hash-agg on
+    (partition, bin). At 100 TB the input is one row per FILE from
+    the table's metadata/listing, i.e. millions of rows, not the data
+    itself — this plans the rewrite, it does not move bytes.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(part_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return (df.withColumn("cum_before", cum_before)
+            .withColumn("bin", F.expr(f"cum_before div {target}"))
+            .groupBy(part_col, "bin")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(size_col).cast("long").alias("bytes_total"))
+            .withColumn("fill_ratio",
+                        F.col("bytes_total") / F.lit(float(target)))
+            .orderBy(part_col, "bin"))
+
+
+def zone_map_audit(df: DataFrame, layouts: list[tuple[str, Column]],
+                   stat_col: str, lo, hi) -> DataFrame:
+    """Zone-map (min/max file-skipping) effectiveness audit: for each
+    candidate layout — a (name, file-id expression) pair simulating
+    how a write would chunk rows into files — compute per-file min/max
+    of ``stat_col``, then report how many files a range predicate
+    ``stat_col BETWEEN lo AND hi`` must scan and how many rows those
+    files hold vs how many actually match. The number a table
+    maintainer looks at before choosing a sort/partition key: a
+    layout whose files_scanned ~ files holding matches is
+    well-clustered; scan_ratio ~ 1.0 means the predicate reads the
+    whole table regardless of the zone maps.
+
+    Scale: one groupBy per layout on the file id (the natural shuffle
+    key — file counts are ~table_bytes/128 MB, far smaller than the
+    data), then a per-layout rollup over one row per file. No global
+    windows, no collects.
+    """
+    parts = []
+    for name, file_id in layouts:
+        per_file = (df
+                    .select(file_id.alias("f"), F.col(stat_col).alias("s"))
+                    .groupBy("f")
+                    .agg(F.min("s").alias("mn"), F.max("s").alias("mx"),
+                         F.count(F.lit(1)).alias("n"),
+                         F.sum(F.when((F.col("s") >= lo) & (F.col("s") <= hi),
+                                      1).otherwise(0)).alias("matched"))
+                    .select(F.lit(name).alias("layout"), "f", "mn", "mx",
+                            "n", "matched"))
+        parts.append(per_file)
+    files = parts[0]
+    for p in parts[1:]:
+        files = files.unionAll(p)
+    scanned = (F.col("mn") <= hi) & (F.col("mx") >= lo)
+    return (files
+            .groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(F.when(scanned, 1).otherwise(0)).alias("files_scanned"),
+                 F.sum(F.when(scanned, F.col("n")).otherwise(0))
+                 .cast("long").alias("rows_scanned"),
+                 F.sum("matched").cast("long").alias("rows_matched"),
+                 F.sum("n").cast("long").alias("rows_total"))
+            .withColumn("scan_ratio",
+                        F.col("rows_scanned") / F.col("rows_total"))
+            .orderBy("layout"))

@@ -248,3 +248,39 @@ def weighted_bootstrap_counts(df: DataFrame, weight_col: str,
             .groupBy(F.col("k").alias("doc_id"), "w")
             .agg(F.count(F.lit(1)).alias("n_draws"))
             .orderBy("doc_id"))
+
+
+def epoch_shard_assign(df: DataFrame, key_col: str, epochs: int = 2,
+                       shards: int = 8,
+                       salt: str = "shard-v1") -> DataFrame:
+    """Deterministic training-order generator: for each epoch, assign
+    every row to a shard (output file) and a position within that
+    shard — the global-shuffle step between data curation and trainer
+    ingestion. shard = 48-bit md5 of (salt, epoch, key) mod
+    ``shards``; position = rank of that hash within the (epoch,
+    shard) group. Because the hash is salted with the epoch, each
+    epoch is an independent permutation, yet any (epoch, key)'s
+    placement is reproducible from the key alone — resumable
+    preprocessing with no RNG state to checkpoint.
+
+    Scale: the explode is epochs-way (write amplification, not
+    shuffle amplification); the only shuffle is the (epoch, shard)
+    window sort. Positions are ranked per shard, NOT globally — a
+    global row_number would serialize on one task, while shards rank
+    in parallel and each shard is exactly one output file at write
+    time (matching ``partitionBy(epoch, shard)``).
+    """
+    from pyspark.sql import Window
+    ep = F.explode(F.array(*[F.lit(i) for i in range(epochs)]))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:e"), F.col("epoch").cast("string"),
+                       F.lit(":"), F.col(key_col).cast("string"))),
+        1, 12), 16, 10).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("hv", key_col)
+    return (df.select(key_col, ep.alias("epoch"))
+            .withColumn("hv", h)
+            .withColumn("shard", F.pmod(F.col("hv"), F.lit(shards))
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(w))
+            .select(key_col, "epoch", "shard", "pos")
+            .orderBy("epoch", "shard", "pos"))

@@ -1145,6 +1145,100 @@ FROM f GROUP BY file_id ORDER BY file_id
 _SQL_ZORDER_LAYOUT = _sql_zorder_layout()
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/layout.py
+    compaction_bins): treat each order as a file-listing entry
+    (partition = o_orderpriority, size = floor(o_totalprice) bytes)
+    and first-fit bin-pack, in key order, into ~8 MB output files —
+    the OPTIMIZE/compact maintenance pass behind the reference's
+    hoodie.parquet.small.file.limit
+    (deltastreamer_artists_apicurio_cow.properties:23-24)."""
+    from .operators.layout import compaction_bins
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.select(
+        F.col("o_orderpriority").alias("part"),
+        F.col("o_orderkey").alias("item"),
+        F.floor("o_totalprice").cast("long").alias("bytes"))
+    return compaction_bins(files, "part", "item", "bytes",
+                           target=8_000_000)
+
+
+_SQL_COMPACTION_PLAN = """
+WITH f AS (
+  SELECT o_orderpriority AS part, o_orderkey AS item,
+         CAST(floor(o_totalprice) AS BIGINT) AS bytes
+  FROM orders
+), c AS (
+  SELECT part, bytes,
+         CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY item
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) // 8000000 AS bin
+  FROM f
+)
+SELECT part, bin, COUNT(*) AS n_items,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+       CAST(SUM(bytes) AS BIGINT) / 8000000.0 AS fill_ratio
+FROM c GROUP BY 1, 2 ORDER BY part, bin
+"""
+
+
+def q_zone_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-skipping) effectiveness audit
+    (operators/layout.py zone_map_audit): simulate three write
+    layouts of orders — arrival order, price-clustered, and
+    hash-scattered — chunk each into files, and report how many
+    files/rows the predicate o_totalprice BETWEEN 100000 AND 150000
+    must scan under each layout's per-file min/max stats. The
+    decision table behind choosing a sort key before a 100 TB
+    rewrite."""
+    from .operators.layout import zone_map_audit
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = F.conv(F.substring(
+        F.md5(F.concat(F.lit("zm:"), F.col("o_orderkey").cast("string"))),
+        1, 12), 16, 10).cast("long") % 16
+    layouts = [
+        ("arrival", F.expr("o_orderkey div 1000")),
+        ("clustered", F.floor(F.col("o_totalprice") / 25000.0)
+         .cast("long")),
+        ("hashed", hashed),
+    ]
+    return zone_map_audit(orders, layouts, "o_totalprice",
+                          lo=100000.0, hi=150000.0)
+
+
+_SQL_ZONE_MAP_AUDIT = """
+WITH per_file AS (
+  SELECT 'arrival' AS layout, o_orderkey // 1000 AS f,
+         o_totalprice AS s FROM orders
+  UNION ALL
+  SELECT 'clustered', CAST(floor(o_totalprice / 25000.0) AS BIGINT),
+         o_totalprice FROM orders
+  UNION ALL
+  SELECT 'hashed',
+         CAST(concat('0x', substr(md5('zm:' || CAST(o_orderkey AS VARCHAR)),
+              1, 12)) AS BIGINT) % 16,
+         o_totalprice FROM orders
+), stats AS (
+  SELECT layout, f, MIN(s) AS mn, MAX(s) AS mx,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN s BETWEEN 100000.0 AND 150000.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS matched
+  FROM per_file GROUP BY 1, 2
+)
+SELECT layout, COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN mn <= 150000.0 AND mx >= 100000.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(SUM(CASE WHEN mn <= 150000.0 AND mx >= 100000.0
+                     THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(matched) AS BIGINT) AS rows_matched,
+       CAST(SUM(n) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN mn <= 150000.0 AND mx >= 100000.0
+                     THEN n ELSE 0 END) AS BIGINT)
+         / CAST(SUM(n) AS BIGINT) AS scan_ratio
+FROM stats GROUP BY layout ORDER BY layout
+"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling z-score anomaly detection over the event
     stream (operators/temporal.py rolling_zscore_anomalies): events
@@ -5955,6 +6049,8 @@ BATCH_QUERIES = {
     "join_cardinality": (q_join_cardinality, _SQL_JOIN_CARDINALITY),
     "dataset_fingerprint": (q_dataset_fingerprint,
                             _SQL_DATASET_FINGERPRINT),
+    "compaction_plan": (q_compaction_plan, _SQL_COMPACTION_PLAN),
+    "zone_map_audit": (q_zone_map_audit, _SQL_ZONE_MAP_AUDIT),
 }
 
 # ---------------------------------------------------------------------------
