@@ -1,13 +1,19 @@
 """Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints TWO JSON lines:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {headline}, "sf": ...}
 
 ``value`` is the total wall-clock seconds across the stable HEADLINE set
 (lower is better) — kept fixed so the number is comparable round over
-round. The ``queries`` dict additionally reports per-query seconds for
+round. The first line's ``queries`` dict reports per-query seconds for
 EVERY registered batch query, so per-operator regressions are visible
-even for queries outside the headline set.
+even for queries outside the headline set. That line now exceeds any
+fixed-size tail capture (224+ entries), which is how round 4 lost its
+comparable headline number (`BENCH_r04.json` ``parsed: null``) — so a
+SECOND, short line (headline queries only, ~400 bytes) is printed LAST:
+whichever the harness parses — full stdout's last line or a ~2 KB tail —
+the headline total survives.
 
 Methodology:
 * one untimed warm-up action first (JVM/codegen/file-listing warm-up
@@ -16,15 +22,23 @@ Methodology:
   preserves the full plan (a count aggregate lets Catalyst eliminate
   the final sort and prune projection work, under-measuring sorted/
   projected queries);
-* EVERY timed query runs ``SPARK_GRAFT_REPEATS`` times (default 3)
-  and reports the MEDIAN. Single-run numbers proved uncomparable round
-  over round twice: round-3's sweep-pressure phantoms (dedup_simhash
-  1.25 s -> 2.89 s with no code change), and round-4's registry reorder
-  moving queries to different sweep positions (the first query at a new
-  position pays whatever cold state — table first-scan, codegen class,
-  GC debt — the old order had amortized elsewhere; lang_stats measured
-  4x its steady-state on rep 1). The median drops the cold rep, so a
-  query's number reflects the query, not its position in the sweep.
+* headline queries and queries whose prior-round median was >= 0.5 s
+  (or that have no prior number) run ``SPARK_GRAFT_REPEATS`` times
+  (default 3) and report the MEDIAN. Single-run numbers proved
+  uncomparable round over round twice: round-3's sweep-pressure
+  phantoms (dedup_simhash 1.25 s -> 2.89 s with no code change), and
+  round-4's registry reorder moving queries to different sweep
+  positions (the first query at a new position pays whatever cold
+  state — table first-scan, codegen class, GC debt — the old order had
+  amortized elsewhere; lang_stats measured 4x its steady-state on
+  rep 1). The median drops the cold rep, so a query's number reflects
+  the query, not its position in the sweep.
+* queries whose prior-round median was < 0.5 s run ONCE: the r4
+  medians showed the cheap tail is stable rep-over-rep, and 209
+  queries x 3 reps was starting to dominate the round's bench budget.
+  The prior comes from the newest ``BENCH_r*.json`` per-query entry
+  (recovered from the stored tail when the parsed record is null), so
+  the rule self-updates as queries speed up or slow down.
 """
 
 from __future__ import annotations
@@ -76,6 +90,41 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _prior_timings() -> dict[str, float]:
+    """Per-query medians from the newest ``BENCH_r*.json`` that has
+    any — from ``parsed.queries`` when the harness parse succeeded,
+    else recovered from the stored stdout tail ("name": sec pairs are
+    self-delimiting, so a head-truncated JSON line still yields the
+    entries that survived in the tail)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        found: dict[str, float] = {}
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if isinstance(parsed, dict) and isinstance(
+                parsed.get("queries"), dict):
+            found = {k: float(v) for k, v in parsed["queries"].items()
+                     if isinstance(v, (int, float))}
+        elif isinstance(rec, dict) and isinstance(rec.get("tail"), str):
+            for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)',
+                                 rec["tail"]):
+                try:
+                    found[m.group(1)] = float(m.group(2))
+                except ValueError:
+                    pass
+        if found:          # newer rounds overwrite older entries
+            out.update(found)
+    return out
+
+
 def run() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
@@ -98,15 +147,20 @@ def run() -> None:
     from kafka_connect_msk_demo_spark.catalog import load_table
     for t in ("documents", "embeddings"):
         _force(load_table(spark, SF_DIR, t))
+    prior = _prior_timings()
     timings: dict[str, float] = {}
     for name, fn in registry.items():
         if name in SKIP:
             continue
-        # progress marker on stderr (stdout carries ONLY the JSON line):
+        # progress marker on stderr (stdout carries ONLY JSON lines):
         # names the in-flight query if the sweep dies mid-run
         print(f"bench: {name}", file=sys.stderr, flush=True)
         samples = []
-        reps = REPEATS
+        # median-of-N for the headline set and anything that was >=0.5 s
+        # last round (or is new/unknown); single-rep for the stable
+        # cheap tail — see module docstring
+        reps = REPEATS if (name in HEADLINE
+                           or prior.get(name, 1.0) >= 0.5) else 1
         for _ in range(reps):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
@@ -118,12 +172,23 @@ def run() -> None:
         spark.catalog.clearCache()
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # line 1: full per-query detail (larger than any tail capture)
     print(json.dumps({
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }))
+    # line 2 (LAST, short): the comparable headline number, guaranteed
+    # to survive a fixed-size stdout tail capture
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf_val,
     }))
     spark.stop()
 

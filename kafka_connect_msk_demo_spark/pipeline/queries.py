@@ -472,6 +472,16 @@ def _sql_ivf_kmeans_topk(n_centroids: int = 16, iters: int = 2,
     integer regardless of either engine's aggregation order, and the
     final ``qs::DOUBLE / (n * S)`` is a single IEEE division in
     both."""
+    return ("WITH " + ",\n".join(_sql_lloyd_parts(n_centroids, iters,
+                                                  dim)) + ",\n"
+            + _sql_ivf_tail(f"c{iters}", nprobe, k, mod))
+
+
+def _sql_lloyd_parts(n_centroids: int, iters: int, dim: int) -> list[str]:
+    """The Lloyd-trainer CTE chain (seed ``c0``, then per-iteration
+    assign ``a{i}`` / quantized sums ``s{i}`` / means ``m{i}`` / next
+    centroids ``c{i}``) — shared by every trained-quantizer oracle;
+    the final centroid CTE is ``c{iters}``."""
     scale = 1 << 20  # similarity._QUANT_SCALE
     parts = [
         "d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -498,8 +508,7 @@ def _sql_ivf_kmeans_topk(n_centroids: int = 16, iters: int = 2,
         parts.append(f"""c{i} AS (
   SELECT p.c_id, coalesce(m.c_vec, p.c_vec) AS c_vec
   FROM {prev} p LEFT JOIN m{i} m USING (c_id))""")
-    return ("WITH " + ",\n".join(parts) + ",\n"
-            + _sql_ivf_tail(f"c{iters}", nprobe, k, mod))
+    return parts
 
 
 _SQL_IVF_KMEANS_TOPK = _sql_ivf_kmeans_topk()
@@ -1720,6 +1729,35 @@ FROM d GROUP BY fold ORDER BY fold
 """
 
 
+def q_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order assignment: every document placed
+    into (epoch, shard, position) for a 2-epoch, 8-shard run —
+    operators/sampling.py epoch_shard_assign. The epoch-salted md5
+    makes each epoch an independent permutation that is still
+    reproducible from the key alone, and the md5-hex arithmetic
+    replays verbatim in the SQL twin."""
+    from ..operators.sampling import epoch_shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shard_assign(docs, "doc_id", epochs=2, shards=8,
+                              salt="shard-v1")
+
+
+_SQL_EPOCH_SHARD = """
+WITH a AS (
+  SELECT doc_id, e.epoch,
+         CAST(concat('0x', substr(md5('shard-v1:e'
+                || CAST(e.epoch AS VARCHAR) || ':'
+                || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+  FROM documents CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+)
+SELECT doc_id, epoch, CAST(hv % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, hv % 8
+                               ORDER BY hv, doc_id) AS INT) AS pos
+FROM a ORDER BY epoch, shard, pos
+"""
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-dedup) per-cell summary — fully
     oracle-checked because the seed quantizer, the nearest-cell
@@ -1729,16 +1767,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_stats(vecs, threshold=0.4)
 
 
-_SQL_SEMDEDUP = f"""
-WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (
-  SELECT vec_id AS c_id, v AS c_vec FROM d ORDER BY vec_id LIMIT 16
-), asg AS (
+def _sql_semdedup_tail(cents: str, threshold: float = 0.4) -> str:
+    """SemDeDup body (nearest-cell assignment, within-cell pair scan,
+    per-cell summary) as CTE text, parameterized by the centroid CTE
+    name — shared by the seed-quantizer and Lloyd-trained oracles."""
+    return f"""asg AS (
   SELECT vec_id, cell FROM (
     SELECT d.vec_id, c.c_id AS cell,
            row_number() OVER (PARTITION BY d.vec_id
-               ORDER BY {{cos}} DESC, c.c_id) AS rn
-    FROM d CROSS JOIN cents c) WHERE rn = 1
+               ORDER BY {_COS_CENT.format(a='d', b='c')} DESC, c.c_id) AS rn
+    FROM d CROSS JOIN {cents} c) WHERE rn = 1
 ), m AS (
   SELECT a.cell, d.vec_id, d.v FROM asg a JOIN d USING (vec_id)
 ), pairs AS (
@@ -1746,7 +1784,7 @@ cents AS (
   FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v))
-           * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+           * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
 ), ps AS (
   SELECT cell, COUNT(*) AS n_dup_pairs,
          COUNT(DISTINCT d2) AS n_dropped
@@ -1757,7 +1795,34 @@ SELECT mem.cell AS cell, n_members,
        coalesce(n_dropped, 0) AS n_dropped
 FROM mem LEFT JOIN ps ON mem.cell = ps.cell
 ORDER BY mem.cell
-""".format(cos=_COS_CENT.format(a='d', b='c'))
+"""
+
+
+_SQL_SEMDEDUP = f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS c_vec FROM d ORDER BY vec_id LIMIT 16
+), {_sql_semdedup_tail('cents')}"""
+
+
+def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a Lloyd-TRAINED coarse quantizer — the production
+    retention decision end-to-end: train centroids on the corpus
+    (2 Lloyd passes, int64-quantized order-independent partials),
+    assign every vector to its nearest trained cell, near-dup scan
+    within cells only (Σ|cell|², cell = shuffle key). Fully
+    oracle-checked: the trainer's bit-replayable iterations unroll as
+    the same Lloyd CTE chain the ``ivf_kmeans_topk`` oracle uses, and
+    the SemDeDup tail is shared with the seed-quantizer ``semdedup``
+    oracle."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(vecs, k=16, iters=2)
+    return similarity.semantic_dedup_stats(vecs, threshold=0.4,
+                                           centroids=cents)
+
+
+_SQL_SEMDEDUP_TRAINED = ("WITH " + ",\n".join(_sql_lloyd_parts(16, 2, 64))
+                         + ",\n" + _sql_semdedup_tail("c2"))
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,14 +2495,16 @@ FROM ranked WHERE rank <= 3 ORDER BY term, rank
 """
 
 
-def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lang_confusion_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID audit: confusion census of the marker-heuristic
     prediction against the stored label — per (labeled, predicted)
-    cell the doc count and the cell's share of its labeled row (an
-    exact int/int division). The acceptance report a lang-ID swap
-    (heuristic → fasttext) would be judged against. One extra
-    hash-agg + a per-label window over the tiny census table on top
-    of the audited lang_id plan."""
+    cell the doc count and the cell's share of its labeled row (one
+    IEEE-754 double quotient of two exact integers, bit-stable across
+    engines). The acceptance report a lang-ID swap (heuristic →
+    fasttext) would be judged against. One extra hash-agg + a
+    per-label window over the tiny census table on top of the audited
+    lang_id plan. Row-count twin of ``lang_confusion``, which reports
+    raw counts only."""
     docs = load_table(spark, sf_dir, "documents")
     pred = text_analysis.lang_id(docs)
     w = Window.partitionBy("labeled_lang")
@@ -2450,7 +2517,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("labeled_lang", "pred_lang"))
 
 
-_SQL_LANG_CONFUSION = f"""
+_SQL_LANG_CONFUSION_SHARES = f"""
 WITH m(lang, w) AS (VALUES {_MARKER_VALUES}),
 toks AS (
   SELECT doc_id, lang AS labeled_lang,
@@ -3157,8 +3224,10 @@ ORDER BY doc_id
 def q_corpus_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition audit — the mixing dashboard a
     pretraining run reads before setting quotas: document and token
-    shares (exact floor-ppm), mean chars per token (bigint/bigint
-    division, engine-exact), and language spread per source. One
+    shares (exact floor-ppm), mean chars per token (one IEEE-754
+    double quotient of two exact bigints — deterministic, matching the
+    oracle's ``n_chars::DOUBLE / n_tokens``), and language spread per
+    source. One
     hash-aggregate keyed on source plus a one-row totals broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     per = (docs.select("source", "lang",
@@ -3480,7 +3549,9 @@ PIPELINE_QUERIES: dict = {
     "pagerank": (q_pagerank, _SQL_PAGERANK),
     "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     "kfold_split": (q_kfold_split, _SQL_KFOLD_SPLIT),
+    "epoch_shard": (q_epoch_shard, _SQL_EPOCH_SHARD),
     "semdedup": (q_semdedup, _SQL_SEMDEDUP),
+    "semdedup_trained": (q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "bigram_novelty": (q_bigram_novelty, _SQL_BIGRAM_NOVELTY),
@@ -3494,7 +3565,8 @@ PIPELINE_QUERIES: dict = {
     "kmv_set_ops": (q_kmv_set_ops, _SQL_KMV_SET_OPS),
     "pca_power": (q_pca_power, _SQL_PCA_POWER),
     "rrf_fusion": (q_rrf_fusion, _SQL_RRF_FUSION),
-    "lang_confusion": (q_lang_confusion, _SQL_LANG_CONFUSION),
+    "lang_confusion_shares": (q_lang_confusion_shares,
+                              _SQL_LANG_CONFUSION_SHARES),
     "posting_topk": (q_posting_topk, _SQL_POSTING_TOPK),
     "cms_counts": (q_cms_counts, _SQL_CMS_COUNTS),
     "hard_negatives": (q_hard_negatives, _SQL_HARD_NEGATIVES),

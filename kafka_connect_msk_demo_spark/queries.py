@@ -6115,6 +6115,8 @@ _DRIVER_PRIORITY = [
     "contamination_spans", "corpus_mix_audit", "winnowing_pairs",
     "dedup_keep_best", "boilerplate_audit", "lang_confusion",
     "decontaminate_report",
+    # round-5 additions (behind the never-verified backlog)
+    "lang_confusion_shares", "epoch_shard", "semdedup_trained",
 ]
 
 

@@ -38,7 +38,10 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
                 "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
                 "fuzzy_match", "knn_classify", "bm25_topk",
-                "dsir_select", "semdedup", "heavy_hitters",
+                # semdedup_trained: same K=16 centroid broadcast, with
+                # the Lloyd trainer's K-way scorer upstream
+                "dsir_select", "semdedup", "semdedup_trained",
+                "heavy_hitters",
                 "mix_allocation", "cms_counts", "triangle_count",
                 "benford_audit", "copurchase_pairs",
                 "pmi_collocations", "ks_drift", "kmv_set_ops",
@@ -205,3 +208,42 @@ def test_partition_pruning_reaches_scan(spark, sf_small, tmp_path):
     assert df.count() == \
         events.filter(F.col("event_type") == "click").count()
     assert unfiltered.count() == events.count()
+
+
+def test_no_duplicate_toplevel_defs_or_dict_keys():
+    """Python silently keeps the LAST of two same-named top-level defs
+    (or two identical literal dict keys), so the earlier one becomes
+    dead code that still reads as live — exactly the r4
+    ``q_lang_confusion`` slip. Walk every package module's AST and
+    reject duplicate top-level def/class names and duplicate string
+    keys inside any dict literal."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path("kafka_connect_msk_demo_spark")
+    problems = []
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text(), filename=str(path))
+        seen: dict = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                if node.name in seen:
+                    problems.append(
+                        f"{path}:{node.lineno} duplicate top-level "
+                        f"def {node.name} (first at "
+                        f"line {seen[node.name]})")
+                seen[node.name] = node.lineno
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Dict):
+                keys: dict = {}
+                for k in node.keys:
+                    if isinstance(k, ast.Constant) \
+                            and isinstance(k.value, str):
+                        if k.value in keys:
+                            problems.append(
+                                f"{path}:{k.lineno} duplicate dict "
+                                f"key {k.value!r} (first at line "
+                                f"{keys[k.value]})")
+                        keys[k.value] = k.lineno
+    assert not problems, "\n".join(problems)

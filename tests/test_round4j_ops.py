@@ -308,7 +308,7 @@ def test_dedup_keep_best_keeps_longest(spark):
     assert out[4].keep and out[4].cluster_id == 4
 
 
-def test_boilerplate_audit_flags_template_source(spark):
+def test_boilerplate_audit_flags_template_source(spark, sf_small):
     from kafka_connect_msk_demo_spark import queries  # noqa: F401
     from kafka_connect_msk_demo_spark.pipeline.queries import (
         q_boilerplate_audit)
@@ -316,28 +316,27 @@ def test_boilerplate_audit_flags_template_source(spark):
     # a temp view shim is overkill — exercise through a small frame by
     # monkeypatching load_table is brittle; instead test the shape on
     # the real sf0.001 table: src columns exist and ppm is bounded
-    out = q_boilerplate_audit(spark, "/root/testdata/sf0.001").collect()
+    out = q_boilerplate_audit(spark, sf_small).collect()
     assert len(out) >= 1
     for r in out:
         assert 0 <= r.boiler_ppm <= 1000000
         assert r.n_boiler <= r.n_positions
 
 
-def test_lang_confusion_counts_total_to_corpus(spark):
+def test_lang_confusion_counts_total_to_corpus(spark, sf_small):
     from kafka_connect_msk_demo_spark.catalog import load_table
     from kafka_connect_msk_demo_spark.pipeline.queries import (
         q_lang_confusion)
-    out = q_lang_confusion(spark, "/root/testdata/sf0.001").collect()
+    out = q_lang_confusion(spark, sf_small).collect()
     total = sum(r.n_docs for r in out)
-    n_docs = load_table(spark, "/root/testdata/sf0.001",
-                        "documents").count()
+    n_docs = load_table(spark, sf_small, "documents").count()
     assert total == n_docs
     assert all(r.n_docs > 0 for r in out)
 
 
-def test_decontaminate_report_partitions_corpus(spark):
+def test_decontaminate_report_partitions_corpus(spark, sf_small):
     from kafka_connect_msk_demo_spark.pipeline.queries import (
         q_decontaminate_report)
-    out = q_decontaminate_report(spark, "/root/testdata/sf0.001").collect()
+    out = q_decontaminate_report(spark, sf_small).collect()
     for r in out:
         assert r.n_kept + r.n_dropped == r.n_docs

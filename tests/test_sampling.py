@@ -86,3 +86,30 @@ def test_weighted_sample_negative_weight_drops_all(spark):
         df, "k", F.when(F.col("k") < 250, F.lit(-1.0)).otherwise(F.lit(1.0)))
     kept = {r.k for r in mixed.collect()}
     assert kept == set(range(250, 500))
+
+
+def test_epoch_shard_assign_properties(spark):
+    """Each epoch is a full, independent permutation: every key appears
+    exactly once per epoch; positions within an (epoch, shard) are a
+    contiguous 1..n rank; epoch-salting makes the two epochs' shard
+    assignments differ for at least one key; and the assignment is
+    reproducible call-over-call."""
+    from kafka_connect_msk_demo_spark.operators.sampling import (
+        epoch_shard_assign)
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    out = epoch_shard_assign(df, "k", epochs=2, shards=4).collect()
+    assert len(out) == 400
+    for e in (0, 1):
+        keys = [r.k for r in out if r.epoch == e]
+        assert sorted(keys) == list(range(200))
+    for e in (0, 1):
+        for s in range(4):
+            pos = sorted(r.pos for r in out
+                         if r.epoch == e and r.shard == s)
+            assert pos == list(range(1, len(pos) + 1))
+    m0 = {r.k: r.shard for r in out if r.epoch == 0}
+    m1 = {r.k: r.shard for r in out if r.epoch == 1}
+    assert m0 != m1, "epoch salt must produce distinct permutations"
+    again = epoch_shard_assign(df, "k", epochs=2, shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

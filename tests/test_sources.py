@@ -188,3 +188,38 @@ def test_manifest_commit_empty_table_needs_schema(spark, tmp_path):
         read_manifested(spark, path)
     schema = T.StructType([T.StructField("k", T.LongType(), False)])
     assert read_manifested(spark, path, schema).count() == 0
+
+
+def test_storage_units_cache_invalidates_on_rewrite(tmp_path):
+    """The footer-unit memo must key on (mtime, size), not path alone:
+    a testdata regeneration that rewrites the same path with a
+    different timestamp encoding must yield the NEW units, not a stale
+    cached tuple (the r3→r4 regeneration changed encodings in place)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_msk_demo_spark.catalog import _storage_units
+
+    path = str(tmp_path / "events.parquet")
+
+    def write(ts_arr):
+        cols = {"event_id": pa.array([1], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([7], pa.int64()),
+                "event_type": pa.array(["click"]),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array(["{}"])}
+        pq.write_table(pa.table(cols), path)
+
+    write(pa.array([1_700_000_000_000_000], pa.timestamp("us")))
+    assert dict(_storage_units(path, "events"))["ts"] == "us"
+
+    # rewrite in place as plain int64 → legacy fallback unit ("ns")
+    time.sleep(0.01)
+    write(pa.array([1_700_000_000_000_000_000], pa.int64()))
+    os.utime(path)  # ensure a distinct mtime stamp even on coarse clocks
+    assert dict(_storage_units(path, "events"))["ts"] == "ns", \
+        "stale cached units returned after in-place rewrite"
