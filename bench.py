@@ -101,7 +101,24 @@ def _prior_timings() -> dict[str, float]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     out: dict[str, float] = {}
+    # committed local sf0.1 sweep: gives the rep rule full coverage
+    # even for queries no BENCH record has timed yet. Its "round"
+    # stamp says when it was measured — BENCH records from EARLIER
+    # rounds are stale relative to it and must not overwrite it.
+    seed = os.path.join(here, "tools", "bench_priors.json")
+    seed_round = -1
+    try:
+        with open(seed) as fh:
+            rec = json.load(fh)
+        out.update({k: float(v) for k, v in rec.get("queries", {}).items()
+                    if isinstance(v, (int, float))})
+        seed_round = int(rec.get("round", -1))
+    except (OSError, ValueError):
+        pass
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m and int(m.group(1)) < seed_round:
+            continue
         try:
             with open(path) as fh:
                 rec = json.load(fh)
