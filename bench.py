@@ -113,7 +113,7 @@ def _prior_timings() -> dict[str, float]:
         out.update({k: float(v) for k, v in rec.get("queries", {}).items()
                     if isinstance(v, (int, float))})
         seed_round = int(rec.get("round", -1))
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError):
         pass
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
