@@ -58,7 +58,16 @@ def pagerank_topk(edges: DataFrame, iters: int = 3,
                   k: int = 25) -> DataFrame:
     """Top-``k`` nodes by quantized PageRank after ``iters`` unrolled
     supersteps. Returns (node, outdeg, rank_q)."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg feeds EVERY superstep (the message join via rank's lineage
+    # and the per-step rank rebuild) plus the final join; without a
+    # persist each reference replays the whole upstream edge pipeline
+    # (orders⋈lineitem→distinct→union for the bipartite graph: the
+    # physical plan showed 96 parquet scans / 178 exchanges at
+    # iters=3). Cached, each superstep is exactly one shuffle over two
+    # in-memory frames — the plan shape that survives more iterations
+    # and 1000 executors. deg is one row per node.
+    deg = (edges.groupBy("src")
+           .agg(F.count(F.lit(1)).alias("outdeg")).persist())
     edeg = edges.join(deg, "src").persist()
     try:
         # O(1) driver traffic: only the node count crosses over (the
@@ -92,6 +101,7 @@ def pagerank_topk(edges: DataFrame, iters: int = 3,
         out.count()
     finally:
         edeg.unpersist()
+        deg.unpersist()
     return out
 
 
