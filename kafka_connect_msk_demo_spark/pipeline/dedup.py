@@ -126,10 +126,18 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
         # ⌊(1-t)·n⌋+1 can witness a pair at J ≥ t.
         dfreq = ex.groupBy("sg").agg(F.count(F.lit(1)).alias("df"))
         w = Window.partitionBy("doc_id").orderBy("df", "sg")
+        # +1e-9 before floor: (1-t) is not exact in binary (1-0.8 =
+        # 0.19999999999999996), so for n a multiple of 1/(1-t) the raw
+        # product lands just below the true integer and floor() would
+        # shorten the prefix by one — a RECALL bug (a pair whose only
+        # shared rare shingle sits at the true boundary is missed). The
+        # epsilon only ever lengthens the prefix (more candidates, same
+        # verified output), never shortens it.
         index = (ex.join(dfreq, "sg")
                  .withColumn("rk", F.row_number().over(w))
                  .filter(F.col("rk") <=
-                         F.floor((1.0 - threshold) * F.col("n")) + 1)
+                         F.floor((1.0 - threshold) * F.col("n") + 1e-9)
+                         + 1)
                  .select("doc_id", "sg")).persist()
     else:
         index = ex.select("doc_id", "sg")

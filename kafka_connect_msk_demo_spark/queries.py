@@ -5703,7 +5703,7 @@ def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                grouping(r_name) * 2 + grouping(o_orderpriority) AS gid,
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
-                    AS DOUBLE) AS sales
+                    AS DECIMAL(25,2)) AS sales
         FROM gs_orders
         JOIN gs_customer ON o_custkey = c_custkey
         JOIN gs_nation   ON c_nationkey = n_nationkey
@@ -5718,7 +5718,8 @@ _SQL_GROUPING_SETS = """
 SELECT r_name AS region, o_orderpriority AS priority,
        GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS gid,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS sales
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
+           AS sales
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
