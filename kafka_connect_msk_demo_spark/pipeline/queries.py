@@ -2156,18 +2156,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TRIANGLE_COUNT = """
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-e AS (
+WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey
+                         FROM lineitem),
+e AS MATERIALIZED (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM ps a JOIN ps b
     ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-), und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
-o AS (
+), und AS MATERIALIZED (SELECT u, v FROM e
+                        UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+o AS MATERIALIZED (
   SELECT und.u AS a, und.v AS b
   FROM und JOIN deg d1 ON d1.u = und.u JOIN deg d2 ON d2.u = und.v
   WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
-), w AS (
+), w AS MATERIALIZED (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM o e1 JOIN o e2 ON e1.b = e2.a
 )
@@ -2188,21 +2190,28 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(copart_supplier_edges(lineitem), k=3, rounds=3)
 
 
+# MATERIALIZED hints are load-bearing: each g{i} is referenced three
+# times (k{i+1}, g{i+1}, the census), so DuckDB's default CTE inlining
+# re-evaluates the ps self-join 3^depth times — at sf0.1 (the co-part
+# graph is complete on 1000 suppliers) that spilled >80 GB of temp.
+# Materialized, the whole chain is ~2 s.
 _SQL_KCORE_PEEL = """
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-e AS (
+WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey
+                         FROM lineitem),
+e AS MATERIALIZED (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM ps a JOIN ps b
     ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-), g0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-k1 AS (SELECT u FROM g0 GROUP BY u HAVING COUNT(*) >= 3),
-g1 AS (SELECT g0.u, g0.v FROM g0
+), g0 AS MATERIALIZED (SELECT u, v FROM e
+                       UNION ALL SELECT v AS u, u AS v FROM e),
+k1 AS MATERIALIZED (SELECT u FROM g0 GROUP BY u HAVING COUNT(*) >= 3),
+g1 AS MATERIALIZED (SELECT g0.u, g0.v FROM g0
        JOIN k1 a ON a.u = g0.u JOIN k1 b ON b.u = g0.v),
-k2 AS (SELECT u FROM g1 GROUP BY u HAVING COUNT(*) >= 3),
-g2 AS (SELECT g1.u, g1.v FROM g1
+k2 AS MATERIALIZED (SELECT u FROM g1 GROUP BY u HAVING COUNT(*) >= 3),
+g2 AS MATERIALIZED (SELECT g1.u, g1.v FROM g1
        JOIN k2 a ON a.u = g1.u JOIN k2 b ON b.u = g1.v),
-k3 AS (SELECT u FROM g2 GROUP BY u HAVING COUNT(*) >= 3),
-g3 AS (SELECT g2.u, g2.v FROM g2
+k3 AS MATERIALIZED (SELECT u FROM g2 GROUP BY u HAVING COUNT(*) >= 3),
+g3 AS MATERIALIZED (SELECT g2.u, g2.v FROM g2
        JOIN k3 a ON a.u = g2.u JOIN k3 b ON b.u = g2.v),
 n AS (
   SELECT 0 AS round, (SELECT COUNT(DISTINCT u) FROM g0) AS rem
