@@ -46,11 +46,20 @@ def sum_count(df: DataFrame, group_cols: list[str], amount_col: str,
               sales_alias: str = "sales",
               count_alias: str = "orders") -> DataFrame:
     """A1: ``groupBy(keys).agg(sum(amount), count(amount))`` ordered by
-    the sum descending (reference 03:77-79)."""
+    the sum descending (reference 03:77-79).
+
+    The sum stays DECIMAL to the output boundary (scale 2 = the 2-dp
+    money inputs, so the final cast never rounds). An earlier
+    ``cast("double")`` here was scale-fragile: at sf0.1 the ~7e9
+    region-level sums exposed DuckDB's not-correctly-rounded
+    decimal->double conversion as 1-ulp hash mismatches, and the sums
+    only grow with SF — exact decimal output is the scale-stable
+    contract."""
     return (
         df.groupBy(*group_cols)
         .agg(
-            F.sum(dec(amount_col)).cast("double").alias(sales_alias),
+            F.sum(dec(amount_col)).cast("decimal(25,2)")
+            .alias(sales_alias),
             F.count(amount_col).alias(count_alias),
         )
         .orderBy(F.col(sales_alias).desc())

@@ -57,7 +57,8 @@ def q_sales_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SALES_BY_COUNTRY = """
 SELECT n_name AS country,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
+         AS sales,
        COUNT(o_totalprice) AS orders_cnt
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -126,7 +127,8 @@ def q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SALES_BY_REGION = """
 SELECT r_name AS region,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS sales,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
+         AS sales,
        COUNT(o_totalprice) AS orders_cnt
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -307,7 +309,7 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey")))
     return (
         joined.groupBy(F.col("r_name").alias("region"))
-        .agg(F.sum("rev").cast("double").alias("revenue"),
+        .agg(F.sum("rev").cast("decimal(25,4)").alias("revenue"),
              F.sum("nl").alias("line_count"))
         .orderBy(F.col("revenue").desc())
     )
@@ -359,7 +361,7 @@ def q_revenue_by_region_bucketed(spark: SparkSession,
             .join(F.broadcast(t["region"]),
                   F.col("n_regionkey") == F.col("r_regionkey")))
     return (full.groupBy(F.col("r_name").alias("region"))
-            .agg(F.sum("rev").cast("double").alias("revenue"),
+            .agg(F.sum("rev").cast("decimal(25,4)").alias("revenue"),
                  F.sum("nl").alias("line_count"))
             .orderBy(F.col("revenue").desc()))
 
@@ -367,7 +369,7 @@ def q_revenue_by_region_bucketed(spark: SparkSession,
 _SQL_REVENUE_BY_REGION = """
 SELECT r_name AS region,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+                AS DECIMAL(25,8))) AS DECIMAL(25,4)) AS revenue,
        COUNT(*) AS line_count
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1671,7 +1673,9 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping sets), vs three scans if issued as separate queries.
     gid = grouping_id() (region bit high), identical bit order to the
     oracle's GROUPING() arithmetic. Revenue aggregates on exact
-    decimal, cast to double last."""
+    decimal and stays decimal to the output boundary (the 2-dp cast
+    never rounds 2-dp money; a double output was 1-ulp hash-fragile
+    against DuckDB at sf0.1 magnitudes)."""
     t = load_tables(spark, sf_dir)
     joined = (t["orders"]
               .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
@@ -1683,7 +1687,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rollup(F.col("r_name").alias("region"),
                     F.col("n_name").alias("nation"))
             .agg(F.grouping_id().alias("gid"),
-                 F.sum(dec("o_totalprice", 25, 8)).cast("double")
+                 F.sum(dec("o_totalprice", 25, 8)).cast("decimal(25,2)")
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("orders_cnt"))
             .orderBy("gid", "region", "nation"))
@@ -1692,7 +1696,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_REVENUE_ROLLUP = """
 SELECT r_name AS region, n_name AS nation,
        GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
          AS revenue,
        COUNT(*) AS orders_cnt
 FROM orders
@@ -1936,7 +1940,7 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cube(F.col("r_name").alias("region"),
                   F.col("o_orderstatus").alias("status"))
             .agg(F.grouping_id().alias("gid"),
-                 F.sum(dec("o_totalprice", 25, 8)).cast("double")
+                 F.sum(dec("o_totalprice", 25, 8)).cast("decimal(25,2)")
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("orders_cnt"))
             .orderBy("gid", "region", "status"))
@@ -1945,7 +1949,7 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_REVENUE_CUBE = """
 SELECT r_name AS region, o_orderstatus AS status,
        GROUPING(r_name) * 2 + GROUPING(o_orderstatus) AS gid,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
          AS revenue,
        COUNT(*) AS orders_cnt
 FROM orders
