@@ -951,7 +951,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = maintain_sum_count(base, contribs,
                              ["o_orderstatus", "order_month"], "val")
     return (out.select("o_orderstatus", "order_month",
-                       F.col("total").cast("double").alias("total"),
+                       F.col("total").cast("decimal(25,4)").alias("total"),
                        "n")
             .orderBy("o_orderstatus", "order_month"))
 
@@ -1447,7 +1447,7 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_quantity").cast("long")).alias("qty"),
-                 F.sum(dec("l_extendedprice", 25, 8)).cast("double")
+                 F.sum(dec("l_extendedprice", 25, 8)).cast("decimal(25,2)")
                  .alias("revenue"))
             .orderBy("l_returnflag"))
 
@@ -1455,8 +1455,8 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BLOOM_SEMI_JOIN = """
 SELECT l_returnflag, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
-         AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8)))
+            AS DECIMAL(25,2)) AS revenue
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_totalprice > 400000)
@@ -1557,7 +1557,7 @@ WITH final AS (
   WHERE o_orderkey % 10 <> 0
 )
 SELECT o_orderstatus, order_month,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25, 8))) AS DOUBLE)
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25, 8))) AS DECIMAL(25,4))
          AS total,
        COUNT(*) AS n
 FROM final
@@ -1641,7 +1641,7 @@ def q_range_join_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
                             bucket_width=90)
     return (j.groupBy("n_nationkey")
             .agg(F.count(F.lit(1)).alias("promo_orders"),
-                 F.sum(dec("o_totalprice", 25, 8)).cast("double")
+                 F.sum(dec("o_totalprice", 25, 8)).cast("decimal(25,2)")
                  .alias("promo_revenue"))
             .orderBy("n_nationkey"))
 
@@ -1658,8 +1658,8 @@ WITH o AS (
   FROM nation
 )
 SELECT n_nationkey, COUNT(*) AS promo_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
-         AS promo_revenue
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+            AS DECIMAL(25,2)) AS promo_revenue
 FROM o JOIN iv ON o.day BETWEEN iv.lo AND iv.hi
 GROUP BY 1
 ORDER BY n_nationkey
