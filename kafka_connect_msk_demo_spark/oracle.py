@@ -19,6 +19,10 @@ from .catalog import TABLES
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # keep any out-of-core spill in the system temp dir, not the
+    # repo-relative `.tmp/` DuckDB defaults to for in-memory DBs (a
+    # runaway oracle once dropped >80 GB of spill files into the repo)
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
