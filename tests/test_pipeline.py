@@ -45,6 +45,24 @@ def test_prefix_filter_is_exact(docs):
         == _pairs(dedup.jaccard_pairs(docs, 0.8, prefix_filter=False))
 
 
+def test_prefix_length_exact_at_float_boundary(spark):
+    """Regression (sf0.1 sweep, round 5): the prefix length
+    ⌊(1-t)·n⌋+1 must be computed as if (1-t) were exact. In binary
+    1-0.8 = 0.19999999999999996, so for n=15 the raw product floors
+    to 2 instead of 3, shortening the prefix by one.
+
+    Adversarial instance: B ⊂ A with |A|=15, |B|=12 → J = 12/15 = 0.8
+    exactly, and A's three unique shingles are globally rarest (df=1),
+    so they fill A's entire SHORTENED prefix — the pair's only witness
+    is A's 4th prefix slot, which only the correct length reaches."""
+    shared = [f"s{i:02d}" for i in range(12)]
+    a = sorted(shared + ["u1", "u2", "u3"])
+    sh = spark.createDataFrame([("A", a), ("B", sorted(shared))],
+                               "doc_id string, s array<string>")
+    got = _pairs(dedup.jaccard_pairs(None, 0.8, shingles=sh))
+    assert got == {("A", "B")}
+
+
 def test_simhash_agrees_with_jaccard(docs):
     truth = _pairs(dedup.jaccard_pairs(docs, 0.8))
     sim = _pairs(dedup.simhash_pairs(docs, max_hamming=8))
