@@ -2155,6 +2155,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(copart_supplier_edges(lineitem))
 
 
+# The SMALL relations (ps..o, each referenced up to 3x) are
+# MATERIALIZED so DuckDB's CTE inlining doesn't re-evaluate the
+# self-join quadratically; the O(E^1.5)-row wedge CTE w deliberately
+# is NOT — materializing 166M wedges at sf0.1 cost 8x more than
+# streaming it through its two consumers.
 _SQL_TRIANGLE_COUNT = """
 WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey
                          FROM lineitem),
@@ -2169,7 +2174,7 @@ o AS MATERIALIZED (
   SELECT und.u AS a, und.v AS b
   FROM und JOIN deg d1 ON d1.u = und.u JOIN deg d2 ON d2.u = und.v
   WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
-), w AS MATERIALIZED (
+), w AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM o e1 JOIN o e2 ON e1.b = e2.a
 )
