@@ -246,7 +246,7 @@ def test_incremental_agg_matches_recompute(spark, sf_small):
     recomputed = (final.groupBy("o_orderstatus", "order_month")
                   .agg(F.sum(F.col("o_totalprice")
                              .cast("decimal(25,8)"))
-                       .cast("double").alias("total"),
+                       .cast("decimal(25,4)").alias("total"),
                        F.count(F.lit(1)).alias("n"))
                   .orderBy("o_orderstatus", "order_month").collect())
     assert [tuple(r) for r in maintained] == \
