@@ -58,34 +58,37 @@ def pagerank_topk(edges: DataFrame, iters: int = 3,
                   k: int = 25) -> DataFrame:
     """Top-``k`` nodes by quantized PageRank after ``iters`` unrolled
     supersteps. Returns (node, outdeg, rank_q)."""
-    # deg feeds EVERY superstep (the message join via rank's lineage
-    # and the per-step rank rebuild) plus the final join; without a
-    # persist each reference replays the whole upstream edge pipeline
-    # (orders⋈lineitem→distinct→union for the bipartite graph: the
+    # The edge pipeline (orders⋈lineitem→distinct→union) feeds EVERY
+    # superstep; without a persist each reference replays it (the
     # physical plan showed 96 parquet scans / 178 exchanges at
-    # iters=3). Cached, each superstep is exactly one shuffle over two
-    # in-memory frames — the plan shape that survives more iterations
-    # and 1000 executors. deg is one row per node.
-    deg = (edges.groupBy("src")
+    # iters=3). Persist the raw edge frame ONCE — deg and every
+    # message join derive from it — rather than a wider edge⋈deg
+    # frame, which costs a second |E|-row materialization for a
+    # column the rank frame can carry itself. deg is one row per
+    # node (the graph is bidirectional, so every node occurs as src).
+    edges_p = edges.persist()
+    deg = (edges_p.groupBy("src")
            .agg(F.count(F.lit(1)).alias("outdeg")).persist())
-    edeg = edges.join(deg, "src").persist()
     try:
         # O(1) driver traffic: only the node count crosses over (the
-        # bounded-collect class, like the K×dim centroid partials)
-        n = edeg.select("src").distinct().count()
+        # bounded-collect class, like the K×dim centroid partials).
+        # deg.count() IS the node count — no distinct over |E| needed.
+        n = deg.count()
         base = SCALE // n
         c = (base * 15) // 100
-        rank = (deg.select(F.col("src").alias("node"))
+        # rank carries (node, outdeg, rank_q): the superstep join then
+        # needs only the persisted raw edges, not an edge⋈deg frame.
+        rank = (deg.select(F.col("src").alias("node"), "outdeg")
                 .withColumn("rank_q", F.lit(base).cast("long")))
         for _ in range(iters):
-            msgs = (rank.join(edeg, rank["node"] == edeg["src"])
+            msgs = (rank.join(edges_p, rank["node"] == edges_p["src"])
                     .select(F.col("dst").alias("node"),
                             F.expr("rank_q div outdeg").alias("contrib")))
             in_sum = (msgs.groupBy("node")
                       .agg(F.sum("contrib").alias("in_sum")))
-            rank = (deg.select(F.col("src").alias("node"))
+            rank = (deg.select(F.col("src").alias("node"), "outdeg")
                     .join(in_sum, "node", "left")
-                    .select("node",
+                    .select("node", "outdeg",
                             (F.lit(c) + F.expr(
                                 "(85 * coalesce(in_sum, 0L)) div 100"))
                             .alias("rank_q")))
@@ -93,14 +96,13 @@ def pagerank_topk(edges: DataFrame, iters: int = 3,
         # (repo convention — see connected_components in dedup.py: the
         # returned frame stays persisted, the cleaner reclaims it once
         # unreferenced)
-        out = (rank.join(deg, rank["node"] == deg["src"])
-               .select("node", "outdeg", "rank_q")
+        out = (rank.select("node", "outdeg", "rank_q")
                .orderBy(F.col("rank_q").desc(), F.col("node"))
                .limit(k)
                .persist())
         out.count()
     finally:
-        edeg.unpersist()
+        edges_p.unpersist()
         deg.unpersist()
     return out
 
