@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -351,9 +352,10 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     os.makedirs(d, exist_ok=True)
     target = f"{sf_dir}/{name}.parquet"
     st = os.stat(target)
-    # v2: composite (ts, id) staging order — bump on layout changes so
-    # previously staged dirs restage instead of serving the old order
-    stamp = f"{st.st_mtime_ns}:{st.st_size}:{chunks}:v2"
+    # v3: composite (ts, id) staging order + strictly increasing chunk
+    # mtimes — bump on layout changes so previously staged dirs restage
+    # instead of serving the old order
+    stamp = f"{st.st_mtime_ns}:{st.st_size}:{chunks}:v3"
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -377,9 +379,19 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
                       + [(c, "ascending") for c in tiebreak])
     n = max(1, min(chunks, t.num_rows or 1))
     step = -(-max(t.num_rows, 1) // n)
+    # FileStreamSource orders pending files by modification time in
+    # MILLISECONDS; four small chunks written back-to-back land in the
+    # same millisecond and the tie order is whatever the directory
+    # listing yields — micro-batches can then deliver chunk 2 before
+    # chunk 1, silently re-ordering the event-time fold that the
+    # stateful operators (and their batch-twin oracles) depend on.
+    # Stamp strictly increasing whole-second mtimes so the source's
+    # ascending modTime sort IS the staged chunk order.
+    base = int(time.time()) - n - 1
     for i in range(n):
-        pq.write_table(t.slice(i * step, step),
-                       os.path.join(d, f"part-{i:05d}.parquet"))
+        part = os.path.join(d, f"part-{i:05d}.parquet")
+        pq.write_table(t.slice(i * step, step), part)
+        os.utime(part, (base + i, base + i))
     with open(marker, "w") as fh:
         fh.write(stamp)
     return d

@@ -136,3 +136,24 @@ def test_rolling_anomaly_stream_spans_batches_and_matches_batch(
     want = {(r.user_id, r.event_id, r.v_q, r.n_w, r.s_w)
             for r in batch.collect()}
     assert got == want and want
+
+
+def test_staged_chunks_have_strictly_increasing_mtimes(sf_small):
+    """FileStreamSource orders pending files by modification time in
+    MILLISECONDS — chunks written back-to-back land in the same
+    millisecond and the tie order is the directory listing's, so
+    micro-batches could deliver chunk 2 before chunk 1 and silently
+    re-order every stateful event-time fold (this bit: the rolling
+    anomaly stream folded part-0 then part-2, seeing 19 of 20 window
+    rows). The staging layer must pin strictly increasing whole-second
+    mtimes so ascending modTime IS the staged order."""
+    import glob
+    import os
+
+    from kafka_connect_msk_demo_spark.catalog import _stream_dir
+
+    d = _stream_dir(sf_small, "events")
+    parts = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    assert len(parts) >= min(2, STREAM_CHUNKS)
+    mtimes = [os.stat(p).st_mtime for p in parts]
+    assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:])), mtimes
