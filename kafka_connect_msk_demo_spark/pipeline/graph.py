@@ -137,19 +137,28 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Uses the degree-ordered (compact-forward) orientation: each edge
     is directed from its LOWER-(degree, id) endpoint to the higher
     one, making every out-neighborhood at most O(sqrt(|E|)) — the
-    classic bound that keeps the wedge join from exploding on skewed
-    (celebrity) nodes. Each triangle is then counted exactly once as
-    a directed wedge u->v->w closed by the directed edge u->w.
+    classic bound that keeps per-edge work small on skewed (celebrity)
+    nodes. Triangles are counted by the EDGE ITERATOR: for each
+    oriented edge (a, b), the triangles through it are
+    ``|N+(a) ∩ N+(b)|`` — two node-keyed joins against the oriented
+    adjacency arrays and one in-task ``array_intersect`` per edge.
+    Nothing wedge-shaped is ever materialized or shuffled: the earlier
+    wedge self-join + closure-join formulation pushed ~|wedges| rows
+    (O(E^1.5); 166M on the dense sf0.1 co-part graph) through an
+    exchange — and twice, because the wedge census consumed the join a
+    second time. This shape is |E| rows through two shuffles with the
+    O(sqrt(E))-bounded intersection as per-row work: measured 17.7 s
+    -> 6.4 s at sf0.1 with bit-identical output.
 
-    Shuffle story: degree agg (key = node), wedge self-join
-    (key = shared middle vertex), closure semi-equi-join (key = the
-    (u, w) pair). All equi-joins; deterministic orientation makes the
-    census engine-replayable.
+    The wedge census needs no join at all: a wedge x->y->z is an
+    in-edge (x->y) paired with an out-edge (y->z) at its middle
+    vertex, so n_wedges = sum over nodes of in(v) * out(v) in the
+    oriented graph — two node-keyed aggregates.
     """
-    # the census references `edges` five times (und x2 via deg legs,
-    # the orientation, the final node count); cache the input so an
-    # expensive upstream derivation (copart: distinct + self-join) is
-    # computed once — same discipline as kcore_peel
+    # the census references `edges` three times (und's two legs + the
+    # node count); cache the input so an expensive upstream derivation
+    # (copart: distinct + self-join) is computed once — same
+    # discipline as kcore_peel
     edges = edges.persist()
     und = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -163,15 +172,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                         | ((F.col("da") == F.col("db"))
                            & (F.col("a") < F.col("b"))))
                 .select("a", "b")).persist()
-    wedges = (oriented.alias("e1")
-              .join(oriented.alias("e2"),
-                    F.col("e1.b") == F.col("e2.a"))
-              .select(F.col("e1.a").alias("x"),
-                      F.col("e1.b").alias("y"),
-                      F.col("e2.b").alias("z")))
-    closed = wedges.join(
-        oriented.select(F.col("a").alias("x"), F.col("b").alias("z")),
-        ["x", "z"])
+    adj = oriented.groupBy("a").agg(F.collect_list("b").alias("nbr"))
+    closed = (oriented
+              .join(adj.select("a", F.col("nbr").alias("na")), "a")
+              .join(adj.select(F.col("a").alias("b"),
+                               F.col("nbr").alias("nb")), "b")
+              .select(F.size(F.array_intersect("na", "nb")).alias("t")))
+    inout = (oriented.select(F.col("a").alias("n"))
+             .groupBy("n").agg(F.count(F.lit(1)).alias("o"))
+             .join(oriented.select(F.col("b").alias("n"))
+                   .groupBy("n").agg(F.count(F.lit(1)).alias("i")), "n"))
     # four single-row aggregates cross-joined (declared broadcast —
     # each side is exactly one row); materialize the 1-row result, then
     # release the oriented-edge cache (deterministic-release discipline,
@@ -180,9 +190,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
            .crossJoin(F.broadcast(
                oriented.agg(F.count(F.lit(1)).alias("n_edges"))))
            .crossJoin(F.broadcast(
-               wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+               # coalesce: SUM over an empty frame is NULL where the
+               # old COUNT-based census said 0 (wedge-free graphs)
+               inout.agg(F.coalesce(F.sum(F.col("i") * F.col("o")),
+                                    F.lit(0).cast("long"))
+                         .alias("n_wedges"))))
            .crossJoin(F.broadcast(
-               closed.agg(F.count(F.lit(1)).alias("n_triangles"))))
+               closed.agg(F.coalesce(F.sum("t"), F.lit(0).cast("long"))
+                          .alias("n_triangles"))))
            ).persist()
     out.count()
     oriented.unpersist()
