@@ -49,20 +49,25 @@ def sum_count(df: DataFrame, group_cols: list[str], amount_col: str,
     the sum descending (reference 03:77-79).
 
     The sum stays DECIMAL to the output boundary (scale 2 = the 2-dp
-    money inputs, so the final cast never rounds). An earlier
-    ``cast("double")`` here was scale-fragile: at sf0.1 the ~7e9
-    region-level sums exposed DuckDB's not-correctly-rounded
-    decimal->double conversion as 1-ulp hash mismatches, and the sums
-    only grow with SF — exact decimal output is the scale-stable
-    contract."""
+    money inputs, so the final cast never rounds) and crosses it as a
+    fixed-scale STRING. An earlier ``cast("double")`` was
+    scale-fragile (DuckDB's decimal->double conversion is not
+    correctly rounded at the ~7e9 sums sf0.1 reaches), and a bare
+    DECIMAL(25,2) output is driver-fragile: Spark renders wide
+    decimals as pandas object(Decimal) while DuckDB's ``fetchdf``
+    renders them float64, and the driver's dtype-sensitive value hash
+    mismatches on equal values (the r5 ``grouping_sets_report`` red).
+    The fixed-scale string is identical text on both engines at any
+    SF."""
+    summed = F.sum(dec(amount_col)).cast("decimal(25,2)")
     return (
         df.groupBy(*group_cols)
-        .agg(
-            F.sum(dec(amount_col)).cast("decimal(25,2)")
-            .alias(sales_alias),
-            F.count(amount_col).alias(count_alias),
-        )
-        .orderBy(F.col(sales_alias).desc())
+        .agg(summed.alias("_dec_sum"),
+             F.count(amount_col).alias(count_alias))
+        .orderBy(F.col("_dec_sum").desc())
+        .select(*group_cols,
+                F.col("_dec_sum").cast("string").alias(sales_alias),
+                count_alias)
     )
 
 

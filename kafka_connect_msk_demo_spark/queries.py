@@ -57,14 +57,14 @@ def q_sales_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SALES_BY_COUNTRY = """
 SELECT n_name AS country,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
-         AS sales,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                 AS DECIMAL(25,2)) AS VARCHAR) AS sales,
        COUNT(o_totalprice) AS orders_cnt
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY n_name
-ORDER BY sales DESC
+ORDER BY SUM(CAST(o_totalprice AS DECIMAL(25,8))) DESC
 """
 
 
@@ -127,15 +127,15 @@ def q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SALES_BY_REGION = """
 SELECT r_name AS region,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
-         AS sales,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                 AS DECIMAL(25,2)) AS VARCHAR) AS sales,
        COUNT(o_totalprice) AS orders_cnt
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
-ORDER BY sales DESC
+ORDER BY SUM(CAST(o_totalprice AS DECIMAL(25,8))) DESC
 """
 
 
@@ -309,9 +309,11 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey")))
     return (
         joined.groupBy(F.col("r_name").alias("region"))
-        .agg(F.sum("rev").cast("decimal(25,4)").alias("revenue"),
+        .agg(F.sum("rev").cast("decimal(25,4)").alias("_rev"),
              F.sum("nl").alias("line_count"))
-        .orderBy(F.col("revenue").desc())
+        .orderBy(F.col("_rev").desc())
+        .select("region", F.col("_rev").cast("string").alias("revenue"),
+                "line_count")
     )
 
 
@@ -361,15 +363,19 @@ def q_revenue_by_region_bucketed(spark: SparkSession,
             .join(F.broadcast(t["region"]),
                   F.col("n_regionkey") == F.col("r_regionkey")))
     return (full.groupBy(F.col("r_name").alias("region"))
-            .agg(F.sum("rev").cast("decimal(25,4)").alias("revenue"),
+            .agg(F.sum("rev").cast("decimal(25,4)").alias("_rev"),
                  F.sum("nl").alias("line_count"))
-            .orderBy(F.col("revenue").desc()))
+            .orderBy(F.col("_rev").desc())
+            .select("region",
+                    F.col("_rev").cast("string").alias("revenue"),
+                    "line_count"))
 
 
 _SQL_REVENUE_BY_REGION = """
 SELECT r_name AS region,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                AS DECIMAL(25,8))) AS DECIMAL(25,4)) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(25,8))) AS DECIMAL(25,4)) AS VARCHAR)
+         AS revenue,
        COUNT(*) AS line_count
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -377,7 +383,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
-ORDER BY revenue DESC
+ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(25,8))) DESC
 """
 
 
@@ -927,6 +934,42 @@ WHERE o_orderkey % 10 <> 0
 """
 
 
+def q_cdc_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-Read twin of ``cdc_upsert`` (§3.3, S15): the same
+    Debezium envelope stream ingested via append-only delta-log writes
+    (``MergeOnReadTable.append_batch`` — no base read, no partition
+    rewrite per micro-batch), then read through the ``_rt``
+    read-time-merge view. Must hash-match the CoW table state after
+    the same feed, so the oracle is ``_SQL_CDC_UPSERT`` verbatim.
+
+    Reference parity: ``deltastreamer_jobs_bulk.sh:7-79`` runs CoW and
+    MoR DeltaStreamer jobs over the same topics;
+    ``moma_debezium_hudi_demo.ipynb`` cells 8-11 query ``_ro``/``_rt``."""
+    import tempfile
+
+    from .sources.cdc import write_envelope_stream_dir
+    from .streaming.runner import run_foreach_batch
+    from .streaming.upsert import MergeOnReadTable
+    from .transforms import cdc_unwrap
+
+    base = tempfile.mkdtemp(prefix="cdc_upsert_mor_")
+    env_dir = f"{base}/envelope"
+    write_envelope_stream_dir(spark, sf_dir, env_dir)
+    env_schema = spark.read.parquet(env_dir).schema
+    stream = (spark.readStream.schema(env_schema)
+              .option("maxFilesPerTrigger", "1").parquet(env_dir))
+    table = MergeOnReadTable(f"{base}/table", key_cols=["o_orderkey"],
+                             ordering_col="__source_ts_ms",
+                             tiebreak_col="__lsn",
+                             partition_by="order_month")
+    run_foreach_batch(cdc_unwrap(stream), table.append_batch,
+                      checkpoint_dir=f"{base}/ckpt")
+    table.register_views(spark, "mor_orders")
+    return spark.table("mor_orders_rt").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "order_month")
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: a (status, month) revenue
     aggregate is built from the CDC snapshot phase, then brought
@@ -951,7 +994,8 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = maintain_sum_count(base, contribs,
                              ["o_orderstatus", "order_month"], "val")
     return (out.select("o_orderstatus", "order_month",
-                       F.col("total").cast("decimal(25,4)").alias("total"),
+                       F.col("total").cast("decimal(25,4)")
+                       .cast("string").alias("total"),
                        "n")
             .orderBy("o_orderstatus", "order_month"))
 
@@ -1448,15 +1492,15 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_quantity").cast("long")).alias("qty"),
                  F.sum(dec("l_extendedprice", 25, 8)).cast("decimal(25,2)")
-                 .alias("revenue"))
+                 .cast("string").alias("revenue"))
             .orderBy("l_returnflag"))
 
 
 _SQL_BLOOM_SEMI_JOIN = """
 SELECT l_returnflag, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8)))
-            AS DECIMAL(25,2)) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8)))
+                 AS DECIMAL(25,2)) AS VARCHAR) AS revenue
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_totalprice > 400000)
@@ -1557,8 +1601,8 @@ WITH final AS (
   WHERE o_orderkey % 10 <> 0
 )
 SELECT o_orderstatus, order_month,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25, 8))) AS DECIMAL(25,4))
-         AS total,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25, 8)))
+                 AS DECIMAL(25,4)) AS VARCHAR) AS total,
        COUNT(*) AS n
 FROM final
 GROUP BY o_orderstatus, order_month
@@ -1642,7 +1686,7 @@ def q_range_join_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("n_nationkey")
             .agg(F.count(F.lit(1)).alias("promo_orders"),
                  F.sum(dec("o_totalprice", 25, 8)).cast("decimal(25,2)")
-                 .alias("promo_revenue"))
+                 .cast("string").alias("promo_revenue"))
             .orderBy("n_nationkey"))
 
 
@@ -1658,8 +1702,8 @@ WITH o AS (
   FROM nation
 )
 SELECT n_nationkey, COUNT(*) AS promo_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
-            AS DECIMAL(25,2)) AS promo_revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                 AS DECIMAL(25,2)) AS VARCHAR) AS promo_revenue
 FROM o JOIN iv ON o.day BETWEEN iv.lo AND iv.hi
 GROUP BY 1
 ORDER BY n_nationkey
@@ -1673,9 +1717,12 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping sets), vs three scans if issued as separate queries.
     gid = grouping_id() (region bit high), identical bit order to the
     oracle's GROUPING() arithmetic. Revenue aggregates on exact
-    decimal and stays decimal to the output boundary (the 2-dp cast
-    never rounds 2-dp money; a double output was 1-ulp hash-fragile
-    against DuckDB at sf0.1 magnitudes)."""
+    decimal and crosses the oracle boundary as a fixed-scale string
+    (the 2-dp cast never rounds 2-dp money; a double output was 1-ulp
+    hash-fragile against DuckDB at sf0.1 magnitudes, and a bare
+    DECIMAL output is pandas-dtype-fragile — object(Decimal) vs
+    DuckDB fetchdf's float64 breaks the driver's dtype-sensitive
+    hash)."""
     t = load_tables(spark, sf_dir)
     joined = (t["orders"]
               .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
@@ -1688,7 +1735,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_name").alias("nation"))
             .agg(F.grouping_id().alias("gid"),
                  F.sum(dec("o_totalprice", 25, 8)).cast("decimal(25,2)")
-                 .alias("revenue"),
+                 .cast("string").alias("revenue"),
                  F.count(F.lit(1)).alias("orders_cnt"))
             .orderBy("gid", "region", "nation"))
 
@@ -1696,8 +1743,8 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_REVENUE_ROLLUP = """
 SELECT r_name AS region, n_name AS nation,
        GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
-         AS revenue,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                 AS DECIMAL(25,2)) AS VARCHAR) AS revenue,
        COUNT(*) AS orders_cnt
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -1941,7 +1988,7 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("o_orderstatus").alias("status"))
             .agg(F.grouping_id().alias("gid"),
                  F.sum(dec("o_totalprice", 25, 8)).cast("decimal(25,2)")
-                 .alias("revenue"),
+                 .cast("string").alias("revenue"),
                  F.count(F.lit(1)).alias("orders_cnt"))
             .orderBy("gid", "region", "status"))
 
@@ -1949,8 +1996,8 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_REVENUE_CUBE = """
 SELECT r_name AS region, o_orderstatus AS status,
        GROUPING(r_name) * 2 + GROUPING(o_orderstatus) AS gid,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
-         AS revenue,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                 AS DECIMAL(25,2)) AS VARCHAR) AS revenue,
        COUNT(*) AS orders_cnt
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -5695,7 +5742,15 @@ def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping flags materialized as an explicit gid (grouping(region)·2
     + grouping(priority), identical bit math on both engines). The
     SQL-first surface: the loaded tables register as temp views and
-    the report is one ``spark.sql``."""
+    the report is one ``spark.sql``.
+
+    The exact DECIMAL sum crosses the oracle boundary as a fixed-scale
+    string and gid as BIGINT (the ``sales_by_country_decimal``
+    convention): Spark renders wide decimals as pandas object(Decimal)
+    while DuckDB's ``fetchdf`` renders them float64 (and its
+    GROUPING() math as int64 vs Spark's int32) — equal values, but the
+    driver's value hash is dtype-sensitive, which made this row the
+    only r5 red."""
     t = load_tables(spark, sf_dir, ("orders", "customer", "nation",
                                     "region"))
     t["orders"].createOrReplaceTempView("gs_orders")
@@ -5704,10 +5759,11 @@ def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["region"].createOrReplaceTempView("gs_region")
     return spark.sql("""
         SELECT r_name AS region, o_orderpriority AS priority,
-               grouping(r_name) * 2 + grouping(o_orderpriority) AS gid,
+               CAST(grouping(r_name) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
-                    AS DECIMAL(25,2)) AS sales
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                         AS DECIMAL(25,2)) AS STRING) AS sales
         FROM gs_orders
         JOIN gs_customer ON o_custkey = c_custkey
         JOIN gs_nation   ON c_nationkey = n_nationkey
@@ -5720,10 +5776,11 @@ def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_GROUPING_SETS = """
 SELECT r_name AS region, o_orderpriority AS priority,
-       GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS gid,
+       CAST(GROUPING(r_name) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DECIMAL(25,2))
-           AS sales
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                 AS DECIMAL(25,2)) AS VARCHAR) AS sales
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -5960,6 +6017,7 @@ BATCH_QUERIES = {
     "avro_roundtrip": (q_avro_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "avro_wire_roundtrip": (q_avro_wire_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
+    "cdc_upsert_mor": (q_cdc_upsert_mor, _SQL_CDC_UPSERT),
     "asof_attribution": (q_asof_attribution, _SQL_ASOF_ATTRIBUTION),
     "range_join_promo": (q_range_join_promo, _SQL_RANGE_JOIN_PROMO),
     "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
@@ -6109,7 +6167,8 @@ _DRIVER_PRIORITY = [
     "array_hof_stats", "stream_topk_users",
     "multi_touch_attribution", "running_balance_resets",
     "windowed_distinct_users", "unpivot_metrics",
-    "grouping_sets_report", "null_safe_join", "user_profile_json",
+    "grouping_sets_report", "cdc_upsert_mor",
+    "null_safe_join", "user_profile_json",
     "scd2_temporal_join",
     # round-4 late additions (verified by rotation in later rounds)
     "bpe_train", "bpe_vocab", "incremental_neardup",

@@ -226,6 +226,145 @@ class UpsertTable:
         return [p for p, _ in todo]
 
 
+class MergeOnReadTable:
+    """Merge-on-Read twin of :class:`UpsertTable` — the engine's analog
+    of the reference's MoR DeltaStreamer mode
+    (``hudi/debezium_hudi_demo/deltastreamer_jobs_bulk.sh:7-79`` runs
+    CoW AND MoR jobs; ``moma_debezium_hudi_demo.ipynb`` cells 8-11
+    query the ``_ro`` vs ``_rt`` views of the MoR table).
+
+    Layout::
+
+        path/base/...             partitioned parquet (bulk insert +
+                                   compaction output only)
+        path/log/_delta=NNNN/...  append-only per-batch delta files
+
+    Why MoR exists: a CoW MERGE rewrites every affected partition per
+    micro-batch — at 100 TB CDC that write amplification is the #1
+    cost lever. Here ingest (:meth:`append_batch`) writes ONLY the
+    batch rows (one small parquet write, never reads or rewrites the
+    base); the merge cost moves to read time (``_rt``) and is
+    amortized away by :meth:`compact`.
+
+    ``_rt`` scale shape: the uncompacted log between compactions is
+    small relative to the base, so its distinct key set broadcasts.
+    The base splits into untouched rows (anti join against the log
+    keys — streams through with NO shuffle) and affected rows (semi
+    join), and only affected ∪ log goes through the latest-wins
+    window. A 100 TB base with a 10 GB log shuffles 10-GB-scale data,
+    not the table.
+    """
+
+    LOG_COL = "_delta"
+
+    def __init__(self, path: str, key_cols: list[str], ordering_col: str,
+                 tiebreak_col: str, partition_by: str | None = None,
+                 deleted_col: str = "__deleted") -> None:
+        self.base = UpsertTable(f"{path.rstrip('/')}/base", key_cols,
+                                ordering_col, tiebreak_col, partition_by,
+                                deleted_col)
+        self.path = path.rstrip("/")
+        self.log_path = f"{self.path}/log"
+        self.key_cols = key_cols
+        self.ordering_col = ordering_col
+        self.tiebreak_col = tiebreak_col
+        self.partition_by = partition_by
+        self.deleted_col = deleted_col
+
+    # -- helpers ------------------------------------------------------------
+
+    def _log_batches(self, spark: SparkSession) -> list[str]:
+        fs, jpath = _hadoop_fs(spark, self.log_path)
+        if not fs.exists(jpath):
+            return []
+        return sorted(st.getPath().getName() for st in fs.listStatus(jpath)
+                      if st.isDirectory()
+                      and st.getPath().getName().startswith(
+                          f"{self.LOG_COL}="))
+
+    def _read_log(self, spark: SparkSession,
+                  batches: list[str]) -> DataFrame | None:
+        if not batches:
+            return None
+        paths = [f"{self.log_path}/{b}" for b in batches]
+        return spark.read.parquet(*paths)
+
+    # -- ingest (the whole point: no base read, no partition rewrite) -------
+
+    def append_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch body: append the micro-batch to the delta log.
+
+        Unlike the CoW MERGE this never reads the base table and never
+        rewrites a partition — one parquet write of exactly the batch
+        rows. Latest-wins is deferred to ``_rt`` reads / compaction,
+        keyed on (ordering, tiebreak), so re-appended duplicates are
+        harmless (max_by picks the same winner)."""
+        spark = batch.sparkSession
+        if not self.base._exists(spark):
+            # initial bulk insert goes straight to base files, exactly
+            # like DeltaStreamer's first commit.
+            self.base.merge_batch(batch, batch_id)
+            return
+        (batch.write.mode("overwrite")
+         .parquet(f"{self.log_path}/{self.LOG_COL}={batch_id:09d}"))
+
+    # -- read views (S15: _ro / _rt) ----------------------------------------
+
+    def read_optimized(self, spark: SparkSession) -> DataFrame:
+        """``_ro``: base files only — fast, possibly stale (pending log
+        entries are invisible until compaction folds them in)."""
+        return self.base.read(spark)
+
+    def read_realtime(self, spark: SparkSession) -> DataFrame:
+        """``_rt``: read-time merge of base ∪ log (W3 latest-wins over
+        the record key, delete rows dropped) — always current.
+
+        Base rows whose key never appears in the log bypass the merge
+        entirely via a broadcast anti join (no shuffle of the base);
+        only (base ⋉ log-keys) ∪ log enters the latest-wins window."""
+        log = self._read_log(spark, self._log_batches(spark))
+        base = self.read_optimized(spark)
+        if log is None:
+            return self.base._live(base)
+        log = log.select(*base.columns)
+        keys = F.broadcast(log.select(*self.key_cols).distinct())
+        untouched = base.join(keys, self.key_cols, "left_anti")
+        affected = base.join(keys, self.key_cols, "left_semi")
+        merged = self.base._live(
+            self.base._latest_wins(affected.unionByName(log)))
+        return untouched.unionByName(merged)
+
+    def register_views(self, spark: SparkSession, name: str) -> None:
+        """``{name}_ro`` / ``{name}_rt`` temp views — the Hive-synced
+        pair the reference notebook queries (ipynb cells 8-11)."""
+        self.read_optimized(spark).createOrReplaceTempView(f"{name}_ro")
+        self.read_realtime(spark).createOrReplaceTempView(f"{name}_rt")
+
+    # -- table service -------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> list[str]:
+        """Fold the delta log into base files (Hudi's MoR compaction,
+        ``hoodie.compact.inline.max.delta.commits`` analog) and delete
+        the consumed log batches. Afterwards ``_ro`` == ``_rt``.
+
+        Reuses the CoW MERGE for the fold, so only partitions the log
+        actually touches (incoming values ∪ partitions holding moved
+        keys) are rewritten — cost scales with the log, not the base.
+        The consumed-batch list is snapshotted BEFORE the fold so a
+        concurrent append lands in a later compaction, never lost."""
+        batches = self._log_batches(spark)
+        log = self._read_log(spark, batches)
+        if log is None:
+            return []
+        self.base.merge_batch(log.select(
+            *self.read_optimized(spark).columns))
+        fs, _ = _hadoop_fs(spark, self.log_path)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        for b in batches:
+            fs.delete(jvm_path(f"{self.log_path}/{b}"), True)
+        return batches
+
+
 class _dynamic_overwrite:
     """Scoped spark.sql.sources.partitionOverwriteMode=dynamic, so the
     overwrite replaces only partitions present in the written frame."""

@@ -1,0 +1,151 @@
+"""MergeOnReadTable (S15 _ro/_rt) — the MoR half of the upsert
+subsystem (reference runs CoW AND MoR DeltaStreamer jobs,
+``deltastreamer_jobs_bulk.sh:7-79``; ``moma_debezium_hudi_demo.ipynb``
+cells 8-11 query ``_ro`` vs ``_rt``).
+
+Covers the contracts the end-to-end ``cdc_upsert_mor`` oracle row
+cannot: log appends leave base files byte-untouched (the whole point
+of MoR — no per-batch partition rewrite), ``_ro`` staleness vs ``_rt``
+currency, compaction folding the log so ``_ro`` catches up, and MoR/
+CoW state equivalence under the same feed including deletes and
+cross-partition key moves.
+"""
+
+import os
+
+from kafka_connect_msk_demo_spark.streaming.upsert import (MergeOnReadTable,
+                                                           UpsertTable)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, part string, val string, ts bigint, seq int, "
+              "__deleted string")
+
+
+def _mor(path, partition_by="part"):
+    return MergeOnReadTable(path=str(path), key_cols=["id"],
+                            ordering_col="ts", tiebreak_col="seq",
+                            partition_by=partition_by)
+
+
+def _base_file_state(root):
+    """{relpath: (size, mtime_ns)} of every file under base/."""
+    state = {}
+    base = os.path.join(root, "base")
+    for dirpath, _, files in os.walk(base):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            state[os.path.relpath(p, base)] = (st.st_size, st.st_mtime_ns)
+    return state
+
+
+def test_append_never_rewrites_base(spark, tmp_path):
+    t = _mor(tmp_path / "t")
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                  (2, "b", "v1", 10, 0, "false")]), 0)
+    before = _base_file_state(str(tmp_path / "t"))
+    assert before, "bulk insert must create base files"
+    # updates, a delete and a cross-partition move: under CoW every one
+    # of these would rewrite partitions — under MoR none may.
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false")]), 1)
+    t.append_batch(_batch(spark, [(2, "b", "v1", 30, 0, "true"),
+                                  (3, "c", "v1", 30, 0, "false")]), 2)
+    t.append_batch(_batch(spark, [(1, "b", "v3", 40, 0, "false")]), 3)
+    assert _base_file_state(str(tmp_path / "t")) == before
+
+
+def test_ro_stale_rt_current(spark, tmp_path):
+    t = _mor(tmp_path / "t")
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 0)
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false"),
+                                  (2, "b", "v1", 20, 0, "false")]), 1)
+    ro = {(r.id, r.val) for r in t.read_optimized(spark).collect()}
+    rt = {(r.id, r.val) for r in t.read_realtime(spark).collect()}
+    assert ro == {(1, "v1")}            # pending log invisible
+    assert rt == {(1, "v2"), (2, "v1")}  # read-time merge is current
+
+
+def test_compact_folds_log_and_drains_it(spark, tmp_path):
+    t = _mor(tmp_path / "t")
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                  (2, "b", "v1", 10, 0, "false")]), 0)
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false"),
+                                  (2, "b", "v1", 20, 0, "true")]), 1)
+    rt_before = {(r.id, r.val) for r in t.read_realtime(spark).collect()}
+    consumed = t.compact(spark)
+    assert consumed == ["_delta=000000001"]
+    assert t._log_batches(spark) == []
+    ro = {(r.id, r.val) for r in t.read_optimized(spark).collect()}
+    rt = {(r.id, r.val) for r in t.read_realtime(spark).collect()}
+    assert ro == rt == rt_before == {(1, "v2")}
+    # the delete vacated partition b in the folded base
+    assert not (tmp_path / "t" / "base" / "part=b").exists()
+
+
+def test_rt_matches_cow_same_feed(spark, tmp_path):
+    """The core MoR contract: _rt state ≡ CoW table state after the
+    same ordered CDC feed (updates, delete, cross-partition move,
+    out-of-order arrival resolved by (ts, seq))."""
+    feed = [
+        [(1, "a", "v1", 10, 0, "false"), (2, "a", "v1", 10, 0, "false"),
+         (3, "b", "v1", 10, 0, "false")],
+        [(1, "a", "v2", 20, 0, "false"), (2, "a", "v1", 20, 0, "true")],
+        [(3, "c", "v2", 30, 0, "false")],          # move b → c
+        [(1, "a", "v9", 15, 0, "false")],          # late, must lose to ts=20
+        [(4, "b", "v1", 40, 0, "false"), (4, "b", "v2", 40, 1, "false")],
+    ]
+    cow = UpsertTable(path=str(tmp_path / "cow"), key_cols=["id"],
+                      ordering_col="ts", tiebreak_col="seq",
+                      partition_by="part")
+    mor = _mor(tmp_path / "mor")
+    for i, rows in enumerate(feed):
+        cow.merge_batch(_batch(spark, rows), i)
+        mor.append_batch(_batch(spark, rows), i)
+    cow_state = {tuple(r) for r in cow.read(spark)
+                 .select("id", "part", "val", "ts", "seq").collect()}
+    rt_state = {tuple(r) for r in mor.read_realtime(spark)
+                .select("id", "part", "val", "ts", "seq").collect()}
+    assert rt_state == cow_state
+    assert cow_state == {(1, "a", "v2", 20, 0), (3, "c", "v2", 30, 0),
+                         (4, "b", "v2", 40, 1)}
+    # and after compaction the _ro view converges to the same state
+    mor.compact(spark)
+    ro_state = {tuple(r) for r in mor.read_optimized(spark)
+                .select("id", "part", "val", "ts", "seq").collect()}
+    assert ro_state == cow_state
+
+
+def test_register_views(spark, tmp_path):
+    t = _mor(tmp_path / "t")
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 0)
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false")]), 1)
+    t.register_views(spark, "mor_test")
+    ro = spark.sql("SELECT val FROM mor_test_ro").collect()
+    rt = spark.sql("SELECT val FROM mor_test_rt").collect()
+    assert [r.val for r in ro] == ["v1"]
+    assert [r.val for r in rt] == ["v2"]
+
+
+def test_rt_base_side_has_no_shuffle(spark, tmp_path):
+    """Untouched base rows must reach the output through a broadcast
+    anti join — no Exchange on the base scan side of the _rt plan's
+    union (the property that keeps _rt viable on a 100 TB base)."""
+    t = _mor(tmp_path / "t")
+    t.append_batch(_batch(spark, [(i, "a", "v1", 10, 0, "false")
+                                  for i in range(1, 50)]), 0)
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false")]), 1)
+    plan = t.read_realtime(spark)._jdf.queryExecution().executedPlan() \
+        .toString()
+    lines = plan.splitlines()
+    anti_idx = [i for i, ln in enumerate(lines)
+                if "LeftAnti" in ln and "BroadcastHashJoin" in ln]
+    assert anti_idx, "base pass-through must be a broadcast anti join:\n" \
+        + plan
+    # the anti join's streamed (left) child must be the raw base scan —
+    # no Exchange/Sort between them (broadcasting the log keys is the
+    # only data movement the untouched base ever sees)
+    nxt = lines[anti_idx[0] + 1]
+    assert "FileScan parquet" in nxt and "/base" in nxt, (
+        "base side of the anti join is not a bare scan:\n" + plan)
