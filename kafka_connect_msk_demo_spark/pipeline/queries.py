@@ -284,8 +284,13 @@ ORDER BY q_id, rank
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via the distributed block-matrix self-join
+    (no corpus-sized driver transfer — the ``toPandas``-broadcast
+    scorer is demoted to a validation helper; LSH buckets cannot be
+    the primary here because every true pair on this corpus sits in
+    the weak 0.45–0.6 cosine band where the signatures miss ~half)."""
     vecs = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_dup_pairs(vecs, threshold=0.45)
+    return similarity.cosine_dup_pairs_blocked(vecs, threshold=0.45)
 
 
 _SQL_EMBEDDING_DUP_PAIRS = """

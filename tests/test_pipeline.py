@@ -383,3 +383,33 @@ def test_pii_scrub_dates_and_mixed_case(spark):
     assert out[2].clean_text == "released on 2024-01-01 covering 1998-2024"
     assert out[3].n_phone == 1
     assert out[3].clean_text == "call <PHONE> before 2025-12-31"
+
+
+def test_blocked_dup_pairs_matches_broadcast_scorer(spark, vecs):
+    """The registered blocked (cogroup-tile) scorer must be
+    bit-identical to the driver-broadcast validation helper — same
+    pairs, same cosine doubles — across a threshold that includes
+    weak-band pairs (the regime LSH cannot serve)."""
+    from kafka_connect_msk_demo_spark.pipeline import similarity
+
+    allv = vecs.select("vec_id", "embedding")
+    exact = {(r.d1, r.d2): r.cos
+             for r in similarity.cosine_dup_pairs(allv, 0.45).collect()}
+    blocked = {(r.d1, r.d2): r.cos
+               for r in similarity.cosine_dup_pairs_blocked(
+                   allv, 0.45).collect()}
+    assert exact, "corpus must contain weak-band pairs"
+    assert blocked == exact  # keys AND float-exact cosines
+
+
+def test_blocked_dup_pairs_single_block_degenerate(spark, vecs):
+    """nblocks=1 collapses to one diagonal tile — still exact."""
+    from kafka_connect_msk_demo_spark.pipeline import similarity
+
+    allv = vecs.select("vec_id", "embedding").limit(60)
+    exact = {(r.d1, r.d2)
+             for r in similarity.cosine_dup_pairs(allv, 0.3).collect()}
+    one = {(r.d1, r.d2)
+           for r in similarity.cosine_dup_pairs_blocked(
+               allv, 0.3, nblocks=1).collect()}
+    assert one == exact

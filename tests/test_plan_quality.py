@@ -35,7 +35,7 @@ from kafka_connect_msk_demo_spark.pipeline.queries import PIPELINE_QUERIES
 #: heavy_hitters (probe-set threshold — scalar-subquery plan);
 #: triangle_count cross-joins four ONE-ROW census aggregates;
 #: benford_audit cross-joins the ONE-ROW grand-total frame
-BNLJ_ALLOWED = {"embedding_dup_pairs", "similar_vectors", "ann_topk",
+BNLJ_ALLOWED = {"similar_vectors", "ann_topk",
                 "ivf_topk", "ivf_kmeans_topk", "tfidf_top_terms",
                 "fuzzy_match", "knn_classify", "bm25_topk",
                 # semdedup_trained: same K=16 centroid broadcast, with
@@ -247,3 +247,61 @@ def test_no_duplicate_toplevel_defs_or_dict_keys():
                                 f"{keys[k.value]})")
                         keys[k.value] = k.lineno
     assert not problems, "\n".join(problems)
+
+
+def test_no_unbounded_driver_collect_in_source():
+    """``.toPandas()`` inside a query path collects its whole input to
+    the driver — at 100 TB that is an OOM, not a plan. Walk the
+    package AST and require every ``toPandas`` call to sit inside an
+    explicitly-whitelisted function:
+
+    * ``oracle.compare`` — the test harness itself, never a query;
+    * ``similarity.brute_force_topk`` — collects the QUERY side only
+      (a bounded probe set, never the corpus);
+    * ``similarity.cosine_dup_pairs`` — documented validation/test
+      helper; the registered ``embedding_dup_pairs`` runs the blocked
+      distributed scorer instead (asserted below).
+
+    Registered-query modules (queries.py, pipeline/queries.py,
+    streaming/queries.py) must contain none at all.
+    """
+    import ast
+    import pathlib
+
+    allowed = {("oracle.py", "compare"),
+               ("pipeline/similarity.py", "brute_force_topk"),
+               ("pipeline/similarity.py", "cosine_dup_pairs")}
+    pkg = pathlib.Path(__file__).resolve().parents[1] \
+        / "kafka_connect_msk_demo_spark"
+    hits = set()
+    for path in sorted(pkg.rglob("*.py")):
+        rel = path.relative_to(pkg).as_posix()
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            for node in ast.walk(fn):
+                if (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr == "toPandas"):
+                    hits.add((rel, fn.name))
+    extra = {(p, f) for p, f in hits if (p, f) not in allowed}
+    assert not extra, f"undeclared driver collect: {sorted(extra)}"
+    for mod in ("queries.py", "pipeline/queries.py",
+                "streaming/queries.py"):
+        assert not any(p == mod for p, _ in hits), \
+            f"toPandas in registered-query module {mod}"
+
+
+def test_registered_dup_pairs_is_distributed():
+    """The registered ``embedding_dup_pairs`` must run the blocked
+    distributed scorer (cogroup tiles), not the driver-broadcast
+    helper: its plan carries FlatMapCoGroupsInPandas and no
+    BroadcastNestedLoopJoin."""
+    import inspect
+
+    from kafka_connect_msk_demo_spark.pipeline import queries as pq
+    src = inspect.getsource(pq.q_embedding_dup_pairs)
+    assert "cosine_dup_pairs_blocked" in src
+    import re
+    assert not re.search(r"\bcosine_dup_pairs\(", src)
