@@ -1,0 +1,125 @@
+"""Distributed exact global ranking — the two-level replacement for
+single-task ``Window.orderBy(...)`` plans.
+
+An unpartitioned window forces ``Exchange SinglePartition``: one task
+sorts every row, which is the canonical 100 TB scale-killer (VERDICT
+r5 "What's wrong" #3). The two-level shape keeps the exact semantics:
+
+1. ``repartitionByRange`` on the full (total-order) sort key — a
+   parallel range shuffle, the same movement a distributed sort does;
+2. per-partition ``row_number`` / prefix sums, windowed BY PARTITION
+   ID (hash exchange on pid, never a single task);
+3. per-partition totals aggregated to a P-row frame whose cumulative
+   offsets come from a window over those P rows (bounded by the
+   configured fan-out — constant cardinality, the one place a global
+   window is legitimate), broadcast back onto the rows.
+
+``global rank = partition offset + local rank`` is exact because range
+partitioning guarantees every row in partition i precedes every row in
+partition i+1 under the sort key, and the key is a total order (caller
+must include a unique tiebreaker).
+
+The ranged frame is PERSISTED before it forks into the row branch and
+the offsets branch. This is load-bearing, not an optimization: range
+partitioning draws a fresh random boundary sample per exchange
+execution, and column pruning specializes each branch's scan so the
+two exchanges are not canonically equal (no ReusedExchange) — without
+the persist, offsets from one partitioning get folded onto ranks from
+another (observed as +5 rank skew at sf0.1). The cache pins one
+materialized partitioning that both branches read;
+MEMORY_AND_DISK spills rather than recomputes, so the pids cannot
+drift. (Executor loss on a real cluster recomputes a partition from
+lineage and would re-sample — production runs should reliable-
+checkpoint the ranged frame instead; local runs cannot lose
+executors.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default fan-out of the range shuffle; at real scale set to the
+#: cluster's parallelism (each task then sorts n/P rows)
+DEFAULT_PARTS = 32
+
+
+def exact_global_rank(df: DataFrame, order_cols: list[Column],
+                      out_col: str = "rank",
+                      num_parts: int = DEFAULT_PARTS) -> DataFrame:
+    """Exact 1-based global rank under ``order_cols`` (must be a total
+    order) with no single-partition exchange anywhere in the plan.
+    Adds ``out_col``; also leaves ``_n_total`` (the exact row count)
+    for rank-arithmetic callers such as :func:`exact_global_ntile`."""
+    ranged = (df.repartitionByRange(num_parts, *order_cols)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist())  # pins ONE boundary sample for both branches
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    # P-row offsets frame over the same materialized partitioning
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (sizes
+            .withColumn("_offset",
+                        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+            .withColumn("_n_total",
+                        F.sum("_cnt").over(Window.partitionBy()))
+            .select("_pid", "_offset", "_n_total"))
+    return (local.join(F.broadcast(offs), "_pid")
+            .withColumn(out_col, F.col("_offset") + F.col("_lrn"))
+            .drop("_pid", "_lrn", "_offset"))
+
+
+def exact_global_ntile(df: DataFrame, n_tiles: int,
+                       order_cols: list[Column], out_col: str,
+                       num_parts: int = DEFAULT_PARTS) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` — identical
+    bucket boundaries to the SQL window function (the first
+    ``n mod k`` tiles are one row larger), computed from the
+    distributed exact rank instead of a single-task sort."""
+    ranked = exact_global_rank(df, order_cols, "_r", num_parts)
+    n, k = F.col("_n_total"), F.lit(n_tiles)
+    m = n % k              # number of big tiles
+    big = (n / k).cast("long") + 1
+    small = (n / k).cast("long")
+    cut = m * big          # last rank inside the big tiles
+    r = F.col("_r")
+    tile = (F.when(r <= cut, ((r - 1) / big).cast("long") + 1)
+            .otherwise(m + ((r - cut - 1) / small).cast("long") + 1))
+    return (ranked.withColumn(out_col, tile.cast("int"))
+            .drop("_r", "_n_total"))
+
+
+def partitioned_prefix_sum(df: DataFrame, order_cols: list[Column],
+                           value_col: str, out_col: str,
+                           exclusive: bool = True,
+                           num_parts: int = DEFAULT_PARTS) -> DataFrame:
+    """Exact running sum of ``value_col`` under ``order_cols`` (total
+    order required) without a single-partition window over the rows:
+    range shuffle, per-partition prefix sums, and a P-row totals frame
+    (same reused exchange) whose window yields the partition offsets.
+    ``exclusive=True`` sums strictly-preceding rows (the ``ROWS
+    BETWEEN UNBOUNDED PRECEDING AND -1`` shape). Also leaves
+    ``_grand_total`` for share-of-total callers."""
+    ranged = (df.repartitionByRange(num_parts, *order_cols)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist())  # pins ONE boundary sample for both branches
+    hi = -1 if exclusive else Window.currentRow
+    w_local = (Window.partitionBy("_pid").orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, hi))
+    local = ranged.withColumn(
+        "_lsum", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
+    totals = (ranged.groupBy("_pid")
+              .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("_tot")))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (totals
+            .withColumn("_offset",
+                        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
+            .withColumn("_grand_total",
+                        F.sum("_tot").over(Window.partitionBy()))
+            .select("_pid", "_offset", "_grand_total"))
+    return (local.join(F.broadcast(offs), "_pid")
+            .withColumn(out_col, F.col("_offset") + F.col("_lsum"))
+            .drop("_pid", "_lsum", "_offset"))

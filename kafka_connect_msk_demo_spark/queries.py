@@ -2849,11 +2849,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(4) under deterministic (metric, custkey) orders, then the
     4×4×4 segment census reports size and exact-ratio average spend.
 
-    Scale note: each ntile is one global sort — the same O(n log n)
-    any rank-based quartile costs; for 10⁹+ customers swap the
-    boundaries to ``approx_percentile`` thresholds and a comparison
-    bucket (the census stage is unchanged). Quartile 1 is best on
-    every axis (most recent / most frequent / highest spend)."""
+    No single-task sort anywhere: each quartile is an
+    ``exact_global_ntile`` (operators/ranking.py) — a parallel range
+    shuffle, per-range-partition row_numbers windowed by partition id,
+    and O(P) collected partition counts folded back as rank offsets.
+    Bucket boundaries are bit-identical to the oracle's ``ntile(4)``
+    (first n mod 4 tiles one row larger) because the rank is exact
+    under the same deterministic (metric, custkey) total orders.
+    Quartile 1 is best on every axis (most recent / most frequent /
+    highest spend)."""
+    from .operators.ranking import exact_global_ntile
+
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"]
     day = F.expr("unix_micros(o_orderdate) div 86400000000")
@@ -2865,12 +2871,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxd = per.agg(F.max("last_day").alias("corpus_max"))
     per = (per.crossJoin(F.broadcast(maxd))
            .withColumn("recency", F.col("corpus_max") - F.col("last_day")))
-    w_r = Window.orderBy("recency", "o_custkey")
-    w_f = Window.orderBy(F.col("freq").desc(), "o_custkey")
-    w_m = Window.orderBy(F.col("cents").desc(), "o_custkey")
-    scored = (per.withColumn("r_q", F.ntile(4).over(w_r))
-              .withColumn("f_q", F.ntile(4).over(w_f))
-              .withColumn("m_q", F.ntile(4).over(w_m)))
+    scored = exact_global_ntile(
+        per, 4, [F.col("recency"), F.col("o_custkey")], "r_q")
+    scored = exact_global_ntile(
+        scored, 4, [F.col("freq").desc(), F.col("o_custkey")], "f_q")
+    scored = exact_global_ntile(
+        scored, 4, [F.col("cents").desc(), F.col("o_custkey")], "m_q")
     return (scored.groupBy("r_q", "f_q", "m_q")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  ((F.sum("cents").cast("double") / F.lit(100.0))
@@ -4855,15 +4861,17 @@ GROUP BY 1, 2, 3 ORDER BY j.o_orderkey
 def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift (gains chart): customers ranked into balance
     deciles, each decile's order revenue and cumulative revenue
-    share. The exact global rank is NOT a single-partition window
-    over all customers: per-balance counts aggregate first, the
-    cumulative offset runs over the (much smaller) distinct-balance
-    frame, and the within-balance tie-break (row_number by custkey)
-    is a window PARTITIONED by balance — so the only unpartitioned
-    pass touches distinct values, not rows. decile =
+    share. No single-partition window at ANY cardinality: per-balance
+    counts aggregate first, their cumulative offsets come from
+    ``partitioned_prefix_sum`` (operators/ranking.py — range shuffle
+    over the distinct-balance frame, per-partition prefix sums, P-row
+    offsets fold), and the within-balance tie-break (row_number by
+    custkey) is a window PARTITIONED by balance. decile =
     (rank-1)*10 div n + 1 (even remainder spread; the oracle uses
     the identical formula, so no engine-specific ntile semantics).
     Customers with no orders count with zero revenue."""
+    from .operators.ranking import partitioned_prefix_sum
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     rev = (orders.groupBy("o_custkey")
@@ -4878,14 +4886,9 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce("rev_c",
                                    F.lit(0).cast("decimal(38,0)"))))
     counts = base.groupBy("bal_c").agg(F.count(F.lit(1)).alias("cnt"))
-    w_val = (Window.orderBy(F.desc("bal_c"))
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = (counts
-               .withColumn("before",
-                           F.coalesce(F.sum("cnt").over(w_val),
-                                      F.lit(0)))
-               .withColumn("n_total",
-                           F.sum("cnt").over(Window.partitionBy())))
+    offsets = (partitioned_prefix_sum(counts, [F.desc("bal_c")], "cnt",
+                                      "before", exclusive=True)
+               .withColumnRenamed("_grand_total", "n_total"))
     w_tie = Window.partitionBy("bal_c").orderBy("c_custkey")
     ranked = (base.join(offsets.select("bal_c", "before", "n_total"),
                         "bal_c")

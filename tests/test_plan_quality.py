@@ -76,6 +76,36 @@ SKIP = {"cdc_upsert", "csv_dim_sales", "avro_roundtrip",
 
 ALL = {**BATCH_QUERIES, **PIPELINE_QUERIES}
 
+#: queries whose plans contain a window with an EMPTY partition spec —
+#: legal only over a provably bounded frame, never over corpus rows
+#: (the single-task-sort scale killer VERDICT r5 flagged in
+#: rfm_segments). Each entry names the bounded input:
+#: - rfm_segments / decile_lift: P-row range-partition offsets frame
+#:   (operators/ranking.py; P = configured fan-out, a constant)
+#: - chi2_independence: contingency-table margins (category-pair
+#:   cardinality)
+#: - rolling_corr: per-day series frame (one row per calendar day)
+#: - rrf_fusion: two top-k ranked lists (k constant)
+#: - share_of_parent: region/nation rollup frame (dimension-bounded)
+#: - skyline_customers: per-distinct-x reduced frontier scan
+#:   (operators/relational.py skyline_2d phase 2)
+#: - sorted_neighborhood: the algorithm IS a sorted scan; the window
+#:   input is the per-doc key frame, documented as the validation
+#:   variant of range-partitioned SNM
+#: - unigram_lm / zipf_census / weighted_bootstrap: vocabulary /
+#:   distinct-value cumulations (bounded by vocab, not corpus rows)
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "rfm_segments", "decile_lift", "chi2_independence", "rolling_corr",
+    "rrf_fusion", "share_of_parent", "skyline_customers",
+    "sorted_neighborhood", "unigram_lm", "zipf_census",
+    "weighted_bootstrap"}
+
+#: windowspecdefinition whose first argument is an ordered column or
+#: the frame itself = no partition columns in the spec
+_EMPTY_PARTITION_WINDOW = __import__("re").compile(
+    r"windowspecdefinition\((?:[A-Za-z_][\w#.]* (?:ASC|DESC)"
+    r"|specifiedwindowframe)")
+
 
 def _plan(spark, name, sf_dir):
     df = ALL[name][0](spark, sf_dir)
@@ -93,6 +123,11 @@ def test_no_scale_antipatterns(spark, sf_small, name):
             f"{name}: undeclared nested-loop join"
     assert "BatchEvalPython" not in plan, \
         f"{name}: row-at-a-time Python UDF in plan"
+    if name not in UNPARTITIONED_WINDOW_ALLOWED:
+        assert not _EMPTY_PARTITION_WINDOW.search(plan), \
+            (f"{name}: window with empty partition spec (single-task "
+             f"sort at scale) — partition it, use operators/ranking.py"
+             f", or whitelist with a bounded-input justification")
 
 
 def test_driver_window_covers_priority():

@@ -1,0 +1,90 @@
+"""operators/ranking.py — distributed exact rank / ntile / prefix sum
+vs the single-partition window reference, including the boundary-
+sampling consistency trap (offsets and ranks MUST come from the same
+materialized range partitioning; see the module docstring)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.operators.ranking import (
+    exact_global_ntile, exact_global_rank, partitioned_prefix_sum)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # adversarial: heavy duplicate keys (forces ties broken by id),
+    # skewed values, n not divisible by common tile counts
+    rows = [(i, (i * 7919) % 97, (i * 31) % 11) for i in range(1, 10_004)]
+    return spark.createDataFrame(rows, "id long, v long, w long")
+
+
+def test_exact_rank_matches_single_window(spark, frame):
+    got = {r.id: r.rank for r in exact_global_rank(
+        frame, [F.col("v"), F.col("id")], "rank", num_parts=16)
+        .select("id", "rank").collect()}
+    ref = {r.id: r.rank for r in frame.withColumn(
+        "rank", F.row_number().over(Window.orderBy("v", "id")))
+        .select("id", "rank").collect()}
+    assert got == ref
+
+
+def test_exact_rank_desc_order(spark, frame):
+    got = {r.id: r.rank for r in exact_global_rank(
+        frame, [F.col("v").desc(), F.col("id")], "rank", num_parts=8)
+        .select("id", "rank").collect()}
+    ref = {r.id: r.rank for r in frame.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("v").desc(), "id")))
+        .select("id", "rank").collect()}
+    assert got == ref
+
+
+@pytest.mark.parametrize("k", [4, 10, 7])
+def test_exact_ntile_matches_window_ntile(spark, frame, k):
+    got = {r.id: r.q for r in exact_global_ntile(
+        frame, k, [F.col("v"), F.col("id")], "q", num_parts=16)
+        .select("id", "q").collect()}
+    ref = {r.id: r.q for r in frame.withColumn(
+        "q", F.ntile(k).over(Window.orderBy("v", "id")))
+        .select("id", "q").collect()}
+    assert got == ref
+
+
+def test_ntile_stable_across_reruns(spark, frame):
+    """Range boundaries are sampled per execution; the persist inside
+    the helper must pin ONE partitioning per run, making results
+    identical run to run."""
+    def run():
+        out = exact_global_ntile(frame, 4, [F.col("v"), F.col("id")],
+                                 "q", num_parts=16)
+        res = {r.id: r.q for r in out.select("id", "q").collect()}
+        spark.catalog.clearCache()
+        return res
+    assert run() == run()
+
+
+def test_prefix_sum_exclusive_and_grand_total(spark, frame):
+    got = partitioned_prefix_sum(
+        frame, [F.desc("v"), F.col("id")], "w", "before",
+        exclusive=True, num_parts=8)
+    ref = frame.withColumn(
+        "before",
+        F.coalesce(F.sum("w").over(
+            Window.orderBy(F.desc("v"), "id")
+            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    g = {r.id: r.before for r in got.select("id", "before").collect()}
+    r = {r.id: r.before for r in ref.select("id", "before").collect()}
+    assert g == r
+    total = frame.agg(F.sum("w")).collect()[0][0]
+    assert got.select("_grand_total").distinct().collect()[0][0] == total
+
+
+def test_rank_plan_has_no_single_partition_exchange(spark, frame):
+    plan = exact_global_rank(frame, [F.col("v"), F.col("id")], "rank",
+                             num_parts=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the row path must never collapse to one task; the only windows
+    # are partitioned by _pid or run over the P-row offsets frame
+    row_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange SinglePartition" not in row_side, row_side
