@@ -357,13 +357,62 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     # instead of serving the old order
     stamp = f"{st.st_mtime_ns}:{st.st_size}:{chunks}:v3"
     marker = os.path.join(d, "_STAGED")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return d
+
+    def _staged() -> bool:
+        try:
+            with open(marker) as fh:
+                return fh.read() == stamp
+        except OSError:
+            return False
+
+    if _staged():
+        return d
+    # Concurrency: two processes (pytest-xdist workers) that both see a
+    # stale/absent marker must not interleave the sweep with each
+    # other's writes — a torn stage under the strictly-increasing-mtime
+    # invariant is silently ORDER-corrupting, not merely duplicated.
+    # Stage into a private temp dir and atomically rename into place,
+    # serialized by an O_EXCL lock file (held-too-long locks from a
+    # killed process are broken after _LOCK_STALE_S).
+    lock = d + ".lock"
+    while True:
+        if _staged():
+            return d
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > _LOCK_STALE_S:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue
+            time.sleep(0.05)
+    try:
+        if _staged():
+            return d
+        import shutil
+        tmp = f"{d}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        _write_chunks(target, name, chunks, tmp)
+        with open(os.path.join(tmp, "_STAGED"), "w") as fh:
+            fh.write(stamp)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    return d
+
+
+_LOCK_STALE_S = 300.0
+
+
+def _write_chunks(target: str, name: str, chunks: int, d: str) -> None:
+    """Write the ordered, mtime-stamped chunk files into ``d``."""
     import pyarrow.parquet as pq
-    for f in os.listdir(d):
-        os.remove(os.path.join(d, f))
     t = pq.read_table(target)
     order_col = next(iter(_TS_COLUMNS.get(name, {})), None)
     if order_col is not None:
@@ -392,9 +441,6 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
         part = os.path.join(d, f"part-{i:05d}.parquet")
         pq.write_table(t.slice(i * step, step), part)
         os.utime(part, (base + i, base + i))
-    with open(marker, "w") as fh:
-        fh.write(stamp)
-    return d
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str,

@@ -142,13 +142,23 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented edge (a, b), the triangles through it are
     ``|N+(a) ∩ N+(b)|`` — two node-keyed joins against the oriented
     adjacency arrays and one in-task ``array_intersect`` per edge.
-    Nothing wedge-shaped is ever materialized or shuffled: the earlier
+    No wedge ROWS are ever materialized or shuffled: the earlier
     wedge self-join + closure-join formulation pushed ~|wedges| rows
     (O(E^1.5); 166M on the dense sf0.1 co-part graph) through an
     exchange — and twice, because the wedge census consumed the join a
-    second time. This shape is |E| rows through two shuffles with the
-    O(sqrt(E))-bounded intersection as per-row work: measured 17.7 s
-    -> 6.4 s at sf0.1 with bit-identical output.
+    second time. This shape exchanges |E| rows, though each row of the
+    second join carries its full N+(a) adjacency array, so exchange
+    BYTES still scale with Σ_edges d+(a) (the wedge count) — the win
+    is row count and the single pass, not byte volume. Per-row work is
+    the O(sqrt(E))-bounded intersection: measured 17.7 s -> 6.4 s at
+    sf0.1 with bit-identical output.
+
+    Input contract: ``edges`` must be DISTINCT undirected edges (one
+    row per unordered pair, no self-loops) — the registered caller
+    feeds ``copart_edges``, which ends in ``.distinct()``. Duplicates
+    would skew the census inconsistently: ``array_intersect`` dedups
+    (undercounting triangles) while the in·out wedge census counts
+    with multiplicity.
 
     The wedge census needs no join at all: a wedge x->y->z is an
     in-edge (x->y) paired with an out-edge (y->z) at its middle
@@ -216,11 +226,14 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     Driver loop, one superstep per round (the connected_components /
     pagerank discipline): filter the PERSISTED deduped edge list by the
     current alive set (two node-keyed equi-joins), recount degrees (one
-    hash-agg keyed on node), persist the node-sized degree frame, and
-    read ONE integer back — ``deg.count()`` is simultaneously the
-    round's census (a node remains iff it still has an edge, i.e. has a
-    degree row) and the materialization barrier, so the census costs no
-    extra pass. Driver traffic is O(1) per round.
+    hash-agg keyed on node), checkpoint the node-sized degree frame
+    LAZILY (``localCheckpoint(eager=False)``), and read ONE integer
+    back — ``deg.count()`` is then the round's single scheduled job:
+    it materializes the checkpoint AND serves as the census (a node
+    remains iff it still has an edge, i.e. has a degree row). An eager
+    checkpoint would schedule a separate materialization job before
+    the count — two jobs per round for one pass of work. Driver
+    traffic is O(1) per round.
 
     Filtering the BASE edge list each round is equivalent to filtering
     the previous generation: alive sets shrink monotonically, so
@@ -239,7 +252,12 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     cheapest thing in the query. On a cluster, reliable checkpointing
     (or the same node-sized frame written to the shuffle service) is
     the equivalent; recompute-on-loss is a non-concern for a frame this
-    small.
+    small. Superseded rounds' checkpoint blocks are reclaimed by the
+    ContextCleaner once the rebound ``deg`` drops the last reference —
+    with a bounded round count the transient accumulation is a few
+    node-sized frames, so no explicit block release is needed (and the
+    DataFrame API offers none for checkpoint RDD blocks short of
+    ``.rdd``, which the repo's plan gate bans).
     """
     spark = edges.sparkSession
     e = edges.select("u", "v").persist()
@@ -253,14 +271,14 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
 
     rows: list[tuple[int, int, int]] = []
     try:
-        deg = degrees(e).localCheckpoint()
-        n_prev = deg.count()  # round-0 census: nodes with >= 1 edge
+        deg = degrees(e).localCheckpoint(eager=False)
+        n_prev = deg.count()  # one job: materializes + round-0 census
         for r in range(1, rounds + 1):
             alive = deg.filter(F.col("deg") >= k).select("u")
             cur = (e.join(alive, "u")
                    .join(alive.select(F.col("u").alias("v")), "v"))
-            deg = degrees(cur).localCheckpoint()
-            n_rem = deg.count()  # O(1) driver traffic: the census
+            deg = degrees(cur).localCheckpoint(eager=False)
+            n_rem = deg.count()  # one job: materializes + census
             rows.append((r, n_prev - n_rem, n_rem))
             n_prev = n_rem
     finally:

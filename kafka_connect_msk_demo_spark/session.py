@@ -66,4 +66,22 @@ def get_spark(app_name: str = "kafka_connect_msk_demo_spark",
         builder = builder.master(master)
     elif not SparkSession.getActiveSession():
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # spark.driver.memory only takes effect when THIS getOrCreate
+    # launches the JVM; if a session already existed, the builder's 8g
+    # is silently ignored and local-mode kernels run on the 1g default
+    # with the documented spill regression (kcore 8.5 s vs 5.1 s).
+    # Surface the mismatch instead of benchmarking it blind.
+    try:
+        actual = spark.sparkContext.getConf().get("spark.driver.memory",
+                                                  "1g")
+    except Exception:  # noqa: BLE001 - diagnostics must never fail a query
+        actual = None
+    if actual is not None and actual != DEFAULT_DRIVER_MEM:
+        import logging
+        logging.getLogger(__name__).warning(
+            "reused SparkSession has spark.driver.memory=%s (wanted %s):"
+            " the builder setting was ignored because the JVM was"
+            " already running — expect spill-bound kernels in local mode",
+            actual, DEFAULT_DRIVER_MEM)
+    return spark

@@ -352,14 +352,14 @@ def test_connected_components_chain_and_singletons(spark):
     assert [d for d in out if out[d].keep] == [1, 10, 99]
 
 
-def test_pretraining_filter_rules_all_fire(spark):
+def test_pretraining_filter_rules_all_fire(spark, sf_small):
     """Each substantive gate (repetition, low_diversity, contaminated)
     must have real failures in the corpus — thresholds that never fire
     would make the composite vacuous."""
     from kafka_connect_msk_demo_spark.pipeline.queries import (
         q_pretraining_filter)
 
-    out = q_pretraining_filter(spark, "/root/testdata/sf0.001")
+    out = q_pretraining_filter(spark, sf_small)
     reasons = {r for row in out.filter("NOT keep")
                .select("failed_rules").collect()
                for r in row.failed_rules.split(",")}
