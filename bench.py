@@ -165,9 +165,13 @@ def run() -> None:
     for t in ("documents", "embeddings"):
         _force(load_table(spark, SF_DIR, t))
     prior = _prior_timings()
+    # focused runs: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    # (regression triage without paying the full sweep)
+    only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if n}
     timings: dict[str, float] = {}
     for name, fn in registry.items():
-        if name in SKIP:
+        if name in SKIP or (only and name not in only):
             continue
         # progress marker on stderr (stdout carries ONLY JSON lines):
         # names the in-flight query if the sweep dies mid-run

@@ -214,20 +214,21 @@ def weighted_bootstrap_counts(df: DataFrame, weight_col: str,
     intervals explode to the ~(w/bucket + 1) buckets they overlap,
     draws hash to their single bucket, and the join key is the bucket
     id with a residual range filter — candidates per draw are the
-    O(bucket/avg_w) rows sharing it, never the corpus. At 100 TB the
-    one global structure is the exclusive prefix sum (here one window;
-    production splits it into per-partition sums + a broadcast offset
-    vector, O(P) driver traffic); the draws frame is ``draws`` rows and
-    broadcasts. Zero-weight rows own empty intervals and are excluded
-    up front (also keeps ``sequence()`` ascending).
+    O(bucket/avg_w) rows sharing it, never the corpus. The exclusive
+    prefix sum that lays out the CDF intervals is
+    ``partitioned_prefix_sum`` (operators/ranking.py): range shuffle +
+    per-partition sums + a P-row offsets fold — no single-task window
+    over the keys. The draws frame is ``draws`` rows and broadcasts.
+    Zero-weight rows own empty intervals and are excluded up front
+    (also keeps ``sequence()`` ascending).
     """
-    from pyspark.sql import Window
+    from .ranking import partitioned_prefix_sum
 
     d = (df.select(F.col(key_col).alias("k"),
                    F.col(weight_col).cast("long").alias("w"))
          .filter(F.col("w") > 0))
-    win = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
-    cdf = d.withColumn("lo", F.coalesce(F.sum("w").over(win), F.lit(0)))
+    cdf = partitioned_prefix_sum(d, [F.col("k")], "w", "lo",
+                                 exclusive=True).drop("_grand_total")
     tot = d.agg(F.sum("w").alias("tw"))
     spans = cdf.select(
         "k", "w", "lo",

@@ -644,22 +644,23 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
     and misses pairs whose first edit lands inside it — complementary
     recall to :func:`minhash_lsh_pairs`, which is edit-position-blind.
 
-    Candidate generation is shuffle-friendly: ranks come from one
-    global sort, then each row emits (rn, rn+off) for off in
-    [1, window-1] and candidates materialize via an EQUI-join on the
-    offset rank (no non-equi/BNLJ). Verification reuses the exact
-    Jaccard kernel. At 100 TB the single-partition rank window is the
-    scale point: production SNM range-partitions on the key and sorts
-    within partitions, handing each partition its neighbor's first
-    ``window - 1`` rows as boundary overlap — same pair set, no global
-    window; kept as the one-window form here for oracle parity.
+    Candidate generation is shuffle-friendly: ranks come from
+    ``exact_global_rank`` (operators/ranking.py — parallel range
+    shuffle + per-partition row_numbers + P-row offsets fold, the
+    production SNM shape: no single-task sort anywhere), then each row
+    emits (rn, rn+off) for off in [1, window-1] and candidates
+    materialize via an EQUI-join on the offset rank (no non-equi/
+    BNLJ; the rank equi-join IS the boundary-overlap handoff a
+    range-partitioned SNM does by shipping edge rows). Verification
+    reuses the exact Jaccard kernel.
     """
+    from ..operators.ranking import exact_global_rank
+
     key = F.substring(F.lower(F.trim(F.col(text_col))), 1, key_len)
-    ranked = (docs.select(F.col(id_col).alias("doc_id"),
-                          key.alias("ky"))
-              .withColumn("rn", F.row_number().over(
-                  Window.orderBy("ky", "doc_id")))
-              .select("doc_id", "rn")).persist()
+    ranked = (exact_global_rank(
+        docs.select(F.col(id_col).alias("doc_id"), key.alias("ky")),
+        [F.col("ky"), F.col("doc_id")], "rn")
+        .select("doc_id", "rn")).persist()
     probes = ranked.select(
         "doc_id",
         F.explode(F.expr(f"sequence(rn + 1, rn + {window - 1})"))

@@ -255,9 +255,9 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     small. Superseded rounds' checkpoint blocks are reclaimed by the
     ContextCleaner once the rebound ``deg`` drops the last reference —
     with a bounded round count the transient accumulation is a few
-    node-sized frames, so no explicit block release is needed (and the
-    DataFrame API offers none for checkpoint RDD blocks short of
-    ``.rdd``, which the repo's plan gate bans).
+    node-sized frames, so no explicit block release is needed (the
+    DataFrame API offers none for checkpoint RDD blocks short of the
+    raw-RDD escape hatch, which the repo's plan gate bans).
     """
     spark = edges.sparkSession
     e = edges.select("u", "v").persist()

@@ -697,11 +697,10 @@ def unigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     Shape at scale: one explode (narrow), one hash-aggregate with the
     token as the shuffle key, one co-partitioned join back on that same
     key, one hash-aggregate on doc_id. The corpus total N is a one-row
-    broadcast. The tercile split uses an exact global ``ntile(3)``
-    (single-partition window over one row per document) for
-    oracle-ability; a 100 TB run would replace that one step with
-    broadcast thresholds from ``approx_percentile`` — the scoring
-    pipeline upstream is unchanged.
+    broadcast. The tercile split is an ``exact_global_ntile``
+    (operators/ranking.py: parallel range shuffle + per-partition
+    row_numbers + P-row offsets fold) — bit-identical to the oracle's
+    ``ntile(3)`` with no single-task sort over the per-doc frame.
 
     Overflow bound: ``sum_cnt * ppm`` with ppm=1e6 stays inside int64
     while ``sum_cnt`` < 9.2e12 — a ~9-trillion-token corpus per the
@@ -720,12 +719,15 @@ def unigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
           .select("doc_id", "n_tokens", "sum_cnt",
                   F.expr(f"(sum_cnt * {ppm}) div (n_tokens * n_total)")
                   .alias("score_ppm")))
-    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
-    bucket = (F.when(F.ntile(3).over(w) == 1, F.lit("head"))
-              .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+    from ..operators.ranking import exact_global_ntile
+
+    terciled = exact_global_ntile(
+        sc, 3, [F.col("score_ppm").desc(), F.col("doc_id")], "_t")
+    bucket = (F.when(F.col("_t") == 1, F.lit("head"))
+              .when(F.col("_t") == 2, F.lit("middle"))
               .otherwise(F.lit("tail")))
-    return (sc.select("doc_id", "n_tokens", "sum_cnt", "score_ppm",
-                      bucket.alias("bucket"))
+    return (terciled.select("doc_id", "n_tokens", "sum_cnt", "score_ppm",
+                            bucket.alias("bucket"))
             .orderBy("doc_id"))
 
 

@@ -80,8 +80,10 @@ ALL = {**BATCH_QUERIES, **PIPELINE_QUERIES}
 #: legal only over a provably bounded frame, never over corpus rows
 #: (the single-task-sort scale killer VERDICT r5 flagged in
 #: rfm_segments). Each entry names the bounded input:
-#: - rfm_segments / decile_lift: P-row range-partition offsets frame
-#:   (operators/ranking.py; P = configured fan-out, a constant)
+#: - rfm_segments / decile_lift / unigram_lm / weighted_bootstrap /
+#:   sorted_neighborhood: P-row range-partition offsets frame only
+#:   (operators/ranking.py; P = configured fan-out, a constant — the
+#:   row path itself is the distributed two-level shape)
 #: - chi2_independence: contingency-table margins (category-pair
 #:   cardinality)
 #: - rolling_corr: per-day series frame (one row per calendar day)
@@ -89,11 +91,8 @@ ALL = {**BATCH_QUERIES, **PIPELINE_QUERIES}
 #: - share_of_parent: region/nation rollup frame (dimension-bounded)
 #: - skyline_customers: per-distinct-x reduced frontier scan
 #:   (operators/relational.py skyline_2d phase 2)
-#: - sorted_neighborhood: the algorithm IS a sorted scan; the window
-#:   input is the per-doc key frame, documented as the validation
-#:   variant of range-partitioned SNM
-#: - unigram_lm / zipf_census / weighted_bootstrap: vocabulary /
-#:   distinct-value cumulations (bounded by vocab, not corpus rows)
+#: - zipf_census: rank window over the top-N survivor frame
+#:   (TakeOrdered output, N constant)
 UNPARTITIONED_WINDOW_ALLOWED = {
     "rfm_segments", "decile_lift", "chi2_independence", "rolling_corr",
     "rrf_fusion", "share_of_parent", "skyline_customers",
