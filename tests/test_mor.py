@@ -153,3 +153,73 @@ def test_rt_base_side_has_no_shuffle(spark, tmp_path):
     assert ("FileScan parquet" in nxt
             and "val" in nxt and "/log" not in nxt), (
         "base side of the anti join is not a bare scan:\n" + plan)
+
+
+# ---------------------------------------------------------------------------
+# Randomized MoR ≡ CoW equivalence (a pure-Python latest-wins reference
+# arbitrates both): random CDC feeds with updates, deletes, key moves,
+# ties broken by seq, out-of-order arrivals and re-appended duplicates.
+# Deterministic generator (no hypothesis Spark round-trips — each
+# example costs two table builds; a seeded sweep keeps runtime bounded).
+# ---------------------------------------------------------------------------
+
+def _random_feed(rng, n_batches=4, n_keys=8, parts=("a", "b", "c")):
+    ts = 0
+    seq = 0
+    feed = []
+    for _ in range(n_batches):
+        rows = []
+        for _ in range(rng.randrange(1, 6)):
+            ts += rng.randrange(0, 3)   # ts ties are common on purpose…
+            seq += 1                    # …seq stays unique: max_by over
+            #                             an exact (ts, seq) tie with
+            #                             different values would be
+            #                             nondeterministic in BOTH tables
+            rows.append((rng.randrange(1, n_keys + 1),
+                         rng.choice(parts),
+                         f"v{rng.randrange(100)}",
+                         ts,
+                         seq,
+                         "true" if rng.random() < 0.2 else "false"))
+        if rng.random() < 0.3 and feed:
+            rows.append(rng.choice(feed[-1]))  # re-appended duplicate
+        feed.append(rows)
+    return feed
+
+
+def _reference_state(feed):
+    """Pure-Python latest-wins((ts, seq)) fold with delete drop."""
+    best = {}
+    for rows in feed:
+        for (k, part, val, ts, seq, deleted) in rows:
+            cur = best.get(k)
+            if cur is None or (ts, seq) >= (cur[3], cur[4]):
+                best[k] = (k, part, val, ts, seq, deleted)
+    return {r[:5] for r in best.values() if r[5] != "true"}
+
+
+def test_randomized_feeds_mor_equals_cow_equals_reference(spark, tmp_path):
+    import random
+
+    for trial in range(3):
+        rng = random.Random(1000 + trial)
+        feed = _random_feed(rng)
+        cow = UpsertTable(path=str(tmp_path / f"cow{trial}"),
+                          key_cols=["id"], ordering_col="ts",
+                          tiebreak_col="seq", partition_by="part")
+        mor = _mor(tmp_path / f"mor{trial}")
+        for i, rows in enumerate(feed):
+            cow.merge_batch(_batch(spark, rows), i)
+            mor.append_batch(_batch(spark, rows), i)
+        ref = _reference_state(feed)
+        cols = ("id", "part", "val", "ts", "seq")
+        cow_state = {tuple(r) for r in cow.read(spark)
+                     .select(*cols).collect()}
+        rt_state = {tuple(r) for r in mor.read_realtime(spark)
+                    .select(*cols).collect()}
+        assert cow_state == ref, f"trial {trial}: CoW diverged"
+        assert rt_state == ref, f"trial {trial}: MoR _rt diverged"
+        mor.compact(spark)
+        ro_state = {tuple(r) for r in mor.read_optimized(spark)
+                    .select(*cols).collect()}
+        assert ro_state == ref, f"trial {trial}: post-compact _ro diverged"
