@@ -223,3 +223,24 @@ def test_randomized_feeds_mor_equals_cow_equals_reference(spark, tmp_path):
         ro_state = {tuple(r) for r in mor.read_optimized(spark)
                     .select(*cols).collect()}
         assert ro_state == ref, f"trial {trial}: post-compact _ro diverged"
+
+
+def test_unpartitioned_mor(spark, tmp_path):
+    """partition_by=None: bulk insert + log appends + _rt merge + the
+    temp-dir-swap compaction path all work without a partition column."""
+    t = MergeOnReadTable(path=str(tmp_path / "t"), key_cols=["id"],
+                         ordering_col="ts", tiebreak_col="seq",
+                         partition_by=None)
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                  (2, "a", "v1", 10, 0, "false")]), 0)
+    before = _base_file_state(str(tmp_path / "t"))
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false"),
+                                  (2, "a", "v1", 20, 0, "true"),
+                                  (3, "a", "v1", 20, 0, "false")]), 1)
+    assert _base_file_state(str(tmp_path / "t")) == before
+    rt = {(r.id, r.val) for r in t.read_realtime(spark).collect()}
+    assert rt == {(1, "v2"), (3, "v1")}
+    t.compact(spark)
+    assert t._log_batches(spark) == []
+    ro = {(r.id, r.val) for r in t.read_optimized(spark).collect()}
+    assert ro == rt
