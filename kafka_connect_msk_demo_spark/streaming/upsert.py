@@ -259,7 +259,14 @@ class MergeOnReadTable:
 
     def __init__(self, path: str, key_cols: list[str], ordering_col: str,
                  tiebreak_col: str, partition_by: str | None = None,
-                 deleted_col: str = "__deleted") -> None:
+                 deleted_col: str = "__deleted",
+                 max_delta_commits: int | None = None) -> None:
+        """``max_delta_commits`` is the ``hoodie.compact.inline.max.
+        delta.commits`` analog (the reference's DeltaStreamer MoR jobs
+        schedule inline compaction): when set, :meth:`append_batch`
+        folds the log into base once it holds that many delta commits,
+        which also bounds the log key set the ``_rt`` broadcast
+        carries."""
         self.base = UpsertTable(f"{path.rstrip('/')}/base", key_cols,
                                 ordering_col, tiebreak_col, partition_by,
                                 deleted_col)
@@ -270,6 +277,7 @@ class MergeOnReadTable:
         self.tiebreak_col = tiebreak_col
         self.partition_by = partition_by
         self.deleted_col = deleted_col
+        self.max_delta_commits = max_delta_commits
 
     # -- helpers ------------------------------------------------------------
 
@@ -307,6 +315,9 @@ class MergeOnReadTable:
             return
         (batch.write.mode("overwrite")
          .parquet(f"{self.log_path}/{self.LOG_COL}={batch_id:09d}"))
+        if (self.max_delta_commits is not None
+                and len(self._log_batches(spark)) >= self.max_delta_commits):
+            self.compact(spark)  # inline compaction (hoodie analog)
 
     # -- read views (S15: _ro / _rt) ----------------------------------------
 

@@ -244,3 +244,20 @@ def test_unpartitioned_mor(spark, tmp_path):
     assert t._log_batches(spark) == []
     ro = {(r.id, r.val) for r in t.read_optimized(spark).collect()}
     assert ro == rt
+
+
+def test_inline_compaction_bounds_log(spark, tmp_path):
+    """max_delta_commits (the hoodie.compact.inline.max.delta.commits
+    analog): appends self-compact once the log reaches the bound, so
+    the _rt broadcast key set stays bounded and _ro staleness is
+    capped — and the merged state is unaffected."""
+    t = MergeOnReadTable(path=str(tmp_path / "t"), key_cols=["id"],
+                         ordering_col="ts", tiebreak_col="seq",
+                         partition_by="part", max_delta_commits=2)
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 0)
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false")]), 1)
+    assert len(t._log_batches(spark)) == 1          # below bound
+    t.append_batch(_batch(spark, [(2, "b", "v1", 30, 0, "false")]), 2)
+    assert t._log_batches(spark) == []              # inline-compacted
+    ro = {(r.id, r.val) for r in t.read_optimized(spark).collect()}
+    assert ro == {(1, "v2"), (2, "v1")}             # _ro is current
