@@ -2852,12 +2852,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     No single-task sort anywhere: each quartile is an
     ``exact_global_ntile`` (operators/ranking.py) — a parallel range
     shuffle, per-range-partition row_numbers windowed by partition id,
-    and O(P) collected partition counts folded back as rank offsets.
-    Bucket boundaries are bit-identical to the oracle's ``ntile(4)``
-    (first n mod 4 tiles one row larger) because the rank is exact
-    under the same deterministic (metric, custkey) total orders.
-    Quartile 1 is best on every axis (most recent / most frequent /
-    highest spend)."""
+    and a P-row offsets fold. Bucket boundaries are bit-identical to
+    the oracle's ``ntile(4)`` (first n mod 4 tiles one row larger)
+    because the rank is exact under the same deterministic
+    (metric, custkey) total orders.
+
+    The three quartiles are INDEPENDENT branches over one persisted
+    per-customer frame, joined back on the key — not a chain: chained
+    ntiles serialize three cache-materialization barriers, while
+    independent branches let the DAG scheduler overlap the three sort
+    pipelines (and at cluster scale the three range shuffles run
+    concurrently instead of back to back). Quartile 1 is best on every
+    axis (most recent / most frequent / highest spend)."""
     from .operators.ranking import exact_global_ntile
 
     t = load_tables(spark, sf_dir, ("orders",))
@@ -2870,13 +2876,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long")).alias("cents")))
     maxd = per.agg(F.max("last_day").alias("corpus_max"))
     per = (per.crossJoin(F.broadcast(maxd))
-           .withColumn("recency", F.col("corpus_max") - F.col("last_day")))
-    scored = exact_global_ntile(
-        per, 4, [F.col("recency"), F.col("o_custkey")], "r_q")
-    scored = exact_global_ntile(
-        scored, 4, [F.col("freq").desc(), F.col("o_custkey")], "f_q")
-    scored = exact_global_ntile(
-        scored, 4, [F.col("cents").desc(), F.col("o_custkey")], "m_q")
+           .withColumn("recency", F.col("corpus_max") - F.col("last_day"))
+           .persist())  # one materialization feeds all three branches
+    r_q = exact_global_ntile(
+        per, 4, [F.col("recency"), F.col("o_custkey")], "r_q")         .select("o_custkey", "r_q")
+    f_q = exact_global_ntile(
+        per, 4, [F.col("freq").desc(), F.col("o_custkey")], "f_q")         .select("o_custkey", "f_q")
+    m_q = exact_global_ntile(
+        per, 4, [F.col("cents").desc(), F.col("o_custkey")], "m_q")         .select("o_custkey", "m_q")
+    scored = (per.select("o_custkey", "cents")
+              .join(r_q, "o_custkey").join(f_q, "o_custkey")
+              .join(m_q, "o_custkey"))
     return (scored.groupBy("r_q", "f_q", "m_q")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  ((F.sum("cents").cast("double") / F.lit(100.0))
