@@ -88,3 +88,34 @@ def test_rank_plan_has_no_single_partition_exchange(spark, frame):
     # are partitioned by _pid or run over the P-row offsets frame
     row_side = plan.split("BroadcastExchange")[0]
     assert "Exchange SinglePartition" not in row_side, row_side
+
+
+def test_exact_rank_under_extreme_key_skew(spark):
+    """All rows share one sort-key value (ties broken only by id):
+    range partitioning must still spread rows and the rank must match
+    the single-window reference — the skew shape that breaks naive
+    per-value bucketing."""
+    df = spark.createDataFrame([(i, 7) for i in range(1, 5001)],
+                               "id long, v long")
+    got = {r.id: r.rank for r in exact_global_rank(
+        df, [F.col("v"), F.col("id")], "rank", num_parts=16)
+        .select("id", "rank").collect()}
+    ref = {r.id: r.rank for r in df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("v", "id")))
+        .select("id", "rank").collect()}
+    assert got == ref
+    spark.catalog.clearCache()
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    """n < k: ntile assigns tiles 1..n — the big-tile arithmetic must
+    not divide by the empty small-tile size."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    got = {r.id: r.q for r in exact_global_ntile(
+        df, 4, [F.col("v"), F.col("id")], "q", num_parts=8)
+        .select("id", "q").collect()}
+    ref = {r.id: r.q for r in df.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("v", "id")))
+        .select("id", "q").collect()}
+    assert got == ref == {1: 1, 2: 2}
+    spark.catalog.clearCache()
