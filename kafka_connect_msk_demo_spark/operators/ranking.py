@@ -32,6 +32,15 @@ drift. (Executor loss on a real cluster recomputes a partition from
 lineage and would re-sample — production runs should reliable-
 checkpoint the ranged frame instead; local runs cannot lose
 executors.)
+
+Cache release: the pinned frame must outlive the caller's (lazy)
+consumption of the returned DataFrame, so these helpers cannot
+unpersist it themselves — the ContextCleaner reclaims it once the
+result is dereferenced (the same convention as
+``connected_components``' returned frame), and both test/bench
+harnesses ``clearCache()`` between queries. A caller that keeps many
+ranked frames alive simultaneously owns the release
+(``spark.catalog.clearCache()`` or result materialization).
 """
 
 from __future__ import annotations
