@@ -111,20 +111,31 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
-def _parse_schema(avro_json: str) -> list[tuple[str, str, bool]]:
-    """Record schema → [(field, primitive_type, nullable)]."""
+def _parse_schema(avro_json: str) -> list[tuple[str, str, int | None]]:
+    """Record schema → [(field, primitive_type, null_branch)].
+
+    ``null_branch`` is the POSITION of "null" inside the union (None
+    for non-nullable fields). Avro writes the union branch index on
+    the wire, and real-world schemas use BOTH orders: this repo's
+    generated schemas say ``[type, "null"]`` (null = 1) while
+    Debezium/Connect artifacts say ``["null", type]`` (null = 0) — a
+    hardcoded index mis-decodes one of the two (caught by the
+    reference's own S3-sink OCF files in
+    tests/test_reference_artifacts.py)."""
     rec = json.loads(avro_json)
     fields = []
     for f in rec["fields"]:
         t = f["type"]
-        nullable = False
+        null_branch = None
         if isinstance(t, list):
-            non_null = [x for x in t if x != "null"]
-            t = non_null[0]
-            nullable = True
+            if len(t) != 2 or "null" not in t:
+                raise NotImplementedError(
+                    f"only 2-branch nullable unions supported: {t}")
+            null_branch = t.index("null")
+            t = t[1 - null_branch]
         if isinstance(t, dict):
             t = f"{t['type']}:{t.get('logicalType', '')}"
-        fields.append((f["name"], t, nullable))
+        fields.append((f["name"], t, null_branch))
     return fields
 
 
@@ -167,15 +178,18 @@ def avro_encode_rows(rows: pd.DataFrame, avro_json: str) -> pd.Series:
     per-row loop with per-value type dispatch."""
     fields = _parse_schema(avro_json)
     per_field: list[list[bytes]] = []
-    for i, (name, typ, nullable) in enumerate(fields):
+    for i, (name, typ, null_branch) in enumerate(fields):
         enc = _field_encoder(typ)
         col = rows.iloc[:, i]
-        if nullable:
-            # union [type, null]: branch index 0 = type, 1 = null
+        if null_branch is not None:
+            # union branch indexes follow the SCHEMA's declared order
+            null_marker = _zigzag_encode(null_branch)
+            val_marker = _zigzag_encode(1 - null_branch)
             per_field.append([
-                b"\x02" if (val is None
-                            or (isinstance(val, float) and pd.isna(val)))
-                else b"\x00" + enc(val)
+                null_marker if (val is None
+                                or (isinstance(val, float)
+                                    and pd.isna(val)))
+                else val_marker + enc(val)
                 for val in col])
         else:
             per_field.append([enc(val) for val in col])
@@ -215,18 +229,18 @@ def _field_decoder(typ: str):
 def _decode_plan(avro_json: str):
     """(decoders, fresh column dict, appends) for a record schema."""
     fields = _parse_schema(avro_json)
-    decoders = [(_field_decoder(typ), nullable)
-                for _, typ, nullable in fields]
+    decoders = [(_field_decoder(typ), null_branch)
+                for _, typ, null_branch in fields]
     cols: dict[str, list] = {name: [] for name, _, _ in fields}
     appends = [cols[name].append for name, _, _ in fields]
     return decoders, cols, appends
 
 
 def _decode_record(buf: bytes, pos: int, decoders, appends) -> int:
-    for (dec, nullable), add in zip(decoders, appends):
-        if nullable:
+    for (dec, null_branch), add in zip(decoders, appends):
+        if null_branch is not None:
             branch, pos = _zigzag_decode(buf, pos)
-            if branch == 1:
+            if branch == null_branch:
                 add(None)
                 continue
         val, pos = dec(buf, pos)
@@ -400,7 +414,7 @@ def resolve_decode_plan(writer_json: str, reader_json: str):
     """Build the writer-order decode steps + reader-order column dict.
 
     Returns ``(steps, cols, defaults)`` where ``steps`` is one
-    ``(decoder, nullable, convert, append_or_None)`` per WRITER field
+    ``(decoder, null_branch, convert, append_or_None)`` per WRITER field
     (``None`` append = decode-and-discard), ``cols`` maps reader field
     names to fresh lists, and ``defaults`` is ``[(append, value), ...]``
     for reader-only fields, applied once per record.
@@ -438,10 +452,10 @@ def avro_decode_block_resolved(body: bytes, n: int, writer_json: str,
     steps, cols, defaults = resolve_decode_plan(writer_json, reader_json)
     pos = 0
     for _ in range(n):
-        for dec, nullable, conv, add in steps:
-            if nullable:
+        for dec, null_branch, conv, add in steps:
+            if null_branch is not None:
                 branch, pos = _zigzag_decode(body, pos)
-                if branch == 1:
+                if branch == null_branch:
                     if add is not None:
                         add(None)
                     continue
