@@ -145,11 +145,18 @@ def _ocf_parse(blob: bytes) -> tuple[str, list[bytes], list[int]]:
             meta[k] = blob[pos:pos + vl]
             pos += vl
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b""):
+    if codec not in (b"null", b"", b"deflate"):
         raise ValueError(
             f"unsupported Avro codec {codec!r}: this pure-Python OCF "
-            "reader handles uncompressed (null-codec) files only — "
-            "read deflate/snappy files with spark-avro instead")
+            "reader handles null and deflate codecs — read snappy/"
+            "zstandard files with spark-avro instead")
+    inflate = None
+    if codec == b"deflate":
+        # Avro deflate = RFC 1951 raw DEFLATE (no zlib header/checksum)
+        import zlib
+
+        def inflate(raw: bytes) -> bytes:
+            return zlib.decompress(raw, wbits=-15)
     sync = blob[pos:pos + 16]
     pos += 16
     payloads = []
@@ -157,7 +164,8 @@ def _ocf_parse(blob: bytes) -> tuple[str, list[bytes], list[int]]:
     while pos < len(blob):
         cnt, pos = _zz(pos)
         size, pos = _zz(pos)
-        payloads.append(blob[pos:pos + size])
+        body = blob[pos:pos + size]
+        payloads.append(inflate(body) if inflate else body)
         counts.append(cnt)
         pos += size
         assert blob[pos:pos + 16] == sync, "sync marker mismatch"

@@ -223,3 +223,69 @@ def test_storage_units_cache_invalidates_on_rewrite(tmp_path):
     os.utime(path)  # ensure a distinct mtime stamp even on coarse clocks
     assert dict(_storage_units(path, "events"))["ts"] == "ns", \
         "stale cached units returned after in-place rewrite"
+
+
+def test_avro_ocf_deflate_codec(spark, tmp_path):
+    """The OCF reader accepts deflate-codec files (RFC 1951 raw
+    DEFLATE, the non-null codec Avro guarantees everywhere): build one
+    by recompressing a null-codec file's blocks, then read it through
+    the distributed source and compare with the original rows."""
+    import json
+    import struct as _struct
+    import zlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_connect_msk_demo_spark.sources.files import (_ocf_parse,
+                                                            read_avro,
+                                                            write_avro)
+
+    avro_json = json.dumps({
+        "name": "R", "type": "record",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "label", "type": ["null", "string"]}]})
+    schema = T.StructType([T.StructField("id", T.LongType(), False),
+                           T.StructField("label", T.StringType(), True)])
+    df = spark.range(100).select(
+        "id", F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("x"), F.col("id"))).alias("label"))
+    plain_dir = tmp_path / "plain"
+    write_avro(df.coalesce(1), str(plain_dir), avro_json)
+    src = next(p for p in plain_dir.iterdir() if p.suffix == ".avro")
+    schema_json, payloads, counts = _ocf_parse(src.read_bytes())
+
+    def zz(n: int) -> bytes:
+        u = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    sync = b"\x00" * 16
+    meta = {"avro.schema": schema_json.encode(),
+            "avro.codec": b"deflate"}
+    buf = bytearray(b"Obj\x01")
+    buf += zz(len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        buf += zz(len(kb)) + kb + zz(len(v)) + v
+    buf += zz(0) + sync
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    for body, cnt in zip(payloads, counts):
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        packed = c.compress(body) + c.flush()
+        buf += zz(cnt) + zz(len(packed)) + packed + sync
+    defl_dir = tmp_path / "deflate"
+    defl_dir.mkdir()
+    (defl_dir / "part-deflate.avro").write_bytes(bytes(buf))
+
+    back = read_avro(spark, str(defl_dir), avro_json, schema)
+    want = {(r.id, r.label) for r in df.collect()}
+    got = {(r.id, r.label) for r in back.collect()}
+    assert got == want
