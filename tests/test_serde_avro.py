@@ -61,9 +61,10 @@ def test_console_sinks_smoke(spark, sf_small):
 
 # -- OCF parser edge cases (Avro spec compliance) ---------------------------
 
-def test_ocf_parse_rejects_compressed_codec():
-    """A deflate/snappy-coded OCF must fail loudly, not feed compressed
-    bytes to the record decoder."""
+def test_ocf_parse_rejects_unsupported_codec():
+    """A snappy/zstandard-coded OCF must fail loudly, not feed
+    compressed bytes to the record decoder (null and deflate are the
+    supported codecs)."""
     import io
 
     import pandas as pd
@@ -74,12 +75,9 @@ def test_ocf_parse_rejects_compressed_codec():
     pdf = pd.DataFrame({"id": [1]})
     aj = '{"type":"record","name":"r","fields":[{"name":"id","type":"int"}]}'
     blob = bytearray(fmod._ocf_bytes(pdf, aj))
-    # rewrite the codec metadata value in place: "null" -> "zzzz" then
-    # patch to a realistic codec name of equal length is impossible
-    # ("deflate" is longer), so rebuild the header with codec=deflate
     buf = io.BytesIO()
     buf.write(fmod._OCF_MAGIC)
-    meta = {"avro.schema": aj, "avro.codec": "deflate"}
+    meta = {"avro.schema": aj, "avro.codec": "snappy"}
     buf.write(fmod._zigzag(len(meta)))
     for k, v in meta.items():
         kb, vb = k.encode(), v.encode()
@@ -87,7 +85,7 @@ def test_ocf_parse_rejects_compressed_codec():
         buf.write(fmod._zigzag(len(vb)) + vb)
     buf.write(fmod._zigzag(0))
     buf.write(blob[-16:])  # reuse a sync marker
-    with pytest.raises(ValueError, match="deflate"):
+    with pytest.raises(ValueError, match="snappy"):
         fmod._ocf_parse(buf.getvalue())
 
 
