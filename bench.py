@@ -76,7 +76,8 @@ HEADLINE = [
 
 #: slow/stateful queries excluded from the timed sweep (streaming drain
 #: + checkpoint restore dominate; they are correctness-gated instead).
-SKIP = {"cdc_upsert", "cdc_upsert_mor", "stream_anomaly", "stream_sales_by_type", "stream_windowed_by_type",
+SKIP = {"cdc_upsert", "cdc_upsert_mor", "cdc_upsert_mor_stream",
+        "stream_anomaly", "stream_sales_by_type", "stream_windowed_by_type",
         "stream_enriched_windowed", "stream_running_user_stats",
         "stream_stream_join", "stream_session_agg", "stream_dedup_keys",
         "stream_hll", "stream_ewma", "stream_topk_users",

@@ -372,24 +372,20 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     # other's writes — a torn stage under the strictly-increasing-mtime
     # invariant is silently ORDER-corrupting, not merely duplicated.
     # Stage into a private temp dir and atomically rename into place,
-    # serialized by an O_EXCL lock file (held-too-long locks from a
-    # killed process are broken after _LOCK_STALE_S).
+    # serialized by an advisory flock on a PERSISTENT lock file. flock
+    # is released by the kernel when the holder's fd closes — including
+    # on SIGKILL — so there is no stale-lock state, no mtime-based
+    # breaking, and no unlink: the earlier O_EXCL-create/stale-break/
+    # unlink protocol had TOCTOU races on every one of those edges
+    # (a breaker could delete a freshly re-created lock; a slow holder
+    # whose lock was stolen unlinked the new owner's lock in finally).
+    # The lock file itself is never removed. /tmp is local, so NFS
+    # flock caveats don't apply.
+    import fcntl
     lock = d + ".lock"
-    while True:
-        if _staged():
-            return d
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.stat(lock).st_mtime > _LOCK_STALE_S:
-                    os.unlink(lock)
-                    continue
-            except OSError:
-                continue
-            time.sleep(0.05)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
         if _staged():
             return d
         import shutil
@@ -402,12 +398,8 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
         shutil.rmtree(d, ignore_errors=True)
         os.rename(tmp, d)
     finally:
-        os.close(fd)
-        os.unlink(lock)
+        os.close(fd)  # releases the flock; the lock file persists
     return d
-
-
-_LOCK_STALE_S = 300.0
 
 
 def _write_chunks(target: str, name: str, chunks: int, d: str) -> None:

@@ -39,8 +39,15 @@ unpersist it themselves — the ContextCleaner reclaims it once the
 result is dereferenced (the same convention as
 ``connected_components``' returned frame), and both test/bench
 harnesses ``clearCache()`` between queries. A caller that keeps many
-ranked frames alive simultaneously owns the release
-(``spark.catalog.clearCache()`` or result materialization).
+ranked frames alive simultaneously — e.g. a composite query stacking
+several ntile branches, or a long-lived session running many
+registered queries with no harness ``clearCache()`` — owns the
+release: pass ``cache_registry=[]`` to collect the pinned frames,
+materialize (or ``localCheckpoint(eager=True)``) the final result,
+then unpersist each collected frame (the ``q_rfm_segments``
+convention). Unpersisting before the result is materialized would
+re-execute the range exchange with a fresh boundary sample — the
+exact hazard the persist exists to prevent.
 """
 
 from __future__ import annotations
@@ -55,14 +62,20 @@ DEFAULT_PARTS = 32
 
 def exact_global_rank(df: DataFrame, order_cols: list[Column],
                       out_col: str = "rank",
-                      num_parts: int = DEFAULT_PARTS) -> DataFrame:
+                      num_parts: int = DEFAULT_PARTS,
+                      cache_registry: list | None = None) -> DataFrame:
     """Exact 1-based global rank under ``order_cols`` (must be a total
     order) with no single-partition exchange anywhere in the plan.
     Adds ``out_col``; also leaves ``_n_total`` (the exact row count)
-    for rank-arithmetic callers such as :func:`exact_global_ntile`."""
+    for rank-arithmetic callers such as :func:`exact_global_ntile`.
+    ``cache_registry``: optional list the pinned ranged frame is
+    appended to, so composite callers can unpersist after
+    materializing their result (see module docstring)."""
     ranged = (df.repartitionByRange(num_parts, *order_cols)
               .withColumn("_pid", F.spark_partition_id())
               .persist())  # pins ONE boundary sample for both branches
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(w_local))
     # P-row offsets frame over the same materialized partitioning
@@ -82,20 +95,30 @@ def exact_global_rank(df: DataFrame, order_cols: list[Column],
 
 def exact_global_ntile(df: DataFrame, n_tiles: int,
                        order_cols: list[Column], out_col: str,
-                       num_parts: int = DEFAULT_PARTS) -> DataFrame:
+                       num_parts: int = DEFAULT_PARTS,
+                       cache_registry: list | None = None) -> DataFrame:
     """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` — identical
     bucket boundaries to the SQL window function (the first
     ``n mod k`` tiles are one row larger), computed from the
-    distributed exact rank instead of a single-task sort."""
-    ranked = exact_global_rank(df, order_cols, "_r", num_parts)
-    n, k = F.col("_n_total"), F.lit(n_tiles)
-    m = n % k              # number of big tiles
-    big = (n / k).cast("long") + 1
-    small = (n / k).cast("long")
-    cut = m * big          # last rank inside the big tiles
-    r = F.col("_r")
-    tile = (F.when(r <= cut, ((r - 1) / big).cast("long") + 1)
-            .otherwise(m + ((r - cut - 1) / small).cast("long") + 1))
+    distributed exact rank instead of a single-task sort.
+
+    The tile arithmetic is pure INTEGRAL arithmetic (``div`` / ``%``
+    on longs) — float division + cast('long') is only exact while the
+    operands stay under 2^53, and this module's contract is row counts
+    that exceed double precision."""
+    ranked = exact_global_rank(df, order_cols, "_r", num_parts,
+                               cache_registry=cache_registry)
+    k = int(n_tiles)
+    # m: number of big tiles; big/small: their sizes; cut: last rank
+    # inside the big tiles. greatest(small, 1) guards the n < k edge
+    # (the ELSE branch is only reached when _r > cut = n, i.e. never).
+    m = f"(_n_total % {k})"
+    big = f"(_n_total div {k} + 1)"
+    small = f"greatest(_n_total div {k}, CAST(1 AS BIGINT))"
+    cut = f"({m} * {big})"
+    tile = F.expr(
+        f"CASE WHEN _r <= {cut} THEN (_r - 1) div {big} + 1 "
+        f"ELSE {m} + (_r - {cut} - 1) div {small} + 1 END")
     return (ranked.withColumn(out_col, tile.cast("int"))
             .drop("_r", "_n_total"))
 
@@ -103,7 +126,8 @@ def exact_global_ntile(df: DataFrame, n_tiles: int,
 def partitioned_prefix_sum(df: DataFrame, order_cols: list[Column],
                            value_col: str, out_col: str,
                            exclusive: bool = True,
-                           num_parts: int = DEFAULT_PARTS) -> DataFrame:
+                           num_parts: int = DEFAULT_PARTS,
+                           cache_registry: list | None = None) -> DataFrame:
     """Exact running sum of ``value_col`` under ``order_cols`` (total
     order required) without a single-partition window over the rows:
     range shuffle, per-partition prefix sums, and a P-row totals frame
@@ -114,6 +138,8 @@ def partitioned_prefix_sum(df: DataFrame, order_cols: list[Column],
     ranged = (df.repartitionByRange(num_parts, *order_cols)
               .withColumn("_pid", F.spark_partition_id())
               .persist())  # pins ONE boundary sample for both branches
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     hi = -1 if exclusive else Window.currentRow
     w_local = (Window.partitionBy("_pid").orderBy(*order_cols)
                .rowsBetween(Window.unboundedPreceding, hi))

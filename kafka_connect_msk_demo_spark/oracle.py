@@ -29,10 +29,39 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).fetchdf()
 
 
+def _scalar_kind(v) -> str:
+    """Kind of one Python/numpy scalar, with numpy scalar types mapped
+    to their Python kinds (np.bool_ -> 'bool', np.int32 -> 'int', ...)
+    so a numpy-rendered column cannot evade the drift gate."""
+    import decimal
+
+    import numpy as np
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (bool, np.bool_)):       # before int: bool < int
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "seq"
+    return type(v).__name__
+
+
 def _value_kind(series: pd.Series) -> str:
     """Hash-relevant kind of a column: the driver's value hash treats
     int/float/Decimal/bool/str renderings of equal values as distinct,
-    but is insensitive to integer width."""
+    but is insensitive to integer width.
+
+    Object-dtype columns are classified from a SAMPLE of values (first
+    100 non-null), not just the first one — a mixed-kind column (e.g.
+    Decimal in row 0 but float later) previously evaded the gate while
+    still hash-mismatching on the driver. A genuinely mixed column
+    reports ``mixed(...)`` and only matches an identically-mixed
+    counterpart."""
     if pd.api.types.is_bool_dtype(series):
         return "bool"
     if pd.api.types.is_integer_dtype(series):
@@ -44,21 +73,10 @@ def _value_kind(series: pd.Series) -> str:
     nn = series.dropna()
     if not len(nn):
         return "empty"
-    v = nn.iloc[0]
-    import decimal
-    if isinstance(v, decimal.Decimal):
-        return "decimal"
-    if isinstance(v, bool):
-        return "bool"
-    if isinstance(v, int):
-        return "int"
-    if isinstance(v, float):
-        return "float"
-    if isinstance(v, str):
-        return "str"
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "seq"
-    return type(v).__name__
+    kinds = {_scalar_kind(v) for v in nn.head(100)}
+    if len(kinds) > 1:
+        return "mixed(" + ",".join(sorted(kinds)) + ")"
+    return kinds.pop()
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -970,6 +970,49 @@ def q_cdc_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_month")
 
 
+def q_cdc_upsert_mor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-mode MoR ingestion — the reference's background
+    DeltaStreamer MoR job with INLINE COMPACTION firing mid-stream
+    (``deltastreamer_jobs_cont_bkgd.sh:5-20`` runs ``--continuous``
+    MoR jobs; ``hoodie.compact.inline.max.delta.commits`` in the MoR
+    properties schedules the fold every N delta commits).
+
+    The same CDC envelope feed as ``cdc_upsert_mor``, but split into
+    SIX micro-batch files (two per phase) and ingested with
+    ``max_delta_commits=2``: batch 0 bulk-inserts the base, batches
+    1-5 append delta-log commits, and compaction fires automatically
+    inside batches 2 and 4 — mid-stream, between appends — leaving ONE
+    pending log commit at the end. The final ``_rt`` read therefore
+    exercises BOTH the mid-stream fold and a real read-time merge, and
+    must still hash-match the CoW table state after the same feed
+    (oracle ``_SQL_CDC_UPSERT`` verbatim, same as the other two CDC
+    queries)."""
+    import tempfile
+
+    from .sources.cdc import write_envelope_stream_dir
+    from .streaming.runner import run_foreach_batch
+    from .streaming.upsert import MergeOnReadTable
+    from .transforms import cdc_unwrap
+
+    base = tempfile.mkdtemp(prefix="cdc_upsert_mor_stream_")
+    env_dir = f"{base}/envelope"
+    write_envelope_stream_dir(spark, sf_dir, env_dir, files_per_phase=2)
+    env_schema = spark.read.parquet(env_dir).schema
+    stream = (spark.readStream.schema(env_schema)
+              .option("maxFilesPerTrigger", "1").parquet(env_dir))
+    table = MergeOnReadTable(f"{base}/table", key_cols=["o_orderkey"],
+                             ordering_col="__source_ts_ms",
+                             tiebreak_col="__lsn",
+                             partition_by="order_month",
+                             max_delta_commits=2)
+    run_foreach_batch(cdc_unwrap(stream), table.append_batch,
+                      checkpoint_dir=f"{base}/ckpt")
+    table.register_views(spark, "mor_stream_orders")
+    return spark.table("mor_stream_orders_rt").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "order_month")
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: a (status, month) revenue
     aggregate is built from the CDC snapshot phase, then brought
@@ -2878,20 +2921,34 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (per.crossJoin(F.broadcast(maxd))
            .withColumn("recency", F.col("corpus_max") - F.col("last_day"))
            .persist())  # one materialization feeds all three branches
+    caches: list = [per]
     r_q = exact_global_ntile(
-        per, 4, [F.col("recency"), F.col("o_custkey")], "r_q")         .select("o_custkey", "r_q")
+        per, 4, [F.col("recency"), F.col("o_custkey")], "r_q",
+        cache_registry=caches).select("o_custkey", "r_q")
     f_q = exact_global_ntile(
-        per, 4, [F.col("freq").desc(), F.col("o_custkey")], "f_q")         .select("o_custkey", "f_q")
+        per, 4, [F.col("freq").desc(), F.col("o_custkey")], "f_q",
+        cache_registry=caches).select("o_custkey", "f_q")
     m_q = exact_global_ntile(
-        per, 4, [F.col("cents").desc(), F.col("o_custkey")], "m_q")         .select("o_custkey", "m_q")
+        per, 4, [F.col("cents").desc(), F.col("o_custkey")], "m_q",
+        cache_registry=caches).select("o_custkey", "m_q")
     scored = (per.select("o_custkey", "cents")
               .join(r_q, "o_custkey").join(f_q, "o_custkey")
               .join(m_q, "o_custkey"))
-    return (scored.groupBy("r_q", "f_q", "m_q")
-            .agg(F.count(F.lit(1)).alias("n_customers"),
-                 ((F.sum("cents").cast("double") / F.lit(100.0))
-                  / F.count(F.lit(1))).alias("avg_spend"))
-            .orderBy("r_q", "f_q", "m_q"))
+    out = (scored.groupBy("r_q", "f_q", "m_q")
+           .agg(F.count(F.lit(1)).alias("n_customers"),
+                ((F.sum("cents").cast("double") / F.lit(100.0))
+                 / F.count(F.lit(1))).alias("avg_spend"))
+           .orderBy("r_q", "f_q", "m_q"))
+    # The query stacks FOUR pinned frames (per + three ranged ntile
+    # branches) — in a long-lived session with no harness clearCache()
+    # those would accumulate across invocations. The 4^3-row census is
+    # checkpointed eagerly (plan cut — no recompute after release, so
+    # the range-boundary-resampling hazard cannot re-open), then every
+    # pinned frame is dropped before returning.
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 _SQL_RFM_SEGMENTS = """
@@ -6031,6 +6088,7 @@ BATCH_QUERIES = {
     "avro_wire_roundtrip": (q_avro_wire_roundtrip, _SQL_AVRO_ROUNDTRIP),
     "cdc_upsert": (q_cdc_upsert, _SQL_CDC_UPSERT),
     "cdc_upsert_mor": (q_cdc_upsert_mor, _SQL_CDC_UPSERT),
+    "cdc_upsert_mor_stream": (q_cdc_upsert_mor_stream, _SQL_CDC_UPSERT),
     "asof_attribution": (q_asof_attribution, _SQL_ASOF_ATTRIBUTION),
     "range_join_promo": (q_range_join_promo, _SQL_RANGE_JOIN_PROMO),
     "revenue_rollup": (q_revenue_rollup, _SQL_REVENUE_ROLLUP),
@@ -6194,7 +6252,22 @@ _DRIVER_PRIORITY = [
     "decontaminate_report",
     # round-5 additions (behind the never-verified backlog)
     "lang_confusion_shares", "epoch_shard", "semdedup_trained",
+    # round-7: the sanctioned streaming-MoR addition and the
+    # re-verification of the re-planned pair scorer (VERDICT r6 asks
+    # #2/#3) — never-green, so they sit right behind the 19-query
+    # backlog in the r7 window
+    "cdc_upsert_mor_stream", "embedding_dup_pairs",
 ]
+
+#: queries whose PHYSICAL PLAN was rewritten after their latest green
+#: driver row: the row verified the old plan, so rows from rounds <=
+#: the noted round are treated as VOID — the query re-enters the
+#: never-green class and rotates back into the driver window.
+#: embedding_dup_pairs' only row (r3) verified the driver-broadcast
+#: all-pairs scorer; the distributed block-tile rewrite landed in r6
+#: (pipeline/similarity.py cosine_dup_pairs_blocked) and has never
+#: been driver-checked (VERDICT r6 ask #2).
+_PLAN_REWRITTEN_AFTER = {"embedding_dup_pairs": 6}
 
 
 def _driver_green_rounds() -> dict[str, int]:
@@ -6241,6 +6314,15 @@ def _driver_green_rounds() -> dict[str, int]:
     return latest
 
 
+def _effective_green_rounds() -> dict[str, int]:
+    """Driver-green rounds with plan-rewrite voiding applied: a green
+    row recorded on or before the round its query's plan was rewritten
+    (``_PLAN_REWRITTEN_AFTER``) verified a plan that no longer exists,
+    so the query counts as never-green for rotation purposes."""
+    return {n: r for n, r in _driver_green_rounds().items()
+            if r > _PLAN_REWRITTEN_AFTER.get(n, -1)}
+
+
 _MERGED: dict = {**BATCH_QUERIES, **PIPELINE_QUERIES, **STREAMING_QUERIES}
 
 
@@ -6255,7 +6337,7 @@ def _rotation_order(merged: dict, green: dict[str, int]) -> list[str]:
 
 ALL_QUERIES: dict = {name: _MERGED[name]
                      for name in _rotation_order(_MERGED,
-                                                 _driver_green_rounds())}
+                                                 _effective_green_rounds())}
 
 
 def queries() -> dict:

@@ -92,13 +92,42 @@ def orders_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_envelope_stream_dir(spark: SparkSession, sf_dir: str,
-                              out_dir: str) -> None:
-    """Materialize the envelope as one parquet file per phase so a file
-    stream with maxFilesPerTrigger=1 replays snapshot → updates →
-    deletes as separate micro-batches (arrival order shouldn't matter —
-    the MERGE is ordered by ts_ms — but this exercises it)."""
+                              out_dir: str,
+                              files_per_phase: int = 1) -> None:
+    """Materialize the envelope as ``files_per_phase`` parquet files
+    per phase so a file stream with maxFilesPerTrigger=1 replays
+    snapshot → updates → deletes as 3 × files_per_phase separate
+    micro-batches (latest-wins is ordered by ts_ms, so arrival order
+    within a phase doesn't matter — splitting a phase exercises that).
+
+    Files are renamed into arrival order with strictly increasing
+    whole-second mtimes: FileStreamSource orders pending files by
+    MILLISECOND modification time, and three back-to-back Spark write
+    jobs can land in the same millisecond — an uncontrolled tie could
+    deliver a phase-2 delete before the phase-0 snapshot that the
+    initial bulk-insert path depends on seeing first."""
+    import os
+    import time
+
     env = orders_cdc_envelope(spark, sf_dir)
+    stage = f"{out_dir.rstrip('/')}__stage"
+    seq = 0
+    base_ts = int(time.time()) - 3 * files_per_phase - 1
+    os.makedirs(out_dir, exist_ok=True)
     for phase in (0, 1, 2):
-        (env.filter(F.col("__phase") == phase).drop("__phase")
-         .coalesce(1)
-         .write.mode("append").parquet(out_dir))
+        part = env.filter(F.col("__phase") == phase).drop("__phase")
+        if files_per_phase == 1:
+            part = part.coalesce(1)
+        else:
+            # hash on the unique lsn: deterministic file membership
+            part = part.repartition(files_per_phase, F.col("source.lsn"))
+        part.write.mode("overwrite").parquet(stage)
+        files = sorted(f for f in os.listdir(stage)
+                       if f.endswith(".parquet"))
+        for f in files:
+            dst = os.path.join(out_dir, f"phase{phase}-{seq:04d}.parquet")
+            os.replace(os.path.join(stage, f), dst)
+            os.utime(dst, (base_ts + seq, base_ts + seq))
+            seq += 1
+    import shutil
+    shutil.rmtree(stage, ignore_errors=True)

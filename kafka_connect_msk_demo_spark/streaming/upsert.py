@@ -278,6 +278,12 @@ class MergeOnReadTable:
         self.partition_by = partition_by
         self.deleted_col = deleted_col
         self.max_delta_commits = max_delta_commits
+        #: names registered via :meth:`register_views`, re-registered
+        #: after every :meth:`compact` (the fold rewrites base files
+        #: and drops consumed log dirs, so a view's previously-analyzed
+        #: lazy plan would reference files that no longer exist — the
+        #: reference notebook's query-then-compact-then-query sequence)
+        self._view_names: set[str] = set()
 
     # -- helpers ------------------------------------------------------------
 
@@ -347,7 +353,16 @@ class MergeOnReadTable:
 
     def register_views(self, spark: SparkSession, name: str) -> None:
         """``{name}_ro`` / ``{name}_rt`` temp views — the Hive-synced
-        pair the reference notebook queries (ipynb cells 8-11)."""
+        pair the reference notebook queries (ipynb cells 8-11).
+
+        The views stay valid ACROSS compaction: :meth:`compact`
+        re-registers every name seen here against the post-compaction
+        file layout. (A raw DataFrame handle from
+        :meth:`read_realtime` held across a compact() is NOT
+        refreshed — its analyzed plan pins pre-compaction files — so
+        query through the views, or re-call read_realtime after
+        compacting.)"""
+        self._view_names.add(name)
         self.read_optimized(spark).createOrReplaceTempView(f"{name}_ro")
         self.read_realtime(spark).createOrReplaceTempView(f"{name}_rt")
 
@@ -373,6 +388,10 @@ class MergeOnReadTable:
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path
         for b in batches:
             fs.delete(jvm_path(f"{self.log_path}/{b}"), True)
+        # refresh registered views: their lazy plans referenced the
+        # pre-compaction base files and the just-deleted log dirs
+        for name in self._view_names:
+            self.register_views(spark, name)
         return batches
 
 

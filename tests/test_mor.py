@@ -261,3 +261,106 @@ def test_inline_compaction_bounds_log(spark, tmp_path):
     assert t._log_batches(spark) == []              # inline-compacted
     ro = {(r.id, r.val) for r in t.read_optimized(spark).collect()}
     assert ro == {(1, "v2"), (2, "v1")}             # _ro is current
+
+
+def test_views_valid_across_compact(spark, tmp_path):
+    """ADVICE r6: a temp view registered BEFORE compact() must stay
+    queryable AFTER it — the fold rewrites base files and deletes
+    consumed log dirs, so compact() re-registers every view name it
+    has seen (the reference notebook's query-then-compact-then-query
+    sequence)."""
+    t = _mor(tmp_path / "t")
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                  (2, "b", "v1", 10, 0, "false")]), 0)
+    t.append_batch(_batch(spark, [(1, "a", "v2", 20, 0, "false")]), 1)
+    t.register_views(spark, "mor_compact_view")
+    assert {r.val for r in
+            spark.sql("SELECT val FROM mor_compact_view_rt").collect()} \
+        == {"v2", "v1"}
+    t.compact(spark)
+    # both views re-resolve against the post-compaction layout
+    rt = {(r.id, r.val) for r in
+          spark.sql("SELECT id, val FROM mor_compact_view_rt").collect()}
+    ro = {(r.id, r.val) for r in
+          spark.sql("SELECT id, val FROM mor_compact_view_ro").collect()}
+    assert rt == ro == {(1, "v2"), (2, "v1")}
+
+
+def test_cross_partition_key_move_through_log(spark, tmp_path):
+    """VERDICT r6 ask #7 (the GLOBAL_BLOOM concern, SURVEY §3.3): a key
+    whose partition_by value changes BETWEEN LOG BATCHES must resolve
+    to its newest partition in _rt, and compaction must vacate the old
+    partition from the base — not leave a duplicate row behind."""
+    t = _mor(tmp_path / "t")
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                  (2, "b", "v1", 10, 0, "false")]), 0)
+    # key 1 moves a -> b, then b -> c, across two separate log batches
+    t.append_batch(_batch(spark, [(1, "b", "v2", 20, 0, "false")]), 1)
+    t.append_batch(_batch(spark, [(1, "c", "v3", 30, 0, "false")]), 2)
+    rt = {(r.id, r.part, r.val) for r in t.read_realtime(spark).collect()}
+    assert rt == {(1, "c", "v3"), (2, "b", "v1")}
+    t.compact(spark)
+    ro = {(r.id, r.part, r.val) for r in t.read_optimized(spark).collect()}
+    assert ro == rt
+    # the vacated partition dir is gone from base (no stale files)
+    import os
+    assert not os.path.exists(str(tmp_path / "t" / "base" / "part=a"))
+    rt_after = {(r.id, r.part, r.val)
+                for r in t.read_realtime(spark).collect()}
+    assert rt_after == rt
+
+
+def test_inline_compaction_fires_mid_stream(spark, sf_small, tmp_path):
+    """VERDICT r6 ask #3: the continuous-MoR shape — a real file stream
+    through foreachBatch -> append_batch with max_delta_commits=2 over
+    six micro-batches. Compaction must fire TWICE mid-stream (inside
+    batches 2 and 4), leave exactly one pending log commit, and the
+    final _rt state must equal the CoW table fed the same envelope."""
+    from kafka_connect_msk_demo_spark.sources.cdc import (
+        write_envelope_stream_dir)
+    from kafka_connect_msk_demo_spark.streaming.runner import (
+        run_foreach_batch)
+    from kafka_connect_msk_demo_spark.transforms import cdc_unwrap
+
+    env_dir = str(tmp_path / "env")
+    write_envelope_stream_dir(spark, sf_small, env_dir, files_per_phase=2)
+    import os
+    files = sorted(f for f in os.listdir(env_dir)
+                   if f.endswith(".parquet"))
+    assert len(files) == 6
+    # arrival order is pinned: strictly increasing mtimes, phase-major
+    mtimes = [os.stat(os.path.join(env_dir, f)).st_mtime for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 6
+
+    mor = MergeOnReadTable(str(tmp_path / "mor"), key_cols=["o_orderkey"],
+                           ordering_col="__source_ts_ms",
+                           tiebreak_col="__lsn",
+                           partition_by="order_month",
+                           max_delta_commits=2)
+    fired = []
+    orig_compact = mor.compact
+
+    def counting_compact(s):
+        fired.append(len(mor._log_batches(s)))
+        return orig_compact(s)
+
+    mor.compact = counting_compact
+    schema = spark.read.parquet(env_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(env_dir))
+    run_foreach_batch(cdc_unwrap(stream), mor.append_batch,
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    assert fired == [2, 2], "compaction must fire twice, at 2 commits"
+    assert len(mor._log_batches(spark)) == 1, "one pending commit"
+
+    # CoW twin over the same envelope, one batch (latest-wins is
+    # arrival-order-insensitive, so a single MERGE is the same state)
+    cow = UpsertTable(str(tmp_path / "cow"), key_cols=["o_orderkey"],
+                      ordering_col="__source_ts_ms", tiebreak_col="__lsn",
+                      partition_by="order_month")
+    cow.merge_batch(cdc_unwrap(spark.read.parquet(env_dir)), 0)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "order_month"]
+    rt = {tuple(r) for r in
+          mor.read_realtime(spark).select(*cols).collect()}
+    cw = {tuple(r) for r in cow.read(spark).select(*cols).collect()}
+    assert rt == cw and rt

@@ -139,11 +139,11 @@ def test_driver_window_covers_priority():
     cannot silently push them back out."""
     from kafka_connect_msk_demo_spark.queries import (
         ALL_QUERIES, DRIVER_WINDOW, _DRIVER_PRIORITY,
-        _driver_green_rounds)
+        _effective_green_rounds)
     order = list(ALL_QUERIES)
     assert len(order) == len(set(order))
     window = set(order[:DRIVER_WINDOW])
-    green = _driver_green_rounds()
+    green = _effective_green_rounds()
     priority_pending = [n for n in _DRIVER_PRIORITY if n not in green]
     missing = [n for n in priority_pending[:DRIVER_WINDOW]
                if n not in window]
@@ -160,8 +160,8 @@ def test_registry_rotation_invariants():
     DRIVER_WINDOW prefix always re-verifies the least-recently-checked
     slice of the registry without manual reordering."""
     from kafka_connect_msk_demo_spark.queries import (
-        ALL_QUERIES, _driver_green_rounds, _rotation_order)
-    green = _driver_green_rounds()
+        ALL_QUERIES, _effective_green_rounds, _rotation_order)
+    green = _effective_green_rounds()
     order = list(ALL_QUERIES)
     rounds = [green.get(n, -1) for n in order]
     assert rounds == sorted(rounds), \
