@@ -39,6 +39,14 @@ Methodology:
   The prior comes from the newest ``BENCH_r*.json`` per-query entry
   (recovered from the stored tail when the parsed record is null), so
   the rule self-updates as queries speed up or slow down.
+* the sweep runs in FIXED ALPHABETICAL order, decoupled from the
+  registry's driver-rotation order (VERDICT r6 "What's wrong" #5):
+  rotation reorders ``ALL_QUERIES`` every round, so sweeping in
+  registry order put each query at a different position each round and
+  early positions paid unamortized warm-up — r5→r6 showed code-
+  untouched queries "regressing" 2-4x purely from rotation
+  (benford_audit 0.47→2.76). A fixed order plus the untimed warm-ups
+  makes per-query numbers comparable across rounds.
 """
 
 from __future__ import annotations
@@ -172,7 +180,10 @@ def run() -> None:
             if n}
     timings: dict[str, float] = {}
     position = 0
-    for name, fn in registry.items():
+    # fixed alphabetical sweep order — never the rotation order (see
+    # module docstring); the registry dict itself stays rotation-ordered
+    # for the correctness driver
+    for name, fn in sorted(registry.items()):
         if name in SKIP or (only and name not in only):
             continue
         # progress marker on stderr (stdout carries ONLY JSON lines):
@@ -182,11 +193,11 @@ def run() -> None:
         # median-of-N for the headline set and anything that was >=0.5 s
         # last round (or is new/unknown); single-rep for the stable
         # cheap tail — see module docstring. The first sweep positions
-        # ALWAYS get the median treatment: registry rotation reorders
-        # every round, and a single cold rep at a fresh early position
-        # reads as a phantom regression (benford_audit measured 2.8 s
-        # at position 3 vs 0.7-1.0 s isolated — first-touch table/
-        # codegen costs the old order amortized elsewhere).
+        # ALWAYS get the median treatment: even with the fixed
+        # alphabetical order, early positions absorb whatever cold
+        # state the untimed warm-ups missed, and the median drops that
+        # rep (benford_audit once measured 2.8 s at an early position
+        # vs 0.7-1.0 s isolated).
         reps = REPEATS if (name in HEADLINE
                            or position < 10
                            or prior.get(name, 1.0) >= 0.5) else 1

@@ -105,6 +105,74 @@ _EMPTY_PARTITION_WINDOW = __import__("re").compile(
     r"windowspecdefinition\((?:[A-Za-z_][\w#.]* (?:ASC|DESC)"
     r"|specifiedwindowframe)")
 
+#: STRUCTURAL witness per whitelisted query (VERDICT r6 ask #6 — the
+#: whitelist used to be comment-justified only, which rots as queries
+#: evolve): every empty-partition Window node in the OPTIMIZED plan
+#: must have this regex inside its own subtree, i.e. the window's
+#: bounded input is asserted, not narrated.
+#: - ranking class (operators/ranking.py): the only legal empty-
+#:   partition windows sit over the P-row per-range-partition offsets
+#:   frame, whose input is the groupBy(_pid) aggregate;
+#: - top-k survivor class: the window input is a GlobalLimit (constant
+#:   row count by construction);
+#: - aggregate-bounded class: the window input is a grouped Aggregate
+#:   over a bounded-cardinality key (calendar days, category pairs,
+#:   dimension rollups, reduced frontiers).
+#: each witness matches the logical node AND its physical rendering —
+#: a cached subplan (persisted ranged frame) renders inside
+#: InMemoryRelation as physical nodes (HashAggregate, GlobalLimit ...)
+_PID_AGG = r"Aggregate \[_pid#|HashAggregate\(keys=\[_pid#"
+_TOPK = r"GlobalLimit|TakeOrderedAndProject"
+_ANY_AGG = (r"Aggregate \[|HashAggregate\(keys=\[|SortAggregate\(key"
+            r"|ObjectHashAggregate\(keys=\[")
+BOUNDED_WINDOW_WITNESS = {
+    "rfm_segments": _PID_AGG,
+    "decile_lift": _PID_AGG,
+    "unigram_lm": _PID_AGG,
+    "weighted_bootstrap": _PID_AGG,
+    "sorted_neighborhood": _PID_AGG,
+    "zipf_census": _TOPK,
+    "rrf_fusion": _TOPK,
+    "chi2_independence": _ANY_AGG,
+    "rolling_corr": _ANY_AGG,
+    "share_of_parent": _ANY_AGG,
+    "skyline_customers": _ANY_AGG,
+}
+
+
+def _optimized_section(extended_plan: str) -> str:
+    body = extended_plan.split("== Optimized Logical Plan ==", 1)[-1]
+    return body.split("== Physical Plan ==", 1)[0]
+
+
+def _node_depth(line: str) -> int:
+    """Tree depth of a plan line = start of its LAST branch marker
+    (``+- `` / ``:- ``); -1 for the root line."""
+    import re
+    depth = -1
+    for m in re.finditer(r"[+:]- ", line):
+        depth = m.start()
+    return depth
+
+
+def _empty_window_subtrees(optimized: str):
+    """Yield (window_line, subtree_text) for every Window node with an
+    empty partition spec in the optimized-plan tree string."""
+    lines = optimized.splitlines()
+    for i, line in enumerate(lines):
+        if "windowspecdefinition" not in line \
+                or not _EMPTY_PARTITION_WINDOW.search(line):
+            continue
+        d0 = _node_depth(line)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if _node_depth(nxt) <= d0:
+                break
+            sub.append(nxt)
+        yield line, "\n".join(sub)
+
 
 def _plan(spark, name, sf_dir):
     df = ALL[name][0](spark, sf_dir)
@@ -127,6 +195,58 @@ def test_no_scale_antipatterns(spark, sf_small, name):
             (f"{name}: window with empty partition spec (single-task "
              f"sort at scale) — partition it, use operators/ranking.py"
              f", or whitelist with a bounded-input justification")
+
+
+@pytest.mark.parametrize("name", sorted(UNPARTITIONED_WINDOW_ALLOWED))
+def test_whitelisted_windows_have_bounded_input(spark, sf_small, name):
+    """A whitelisted empty-partition window is only legal over a
+    provably bounded frame — assert the bound STRUCTURALLY: every such
+    Window node's optimized-plan subtree must contain the query's
+    declared witness (the _pid groupBy for the ranking class, a
+    GlobalLimit for top-k survivors, a grouped Aggregate for
+    dimension-bounded frames). A whitelisted query that drifts onto an
+    unbounded window input now fails here instead of silently riding
+    the whitelist."""
+    witness = BOUNDED_WINDOW_WITNESS.get(name)
+    assert witness is not None, \
+        f"{name} is whitelisted but declares no bounded-input witness"
+    import re
+    optimized = _optimized_section(_plan(spark, name, sf_small))
+    windows = list(_empty_window_subtrees(optimized))
+    # zero windows is fine (e.g. the query now materializes early);
+    # every window that IS present must carry the witness
+    for line, subtree in windows:
+        assert re.search(witness, subtree), \
+            (f"{name}: empty-partition window without bounded-input "
+             f"witness {witness!r}:\n{line.strip()[:200]}\nsubtree:\n"
+             + subtree[:2000])
+
+
+def test_bounded_window_witness_detects_drift():
+    """Negative control for the structural gate: an empty-partition
+    window whose input is a bare file scan (the drifted case the
+    whitelist used to mask) must yield a subtree WITHOUT any witness."""
+    import re
+    fake = (
+        "Window [sum(x#1L) windowspecdefinition(x#1L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) "
+        "AS s#2L], [x#1L ASC NULLS FIRST]\n"
+        "+- Project [x#1L]\n"
+        "   +- Relation [x#1L] parquet")
+    windows = list(_empty_window_subtrees(fake))
+    assert len(windows) == 1
+    _, subtree = windows[0]
+    for witness in (_PID_AGG, _TOPK, _ANY_AGG):
+        assert not re.search(witness, subtree)
+    # and the positive shape IS accepted
+    good = (
+        "Window [sum(c#2L) windowspecdefinition(_pid#3 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) "
+        "AS o#4L], [_pid#3 ASC NULLS FIRST]\n"
+        "+- Aggregate [_pid#3], [_pid#3, count(1) AS c#2L]\n"
+        "   +- Relation [x#1L] parquet")
+    (_, sub2), = _empty_window_subtrees(good)
+    assert re.search(_PID_AGG, sub2)
 
 
 def test_driver_window_covers_priority():
