@@ -130,7 +130,8 @@ def copart_supplier_edges(lineitem: DataFrame) -> DataFrame:
             .distinct())
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame,
+                   assume_distinct: bool = False) -> DataFrame:
     """Global triangle / wedge census of an undirected simple graph —
     one row: (n_nodes, n_edges, n_wedges, n_triangles).
 
@@ -153,12 +154,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     the O(sqrt(E))-bounded intersection: measured 17.7 s -> 6.4 s at
     sf0.1 with bit-identical output.
 
-    Input contract: ``edges`` must be DISTINCT undirected edges (one
-    row per unordered pair, no self-loops) — the registered caller
-    feeds ``copart_edges``, which ends in ``.distinct()``. Duplicates
-    would skew the census inconsistently: ``array_intersect`` dedups
-    (undercounting triangles) while the in·out wedge census counts
-    with multiplicity.
+    Input contract: undirected edges, one row per unordered pair, no
+    self-loops. Duplicate edge rows would skew the census MUTUALLY
+    INCONSISTENTLY — ``array_intersect`` dedups (undercounting
+    triangles) while the in·out wedge census counts with multiplicity
+    — so the precondition is ENFORCED here: edges are deduplicated
+    defensively unless the caller declares them already distinct
+    (``assume_distinct=True``, which skips the redundant shuffle —
+    the registered caller's ``copart_supplier_edges`` already ends in
+    ``.distinct()``).
 
     The wedge census needs no join at all: a wedge x->y->z is an
     in-edge (x->y) paired with an out-edge (y->z) at its middle
@@ -169,6 +173,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # node count); cache the input so an expensive upstream derivation
     # (copart: distinct + self-join) is computed once — same
     # discipline as kcore_peel
+    if not assume_distinct:
+        edges = edges.select("u", "v").distinct()
     edges = edges.persist()
     und = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -2157,7 +2157,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge volume O(E^1.5)-bounded; exact, engine-replayable counts."""
     from .graph import copart_supplier_edges, triangle_count
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return triangle_count(copart_supplier_edges(lineitem))
+    # copart_supplier_edges ends in .distinct(): declare it so the
+    # operator's defensive dedup doesn't add a redundant shuffle
+    return triangle_count(copart_supplier_edges(lineitem),
+                          assume_distinct=True)
 
 
 # The SMALL relations (ps..o, each referenced up to 3x) are

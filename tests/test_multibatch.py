@@ -157,3 +157,47 @@ def test_staged_chunks_have_strictly_increasing_mtimes(sf_small):
     assert len(parts) >= min(2, STREAM_CHUNKS)
     mtimes = [os.stat(p).st_mtime for p in parts]
     assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:])), mtimes
+
+
+def test_concurrent_staging_yields_one_valid_dir(sf_small, tmp_path):
+    """ADVICE r6 (catalog lock TOCTOU): N processes racing to stage the
+    same stream dir must serialize through the flock and leave exactly
+    one coherent staged dir — marker matches the stamp, full chunk set,
+    strictly increasing mtimes, no leftover .tmp.* staging dirs. The
+    flock is kernel-released on process death, so no stale-lock
+    breaking (the TOCTOU class) exists anymore."""
+    import glob
+    import multiprocessing as mp
+    import os
+    import tempfile
+
+    import kafka_connect_msk_demo_spark.catalog as cat
+
+    def worker(tmpdir, q):
+        tempfile.tempdir = tmpdir  # isolate from the shared /tmp cache
+        try:
+            q.put(cat._stream_dir(sf_small, "events", chunks=3))
+        except Exception as exc:  # noqa: BLE001
+            q.put(f"ERROR {exc!r}")
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(str(tmp_path), q))
+             for _ in range(4)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+    assert all(isinstance(r, str) and not r.startswith("ERROR")
+               for r in results), results
+    assert len(set(results)) == 1
+    d = results[0]
+    parts = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    assert len(parts) == 3
+    mtimes = [os.stat(p).st_mtime for p in parts]
+    assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:])), mtimes
+    assert not glob.glob(d + ".tmp.*"), "leftover torn staging dirs"
+    marker = open(os.path.join(d, "_STAGED")).read()
+    st = os.stat(f"{sf_small}/events.parquet")
+    assert marker == f"{st.st_mtime_ns}:{st.st_size}:3:v3"

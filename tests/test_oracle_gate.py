@@ -83,3 +83,27 @@ def test_decimal_vs_decimal_compares_exactly():
     bad = _issues([Decimal("1.10"), Decimal("2.20")],
                   [Decimal("1.10"), Decimal("2.21")])
     assert bad
+
+
+def test_mixed_kind_column_no_longer_evades():
+    """ADVICE r6: a column whose FIRST value is Decimal but later
+    values are float used to classify from row 0 only — now the
+    sampled scan reports mixed(...) and flags it against a pure-float
+    counterpart."""
+    import numpy as np
+    mixed = pd.Series([Decimal("1.0"), 2.5], dtype="object")
+    assert _value_kind(mixed) == "mixed(decimal,float)"
+    issues = _issues(pd.Series([Decimal("1.0"), 2.5], dtype="object"),
+                     pd.Series([1.0, 2.5], dtype="float64"))
+    assert issues and "drift" in issues[0]
+    # numpy scalar types map to their Python kinds (np.bool_ is 'bool',
+    # not the type name 'bool_')
+    assert _value_kind(pd.Series([np.bool_(True)], dtype="object")) \
+        == "bool"
+    assert _value_kind(pd.Series([np.int32(3)], dtype="object")) == "int"
+    assert _value_kind(pd.Series([np.float32(3.5)], dtype="object")) \
+        == "float"
+    # identical mixtures on both sides stay comparable (not a drift)
+    same = _issues(pd.Series([Decimal("1.0"), 2.5], dtype="object"),
+                   pd.Series([Decimal("1.0"), 2.5], dtype="object"))
+    assert same == []

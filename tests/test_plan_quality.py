@@ -127,7 +127,10 @@ _ANY_AGG = (r"Aggregate \[|HashAggregate\(keys=\[|SortAggregate\(key"
             r"|ObjectHashAggregate\(keys=\[")
 BOUNDED_WINDOW_WITNESS = {
     "rfm_segments": _PID_AGG,
-    "decile_lift": _PID_AGG,
+    # decile_lift: the offsets fold is ranking-class (_pid aggregate);
+    # the final gains-chart cum/total windows sit over the TEN-row
+    # groupBy(decile) aggregate — both bounded, either witness suffices
+    "decile_lift": _PID_AGG + r"|Aggregate \[decile#",
     "unigram_lm": _PID_AGG,
     "weighted_bootstrap": _PID_AGG,
     "sorted_neighborhood": _PID_AGG,
