@@ -108,19 +108,31 @@ def exact_global_ntile(df: DataFrame, n_tiles: int,
     that exceed double precision."""
     ranked = exact_global_rank(df, order_cols, "_r", num_parts,
                                cache_registry=cache_registry)
+    return (ranked.withColumn(out_col,
+                              ntile_tile_expr(n_tiles).cast("int"))
+            .drop("_r", "_n_total"))
+
+
+def ntile_tile_expr(n_tiles: int,
+                    rank_col: str = "_r",
+                    total_col: str = "_n_total") -> Column:
+    """The SQL-``ntile`` bucket of rank ``rank_col`` among
+    ``total_col`` rows, in pure INTEGRAL arithmetic (``div``/``%`` on
+    longs) — exact at ANY cardinality, unlike float division +
+    cast('long'), which misbuckets boundary ranks once operands pass
+    2^53 (tested at n = 2^60 in tests/test_ranking.py)."""
     k = int(n_tiles)
     # m: number of big tiles; big/small: their sizes; cut: last rank
     # inside the big tiles. greatest(small, 1) guards the n < k edge
-    # (the ELSE branch is only reached when _r > cut = n, i.e. never).
-    m = f"(_n_total % {k})"
-    big = f"(_n_total div {k} + 1)"
-    small = f"greatest(_n_total div {k}, CAST(1 AS BIGINT))"
+    # (the ELSE branch is only reached when rank > cut = n, i.e. never).
+    m = f"({total_col} % {k})"
+    big = f"({total_col} div {k} + 1)"
+    small = f"greatest({total_col} div {k}, CAST(1 AS BIGINT))"
     cut = f"({m} * {big})"
-    tile = F.expr(
-        f"CASE WHEN _r <= {cut} THEN (_r - 1) div {big} + 1 "
-        f"ELSE {m} + (_r - {cut} - 1) div {small} + 1 END")
-    return (ranked.withColumn(out_col, tile.cast("int"))
-            .drop("_r", "_n_total"))
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {cut} "
+        f"THEN ({rank_col} - 1) div {big} + 1 "
+        f"ELSE {m} + ({rank_col} - {cut} - 1) div {small} + 1 END")
 
 
 def partitioned_prefix_sum(df: DataFrame, order_cols: list[Column],

@@ -105,7 +105,12 @@ def write_envelope_stream_dir(spark: SparkSession, sf_dir: str,
     MILLISECOND modification time, and three back-to-back Spark write
     jobs can land in the same millisecond — an uncontrolled tie could
     deliver a phase-2 delete before the phase-0 snapshot that the
-    initial bulk-insert path depends on seeing first."""
+    initial bulk-insert path depends on seeing first.
+
+    Local-FS only (os.rename/utime): this is the TEST-FIXTURE
+    materializer for the sandbox's file-stream Kafka stand-in; a real
+    deployment reads the actual topic, where arrival order is the
+    broker's per-partition order."""
     import os
     import time
 

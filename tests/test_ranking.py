@@ -119,3 +119,46 @@ def test_ntile_fewer_rows_than_tiles(spark):
         .select("id", "q").collect()}
     assert got == ref == {1: 1, 2: 2}
     spark.catalog.clearCache()
+
+
+def test_ntile_arithmetic_exact_beyond_double_precision(spark):
+    """ADVICE r6: the tile formula must be exact past 2^53 — float
+    division + cast('long') misbuckets boundary ranks there. Evaluate
+    the integral-arithmetic tile expression at n = 2^60 + 3 on every
+    tile boundary and compare against exact Python-int ntile."""
+    from kafka_connect_msk_demo_spark.operators.ranking import (
+        ntile_tile_expr)
+
+    n = 2**60 + 3
+    k = 7
+
+    def py_ntile(r):
+        m, big, small = n % k, n // k + 1, n // k
+        cut = m * big
+        if r <= cut:
+            return (r - 1) // big + 1
+        return m + (r - cut - 1) // small + 1
+
+    big = n // k + 1
+    cut = (n % k) * big
+    # every boundary rank: tile edges around each big tile, the
+    # big/small switchover, and the extremes
+    ranks = sorted({1, big, big + 1, cut - 1, cut, cut + 1,
+                    n - 1, n,
+                    *(i * big for i in range(1, n % k + 1)),
+                    *(i * big + 1 for i in range(1, n % k + 1))})
+    rows = [(r, n) for r in ranks]
+    df = spark.createDataFrame(rows, "_r long, _n_total long")
+    got = {r._r: r.tile for r in
+           df.withColumn("tile", ntile_tile_expr(k)).collect()}
+    want = {r: py_ntile(r) for r in ranks}
+    assert got == want
+    # float arithmetic is PROVABLY wrong at this magnitude for at
+    # least one of these ranks — the test is not vacuous
+    def float_ntile(r):
+        m, big, small = n % k, int(n / k) + 1, int(n / k)
+        cut = m * big
+        if r <= cut:
+            return int((r - 1) / big) + 1
+        return m + int((r - cut - 1) / small) + 1
+    assert any(float_ntile(r) != want[r] for r in ranks)
