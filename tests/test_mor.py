@@ -364,3 +364,104 @@ def test_inline_compaction_fires_mid_stream(spark, sf_small, tmp_path):
           mor.read_realtime(spark).select(*cols).collect()}
     cw = {tuple(r) for r in cow.read(spark).select(*cols).collect()}
     assert rt == cw and rt
+
+
+def test_mor_stream_restart_is_exactly_once(spark, sf_small, tmp_path):
+    """Continuous-MoR crash/restart (the reference's background
+    DeltaStreamer is restarted routinely): kill the stream mid-feed,
+    restart from the same checkpoint, and the final table must equal
+    an uninterrupted run. Exactly-once holds because append_batch
+    writes the delta dir keyed by EPOCH id with overwrite semantics —
+    a replayed micro-batch (foreachBatch is at-least-once) replaces
+    its own commit instead of appending a duplicate."""
+    import os
+
+    from kafka_connect_msk_demo_spark.sources.cdc import (
+        write_envelope_stream_dir)
+    from kafka_connect_msk_demo_spark.streaming.runner import (
+        run_foreach_batch)
+    from kafka_connect_msk_demo_spark.transforms import cdc_unwrap
+
+    env_dir = str(tmp_path / "env")
+    write_envelope_stream_dir(spark, sf_small, env_dir, files_per_phase=2)
+    schema = spark.read.parquet(env_dir).schema
+
+    def make_stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(env_dir))
+
+    mor = MergeOnReadTable(str(tmp_path / "mor"), key_cols=["o_orderkey"],
+                           ordering_col="__source_ts_ms",
+                           tiebreak_col="__lsn",
+                           partition_by="order_month",
+                           max_delta_commits=2)
+    seen = []
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing(batch, batch_id):
+        # crash INSIDE the 4th batch AFTER the append (the worst case:
+        # data written, checkpoint offset not yet committed -> the
+        # batch replays on restart and must overwrite, not duplicate)
+        mor.append_batch(batch, batch_id)
+        seen.append(batch_id)
+        if len(seen) == 4:
+            raise Boom("injected crash after append, before commit")
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with _pytest.raises((Boom, StreamingQueryException)):
+        run_foreach_batch(cdc_unwrap(make_stream()), crashing,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+    # restart from the SAME checkpoint with the plain writer; the
+    # uncommitted epoch replays (at-least-once) and must overwrite its
+    # own delta dir — the state-equality assertion below is the proof
+    run_foreach_batch(cdc_unwrap(make_stream()), mor.append_batch,
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    assert len(seen) == 4  # first run really died inside batch 4
+
+    # uninterrupted twin
+    mor2 = MergeOnReadTable(str(tmp_path / "mor2"),
+                            key_cols=["o_orderkey"],
+                            ordering_col="__source_ts_ms",
+                            tiebreak_col="__lsn",
+                            partition_by="order_month",
+                            max_delta_commits=2)
+    run_foreach_batch(cdc_unwrap(make_stream()), mor2.append_batch,
+                      checkpoint_dir=str(tmp_path / "ckpt2"))
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "order_month"]
+    got = {tuple(r) for r in mor.read_realtime(spark)
+           .select(*cols).collect()}
+    want = {tuple(r) for r in mor2.read_realtime(spark)
+            .select(*cols).collect()}
+    assert got == want and got
+
+
+def test_inline_compaction_state_invariant_for_any_bound(spark, tmp_path):
+    """For every max_delta_commits in 1..4 (and None = never inline),
+    the same 6-batch feed must produce the identical _rt state — the
+    compaction schedule is a pure layout/write-amplification knob and
+    may never change query results."""
+    feed = [
+        [(1, "a", "v1", 10, 0, "false"), (2, "a", "v1", 10, 0, "false")],
+        [(3, "b", "v1", 20, 0, "false")],
+        [(1, "b", "v2", 30, 0, "false")],            # move a -> b
+        [(2, "a", "v1", 40, 0, "true")],             # delete
+        [(4, "c", "v1", 50, 0, "false"), (4, "c", "v2", 50, 1, "false")],
+        [(3, "b", "v3", 45, 0, "false")],
+    ]
+    states = {}
+    for bound in (None, 1, 2, 3, 4):
+        t = MergeOnReadTable(path=str(tmp_path / f"t{bound}"),
+                             key_cols=["id"], ordering_col="ts",
+                             tiebreak_col="seq", partition_by="part",
+                             max_delta_commits=bound)
+        for i, rows in enumerate(feed):
+            t.append_batch(_batch(spark, rows), i)
+        states[bound] = {tuple(r) for r in t.read_realtime(spark)
+                         .select("id", "part", "val", "ts", "seq")
+                         .collect()}
+    want = {(1, "b", "v2", 30, 0), (3, "b", "v3", 45, 0),
+            (4, "c", "v2", 50, 1)}
+    assert all(s == want for s in states.values()), states
