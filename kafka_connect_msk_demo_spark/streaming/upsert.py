@@ -15,6 +15,21 @@ Semantics reproduced:
   handled by keying the MERGE on the record key alone and recomputing
   the partition path every batch.
 
+Delivery contract (same as Hudi hard delete): redelivery of a key's
+OLD version is harmless while any newer version is still present
+(max_by re-picks the stored winner), but once a tombstone has been
+APPLIED the deleted row leaves the table with no trace — an isolated
+replay of a pre-tombstone version would then be treated as an insert
+and resurrect the key (exactly what happens in Hudi when the hard
+delete removed the index entry). This cannot occur under the
+reference's transport: Debezium keys the topic by primary key, Kafka
+preserves per-key order within a partition, and replays are
+contiguous SUFFIX replays — an old event is only ever redelivered
+together with every later event for that key, tombstone included, so
+the fold reconverges. Feeds that violate per-key suffix-replay order
+are outside the contract (pinned by
+tests/test_mor.py::test_post_delete_isolated_replay_is_out_of_contract).
+
 Physical strategy (scale notes)
 -------------------------------
 Each ``foreachBatch`` MERGE:
@@ -65,9 +80,56 @@ class UpsertTable:
 
     # -- helpers ----------------------------------------------------------
 
+    SCHEMA_MARKER = "_schema.json"
+
     def _exists(self, spark: SparkSession) -> bool:
+        """Table exists iff it holds at least one DATA file. A dir
+        containing only _SUCCESS (a partitioned write of an EMPTY
+        frame emits no part files) must read as absent — treating it
+        as present made the next merge crash with
+        UNABLE_TO_INFER_SCHEMA when a CDC feed's first batch resolved
+        to all-deletes (every row's latest version a tombstone)."""
         fs, jpath = _hadoop_fs(spark, self.path)
-        return fs.exists(jpath) and len(fs.listStatus(jpath)) > 0
+        if not fs.exists(jpath):
+            return False
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+    def _write_schema_marker(self, spark: SparkSession,
+                             schema) -> None:
+        """Persist the table schema beside the data (partitioned
+        layouts only): a partitioned write of an empty frame leaves no
+        parquet footer, so an all-deletes table state would otherwise
+        be unreadable. Hadoop FS API — works on file://, hdfs://,
+        s3a:// alike."""
+        fs, _ = _hadoop_fs(spark, self.path)
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{self.SCHEMA_MARKER}")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(schema.json().encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_schema_marker(self, spark: SparkSession):
+        import json as _json
+
+        from pyspark.sql import types as T
+        fs, _ = _hadoop_fs(spark, self.path)
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{self.SCHEMA_MARKER}")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+        return T.StructType.fromJson(_json.loads(raw))
 
     def _live(self, df: DataFrame) -> DataFrame:
         """Drop deleted rows, null-safely: a NULL deleted flag means the
@@ -76,6 +138,14 @@ class UpsertTable:
             ~F.coalesce(F.col(self.deleted_col) == "true", F.lit(False)))
 
     def read(self, spark: SparkSession) -> DataFrame:
+        """Read the merged table. A table whose current state is EMPTY
+        (every key deleted) has no parquet footers under a partitioned
+        layout — the schema marker written alongside every partitioned
+        write makes it read as a 0-row frame instead of erroring."""
+        if not self._exists(spark):
+            schema = self._read_schema_marker(spark)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
         return spark.read.parquet(self.path)
 
     def _latest_wins(self, df: DataFrame) -> DataFrame:
@@ -130,6 +200,7 @@ class UpsertTable:
                         fs.delete(
                             jvm_path(f"{self.path}/{self.partition_by}={p}"),
                             True)
+                self._write_schema_marker(spark, live.schema)
             else:
                 # Never overwrite the path a lazy plan is still reading:
                 # Spark's static overwrite deletes target files before the
@@ -151,6 +222,11 @@ class UpsertTable:
             if self.partition_by:
                 writer = writer.partitionBy(self.partition_by)
             writer.parquet(self.path)
+            if self.partition_by:
+                # an all-deletes first batch writes no part files; the
+                # marker keeps the (empty) table readable and _exists
+                # stays False so the next batch re-runs initial insert
+                self._write_schema_marker(spark, live.schema)
 
     # -- read views (S15: Hudi _ro/_rt analog) -----------------------------
 

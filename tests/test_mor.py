@@ -182,7 +182,17 @@ def _random_feed(rng, n_batches=4, n_keys=8, parts=("a", "b", "c")):
                          seq,
                          "true" if rng.random() < 0.2 else "false"))
         if rng.random() < 0.3 and feed:
-            rows.append(rng.choice(feed[-1]))  # re-appended duplicate
+            # Re-delivery models Kafka SUFFIX replay (the delivery
+            # contract in streaming/upsert.py): a key's old event is
+            # only ever redelivered together with every LATER event
+            # for that key from that batch — replaying an old version
+            # while skipping its later tombstone is transport-
+            # impossible (keyed topic, per-partition order) and out of
+            # contract (it resurrects, same as a Hudi hard delete).
+            chosen = rng.choice(feed[-1])
+            rows.extend(r for r in feed[-1]
+                        if r[0] == chosen[0] and (r[3], r[4])
+                        >= (chosen[3], chosen[4]))
         feed.append(rows)
     return feed
 
@@ -465,3 +475,80 @@ def test_inline_compaction_state_invariant_for_any_bound(spark, tmp_path):
     want = {(1, "b", "v2", 30, 0), (3, "b", "v3", 45, 0),
             (4, "c", "v2", 50, 1)}
     assert all(s == want for s in states.values()), states
+
+
+def test_all_deletes_first_batch_then_recovery(spark, tmp_path):
+    """Randomized-stress find (r7): a first batch whose every key
+    resolves to a tombstone used to leave a _SUCCESS-only partitioned
+    dir that read as existing but had no parquet footer — the next
+    merge crashed with UNABLE_TO_INFER_SCHEMA. Now: empty state is
+    readable (schema marker), _exists means has-data, and ingestion
+    recovers on the next batch. Exercised for CoW and MoR."""
+    cow = UpsertTable(path=str(tmp_path / "cow"), key_cols=["id"],
+                      ordering_col="ts", tiebreak_col="seq",
+                      partition_by="part")
+    mor = _mor(tmp_path / "mor")
+    feed = [
+        # both rows one key; latest version is the tombstone
+        [(2, "a", "v1", 2, 1, "false"), (2, "c", "v2", 3, 2, "true")],
+        [(1, "a", "v1", 10, 0, "false"), (3, "b", "v1", 10, 0, "false")],
+        [(3, "b", "v2", 20, 0, "false")],
+    ]
+    for i, rows in enumerate(feed):
+        cow.merge_batch(_batch(spark, rows), i)
+        mor.append_batch(_batch(spark, rows), i)
+    want = {(1, "a", "v1"), (3, "b", "v2")}
+    assert {(r.id, r.part, r.val)
+            for r in cow.read(spark).collect()} == want
+    assert {(r.id, r.part, r.val)
+            for r in mor.read_realtime(spark).collect()} == want
+    mor.compact(spark)
+    assert {(r.id, r.part, r.val)
+            for r in mor.read_optimized(spark).collect()} == want
+
+
+def test_fully_deleted_table_reads_empty(spark, tmp_path):
+    """A table whose every key ends deleted must READ as an empty
+    frame with the original schema — not crash on the footerless
+    partitioned layout."""
+    t = UpsertTable(path=str(tmp_path / "t"), key_cols=["id"],
+                    ordering_col="ts", tiebreak_col="seq",
+                    partition_by="part")
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                 (2, "b", "v1", 10, 0, "false")]), 0)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true"),
+                                 (2, "b", "v1", 20, 0, "true")]), 1)
+    out = t.read(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "part", "val", "ts", "seq",
+                                "__deleted"}
+    # and ingestion can resume onto the emptied table
+    t.merge_batch(_batch(spark, [(5, "c", "v9", 30, 0, "false")]), 2)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} \
+        == {(5, "v9")}
+
+
+def test_post_delete_isolated_replay_is_out_of_contract(spark, tmp_path):
+    """Pin the delivery contract (streaming/upsert.py module doc):
+    after a tombstone is APPLIED and rewritten away, an ISOLATED
+    replay of a pre-tombstone version resurrects the key — exactly
+    Hudi's hard-delete property (the index entry is gone, the replay
+    reads as an insert). Kafka keyed-topic suffix replay cannot
+    produce this pattern; the test exists so the behavior is a
+    documented decision, not an accident. A suffix-faithful replay
+    (old version + the tombstone) must reconverge to deleted."""
+    t = UpsertTable(path=str(tmp_path / "t"), key_cols=["id"],
+                    ordering_col="ts", tiebreak_col="seq",
+                    partition_by="part")
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 0)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 1, "true")]), 1)
+    assert t.read(spark).count() == 0          # hard-deleted
+    # OUT OF CONTRACT: isolated pre-tombstone replay -> resurrection
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 2)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} \
+        == {(1, "v1")}
+    # IN CONTRACT: suffix replay (old version WITH the tombstone)
+    # reconverges to deleted
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                 (1, "a", "v1", 20, 1, "true")]), 3)
+    assert t.read(spark).count() == 0
