@@ -148,6 +148,78 @@ def _optimized_section(extended_plan: str) -> str:
     return body.split("== Physical Plan ==", 1)[0]
 
 
+def _physical_section(extended_plan: str) -> str:
+    return extended_plan.split("== Physical Plan ==", 1)[-1]
+
+
+#: bounded-by-construction BUILD sides for a whitelisted
+#: BroadcastNestedLoopJoin (the structural twin of
+#: BOUNDED_WINDOW_WITNESS): a one-row global aggregate, a top-k, or a
+#: reuse of an exchange that was itself gated. Queries whose build
+#: side is a declared FIXED-RATE PROBE SAMPLE add their sampling
+#: predicate explicitly below.
+_BNLJ_BOUNDED_BUILD = (r"HashAggregate\(keys=\[\]"
+                       r"|SortAggregate\(key=\[\]"
+                       r"|TakeOrderedAndProject\(limit=\d+"
+                       r"|GlobalLimit"
+                       r"|ReusedExchange"
+                       # literal Range (xcorr_lags' 7-row lag frame):
+                       # bounds are plan constants
+                       r"|Range \(\d+, \d+, step="
+                       # driver-constructed local relation (the Lloyd-
+                       # trained K-row centroid frames): bounded by
+                       # construction — an unbounded corpus cannot
+                       # reach ExistingRDD without a collect, which the
+                       # toPandas/collect AST gates already ban
+                       r"|Scan ExistingRDD")
+
+#: per-query EXTRA accepted build shapes: the modulus probe samples
+#: (a fixed 1-in-N key sample, constant fan-out by construction) and
+#: small trained/reference frames. Each regex was verified against
+#: the actual plan to match the documented bounded construction.
+_BNLJ_PROBE_BUILDS = {
+    "fuzzy_match": r"% 100\)",          # 1% probe list (queries.py)
+    "knn_classify": r"% \d+\)",         # labeled-sample modulus split
+    "similar_vectors": r"% \d+\)",      # probe vectors: key % N = 0
+    "ann_topk": r"% \d+\)",
+    "multimodal_embed_ann": r"% \d+\)",
+    "ivf_topk": r"% \d+\)",             # probes + K-means cells
+    "ivf_kmeans_topk": r"% \d+\)",
+    # kmv_set_ops: each sketch side is the K minimum hashes per group
+    # (row_number <= 64 rank filter) — K rows by construction
+    "kmv_set_ops": r"Filter \(rk#\d+ <= \d+\)",
+}
+
+
+def _bnlj_build_subtrees(physical: str):
+    """Yield the build-side (BroadcastExchange) subtree text for every
+    BroadcastNestedLoopJoin node in a physical-plan tree string."""
+    lines = physical.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        d0 = _node_depth(line)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if not nxt.strip() or _node_depth(nxt) <= d0:
+                break
+            sub.append(nxt)
+        # build side = shallowest BroadcastExchange/ReusedExchange
+        # inside this BNLJ's subtree
+        cand = [(j, _node_depth(ln)) for j, ln in enumerate(sub)
+                if "BroadcastExchange" in ln or "ReusedExchange" in ln]
+        if not cand:
+            yield line, "\n".join(sub)
+            continue
+        j0, dj = min(cand, key=lambda t: t[1])
+        build = [sub[j0]]
+        for nxt in sub[j0 + 1:]:
+            if _node_depth(nxt) <= dj:
+                break
+            build.append(nxt)
+        yield line, "\n".join(build)
+
+
 def _node_depth(line: str) -> int:
     """Tree depth of a plan line = start of its LAST branch marker
     (``+- `` / ``:- ``); -1 for the root line."""
@@ -223,6 +295,57 @@ def test_whitelisted_windows_have_bounded_input(spark, sf_small, name):
             (f"{name}: empty-partition window without bounded-input "
              f"witness {witness!r}:\n{line.strip()[:200]}\nsubtree:\n"
              + subtree[:2000])
+
+
+@pytest.mark.parametrize("name", sorted(set(BNLJ_ALLOWED) & set(ALL)
+                                        - SKIP))
+def test_whitelisted_bnlj_build_side_is_bounded(spark, sf_small, name):
+    """A whitelisted nested-loop join is only legal when its BUILD
+    (broadcast) side is bounded BY CONSTRUCTION — a one-row global
+    aggregate (scalar-subquery plans), a top-k, or the query's
+    declared fixed-rate probe sample. Assert it structurally on every
+    BroadcastNestedLoopJoin's build subtree, so a whitelisted query
+    that drifts into broadcasting an unbounded corpus side fails here
+    instead of riding the whitelist."""
+    import re
+    physical = _physical_section(_plan(spark, name, sf_small))
+    witness = _BNLJ_BOUNDED_BUILD
+    extra = _BNLJ_PROBE_BUILDS.get(name)
+    if extra:
+        witness = witness + "|" + extra
+    joins = list(_bnlj_build_subtrees(physical))
+    # zero BNLJ nodes is fine (plan improved); every one present must
+    # carry a bounded-build witness
+    for line, build in joins:
+        assert re.search(witness, build), \
+            (f"{name}: nested-loop build side without bounded-input "
+             f"witness:\n{line.strip()[:200]}\nbuild subtree:\n"
+             + build[:2000])
+
+
+def test_bnlj_witness_detects_drift():
+    """Negative control: a nested-loop join whose build side is a bare
+    corpus scan (the drift the whitelist used to mask) must yield a
+    build subtree with NO bounded-construction witness."""
+    import re
+    fake = (
+        "BroadcastNestedLoopJoin BuildRight, Cross\n"
+        ":- FileScan parquet [a#1L]\n"
+        "+- BroadcastExchange IdentityBroadcastMode, [plan_id=1]\n"
+        "   +- Project [b#2L]\n"
+        "      +- FileScan parquet [b#2L] Batched: true")
+    (line, build), = _bnlj_build_subtrees(fake)
+    assert "BroadcastExchange" in build
+    assert not re.search(_BNLJ_BOUNDED_BUILD, build)
+    # and the one-row-aggregate shape IS accepted
+    good = (
+        "BroadcastNestedLoopJoin BuildRight, Cross\n"
+        ":- FileScan parquet [a#1L]\n"
+        "+- BroadcastExchange IdentityBroadcastMode, [plan_id=2]\n"
+        "   +- HashAggregate(keys=[], functions=[max(d#3L)])\n"
+        "      +- FileScan parquet [d#3L]")
+    (_, build2), = _bnlj_build_subtrees(good)
+    assert re.search(_BNLJ_BOUNDED_BUILD, build2)
 
 
 def test_bounded_window_witness_detects_drift():
