@@ -282,10 +282,29 @@ def _ts_fields(schema: T.StructType) -> list[str]:
 
 
 def _as_wire_types(df: DataFrame, use: list[str]) -> list[Column]:
-    """Timestamp columns → epoch-ms longs (tz-exact); others pass."""
+    """Timestamp columns → epoch-ms longs (tz-exact); LONG columns →
+    decimal(20,0); others pass.
+
+    The decimal carrier is load-bearing, not cosmetic: Spark's
+    Arrow→pandas conversion renders a nullable BIGINT batch that
+    actually contains a null as float64 (pandas int64 can't hold
+    NaN), silently rounding values above 2^53 BEFORE the encoder
+    sees them — measured: 4506221015505416675 arrived as …704 when a
+    null shared its Arrow batch. decimal(20,0) crosses as
+    object(Decimal) with None for null — lossless at any magnitude —
+    and the per-field int() in the encoder accepts it unchanged."""
     ts = set(_ts_fields(df.schema))
-    return [F.unix_millis(c).alias(c) if c in ts else F.col(c)
-            for c in use]
+    longs = {f.name for f in df.schema.fields
+             if isinstance(f.dataType, T.LongType)}
+    cols = []
+    for c in use:
+        if c in ts:
+            cols.append(F.unix_millis(c).alias(c))
+        elif c in longs:
+            cols.append(F.col(c).cast("decimal(20,0)").alias(c))
+        else:
+            cols.append(F.col(c))
+    return cols
 
 
 def to_avro_column(df: DataFrame, avro_json: str,

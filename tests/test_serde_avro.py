@@ -217,3 +217,149 @@ def test_avro_mixed_schema_directory_resolves(spark, tmp_path):
     got = sorted(map(tuple, back.collect()))
     assert got == [(1, 1.5, "legacy"), (2, 2.25, "legacy"),
                    (3, 3.125, "api")]
+
+
+def test_schema_resolution_randomized_evolutions():
+    """Fuzz the Avro schema-resolution matrix (deterministic seeds):
+    random writer schemas (mixed primitives, nullable unions in BOTH
+    branch orders — the round-6 bug class), random rows, and a reader
+    derived by randomly DROPPING writer fields, ADDING defaulted
+    fields, and applying legal promotions (int→long, int→double,
+    long→double, string↔bytes). Writer-encoded blocks must decode
+    into exactly the reader's shape with promoted values and applied
+    defaults."""
+    import json
+    import random
+
+    import pandas as pd
+
+    from kafka_connect_msk_demo_spark.serde import (
+        avro_decode_block_resolved, avro_encode_rows)
+
+    PRIMS = ["int", "long", "double", "string", "boolean", "bytes"]
+    PROMOS = {"int": ["long", "double"], "long": ["double"],
+              "string": ["bytes"], "bytes": ["string"]}
+
+    def rand_value(rng, typ):
+        return {
+            "int": lambda: rng.randrange(-2**31, 2**31),
+            "long": lambda: rng.randrange(-2**62, 2**62),
+            "double": lambda: rng.choice(
+                [0.0, -1.5, 3.25, 1e300, -2.5e-10, 12345.678125]),
+            "string": lambda: "".join(
+                rng.choices("abcXYZ äöü 日本語 🎈", k=rng.randrange(0, 9))),
+            "boolean": lambda: rng.random() < 0.5,
+            "bytes": lambda: bytes(rng.randrange(256)
+                                   for _ in range(rng.randrange(0, 6))),
+        }[typ]()
+
+    def promote(val, w, r):
+        if val is None or w == r:
+            return val
+        if r == "double":
+            return float(val)
+        if r == "long":
+            return val
+        if r == "bytes":
+            return val.encode("utf-8")
+        if r == "string":
+            return val.decode("utf-8")
+        raise AssertionError((w, r))
+
+    for seed in range(25):
+        rng = random.Random(424200 + seed)
+        n_fields = rng.randrange(1, 7)
+        w_fields = []
+        for i in range(n_fields):
+            typ = rng.choice(PRIMS)
+            nullable = rng.random() < 0.4
+            null_first = rng.random() < 0.5   # both branch orders
+            w_fields.append((f"f{i}", typ, nullable, null_first))
+        writer = {"type": "record", "name": "W", "fields": [
+            {"name": n,
+             "type": (["null", t] if nf else [t, "null"])
+             if nu else t}
+            for n, t, nu, nf in w_fields]}
+
+        # reader: keep/promote a subset, add defaulted extras
+        r_fields, expect_cols = [], {}
+        kept = []
+        for n, t, nu, nf in w_fields:
+            if rng.random() < 0.25:
+                continue                      # writer-only: skipped
+            r_t = rng.choice([t] + PROMOS.get(t, [])) \
+                if not nu else t              # promote plain fields
+            r_fields.append(
+                {"name": n,
+                 "type": (["null", t] if nf else [t, "null"])
+                 if nu else r_t})
+            kept.append((n, t, r_t if not nu else t))
+        for j in range(rng.randrange(0, 3)):  # reader-only w/ default
+            dt = rng.choice(["int", "string", "boolean"])
+            dv = {"int": 7, "string": "dflt", "boolean": True}[dt]
+            r_fields.append({"name": f"new{j}", "type": dt,
+                             "default": dv})
+            expect_cols[f"new{j}"] = dv
+        if not r_fields:
+            continue
+        reader = {"type": "record", "name": "W", "fields": r_fields}
+
+        n_rows = rng.randrange(1, 6)
+        # bytes -> string promotion presumes UTF-8 payloads (Avro spec:
+        # string IS utf-8 bytes); generate such fields as encodings
+        promo_to_string = {n for n, w_t, r_t in kept
+                           if w_t == "bytes" and r_t == "string"}
+        rows = {}
+        for n, t, nu, nf in w_fields:
+            def gen(n=n, t=t):
+                if n in promo_to_string:
+                    return rand_value(rng, "string").encode("utf-8")
+                return rand_value(rng, t)
+            rows[n] = [None if (nu and rng.random() < 0.3)
+                       else gen() for _ in range(n_rows)]
+        # object dtype mirrors the engine's wire boundary: the decimal
+        # carrier (serde._as_wire_types) delivers nullable longs as
+        # object(Decimal/None) — a raw pd.DataFrame(list-with-None)
+        # would float64-coerce and corrupt >2^53 longs (the exact bug
+        # the carrier exists to prevent)
+        pdf = pd.DataFrame({k: pd.Series(v, dtype=object)
+                            for k, v in rows.items()})
+        blobs = avro_encode_rows(pdf, json.dumps(writer))
+        body = b"".join(blobs)
+
+        got = avro_decode_block_resolved(body, n_rows,
+                                         json.dumps(writer),
+                                         json.dumps(reader))
+        assert list(got.columns) == [f["name"] for f in r_fields], seed
+        for n, w_t, r_t in kept:
+            want = [promote(v, w_t, r_t) for v in rows[n]]
+            assert list(got[n]) == want, (seed, n, w_t, r_t,
+                                          list(got[n]), want)
+        for n, dv in expect_cols.items():
+            assert list(got[n]) == [dv] * n_rows, (seed, n)
+
+
+def test_nullable_long_roundtrip_exact_beyond_2p53(spark):
+    """Regression (r7 fuzz find): a nullable BIGINT whose Arrow batch
+    also contains a null used to cross the pandas-UDF boundary as
+    float64, silently rounding values above 2^53 before encoding
+    (4506221015505416675 arrived as …704). The decimal(20,0) wire
+    carrier must keep the round-trip exact at any magnitude —
+    coalesce(1) forces the null and the big values into ONE batch."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_msk_demo_spark.serde import (from_avro_column,
+                                                    to_avro_column)
+
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    big = 4506221015505416675
+    want = [big, None, big + 1, -2**62, 2**62, 0]
+    df = spark.createDataFrame([(v,) for v in want], schema).coalesce(1)
+    avro = json.dumps({"type": "record", "name": "r",
+                       "fields": [{"name": "k",
+                                   "type": ["long", "null"]}]})
+    enc = df.select(to_avro_column(df, avro).alias("value"))
+    back = from_avro_column(enc, avro, schema)
+    assert [r.k for r in back.collect()] == want
