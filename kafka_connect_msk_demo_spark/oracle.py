@@ -57,10 +57,12 @@ def _value_kind(series: pd.Series) -> str:
     but is insensitive to integer width.
 
     Object-dtype columns are classified from a SAMPLE of values (first
-    100 non-null), not just the first one — a mixed-kind column (e.g.
-    Decimal in row 0 but float later) previously evaded the gate while
-    still hash-mismatching on the driver. A genuinely mixed column
-    reports ``mixed(...)`` and only matches an identically-mixed
+    100 + last 100 non-null), not just the first one — a mixed-kind
+    column (e.g. Decimal in row 0 but float later) previously evaded
+    the gate while still hash-mismatching on the driver; sampling both
+    ends also catches kind drift that first appears late (a stray
+    float past row 100). A genuinely mixed column reports
+    ``mixed(...)`` and only matches an identically-mixed
     counterpart."""
     if pd.api.types.is_bool_dtype(series):
         return "bool"
@@ -73,7 +75,9 @@ def _value_kind(series: pd.Series) -> str:
     nn = series.dropna()
     if not len(nn):
         return "empty"
-    kinds = {_scalar_kind(v) for v in nn.head(100)}
+    sample = nn if len(nn) <= 200 else pd.concat(
+        [nn.head(100), nn.tail(100)])
+    kinds = {_scalar_kind(v) for v in sample}
     if len(kinds) > 1:
         return "mixed(" + ",".join(sorted(kinds)) + ")"
     return kinds.pop()

@@ -465,8 +465,11 @@ class MergeOnReadTable:
         for b in batches:
             fs.delete(jvm_path(f"{self.log_path}/{b}"), True)
         # refresh registered views: their lazy plans referenced the
-        # pre-compaction base files and the just-deleted log dirs
-        for name in self._view_names:
+        # pre-compaction base files and the just-deleted log dirs.
+        # Snapshot first — register_views re-adds each name to the
+        # live set, and mutating a set mid-iteration is only benign
+        # today because re-adding an existing element keeps the size.
+        for name in list(self._view_names):
             self.register_views(spark, name)
         return batches
 

@@ -107,3 +107,22 @@ def test_mixed_kind_column_no_longer_evades():
     same = _issues(pd.Series([Decimal("1.0"), 2.5], dtype="object"),
                    pd.Series([Decimal("1.0"), 2.5], dtype="object"))
     assert same == []
+
+
+def test_late_row_kind_drift_is_caught():
+    """ADVICE r7: a deviant kind whose first appearance is past row
+    100 used to evade the head(100)-only sample; the head+tail sample
+    catches it. A deviant buried mid-column in a >200-row series is
+    the documented residual blind spot — assert the boundary cases
+    around it explicitly."""
+    # deviant in the TAIL of a 500-row column → caught
+    vals = [Decimal("1.0")] * 499 + [2.5]
+    assert _value_kind(pd.Series(vals, dtype="object")) \
+        == "mixed(decimal,float)"
+    # deviant at row 150 of a 200-row column (<=200 → full scan) → caught
+    vals = [Decimal("1.0")] * 150 + [2.5] + [Decimal("1.0")] * 49
+    assert _value_kind(pd.Series(vals, dtype="object")) \
+        == "mixed(decimal,float)"
+    # pure column of any length stays a single kind
+    assert _value_kind(
+        pd.Series([Decimal("1.0")] * 500, dtype="object")) == "decimal"
