@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..arrow_guard import exact_longs
 from .textprep import doc_shingles, tokens
 
 # ---------------------------------------------------------------------------
@@ -217,6 +218,7 @@ def minhash_band_buckets(sh: DataFrame, num_hashes: int = 128,
                 continue
             vals, counts = _flat_base_hashes(pdf["s"], cache)
             ndocs = len(pdf)
+            ids = exact_longs(pdf["doc_id"], "doc_id")
             bhs = np.empty(ndocs * bands, dtype=np.int64)
             i = 0
             lo = 0
@@ -232,7 +234,7 @@ def minhash_band_buckets(sh: DataFrame, num_hashes: int = 128,
                                             signed=True)
                     i += 1
             yield pd.DataFrame({
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                "doc_id": np.repeat(ids.to_numpy(), bands),
                 "band": np.tile(np.arange(bands, dtype=np.int32), ndocs),
                 "bh": bhs})
 
@@ -359,7 +361,7 @@ def simhash(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                 fp_bits = (pm.sum(axis=0) > 0).astype(np.uint64)
                 fps[d] = (fp_bits << jbits).sum(dtype=np.uint64)
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
+                "doc_id": exact_longs(pdf["doc_id"], "doc_id"),
                 "simhash": fps.view(np.int64)})
 
     return sh.mapInPandas(kernel, "doc_id long, simhash long")
@@ -585,8 +587,9 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
                 sig = (base[:, None] * mult[None, :]
                        + add[None, :]).min(axis=0)
                 sigs.append(sig.astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
-                                "sig": sigs})
+            yield pd.DataFrame(
+                {"doc_id": exact_longs(pdf["doc_id"], "doc_id").to_numpy(),
+                 "sig": sigs})
 
     return sh.mapInPandas(kernel, "doc_id long, sig array<long>")
 

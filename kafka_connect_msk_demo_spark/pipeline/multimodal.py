@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..arrow_guard import exact_longs
+
 #: fake container header: 4-byte magic + 2×2-byte big-endian dimensions
 MAGIC = b"MM01"
 
@@ -55,9 +57,12 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text",
     expression (no Python)."""
     did = F.col("doc_id")
     dims = F.concat(
-        # width = doc_id % 256 in byte 5 (byte 4 zero), height likewise
+        # width = doc_id % 256 in byte 5 (byte 4 zero), height likewise.
+        # Reduce mod 256 BEFORE the ×7: (did % 256) * 7 % 256 is
+        # congruent to (did * 7) % 256 but cannot overflow — a 2^62
+        # doc_id times 7 trips ANSI ARITHMETIC_OVERFLOW.
         F.lit(bytes([0])), _byte(did % 256),
-        F.lit(bytes([0])), _byte((did * 7) % 256))
+        F.lit(bytes([0])), _byte((did % 256) * 7 % 256))
     return docs.withColumn(
         out, F.concat(F.lit(MAGIC), dims, F.encode(F.col(text_col), "UTF-8")))
 
@@ -78,7 +83,7 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             payloads = pdf[payload_col]
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                "doc_id": exact_longs(pdf[id_col], id_col),
                 "n_bytes": payloads.map(len).astype("int32"),
                 # md5 over the canonical UPPERCASE-hex encoding of the
                 # bytes (portable: SQL engines md5 only VARCHAR)
@@ -121,7 +126,8 @@ def frame_sample(df: DataFrame, frame_size: int = 64, every_n: int = 4,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, md5s, sizes = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(exact_longs(pdf[id_col], id_col),
+                                       pdf[payload_col]):
                 body = bytes(payload)[8:]
                 nframes = (len(body) + frame_size - 1) // frame_size
                 for j in range(0, nframes, every_n):
@@ -167,7 +173,8 @@ def resize_payload(df: DataFrame, out_w: int = 8, out_h: int = 8,
                 else:
                     sampled = b""
                 out.append(header + sampled)
-            yield pd.DataFrame({"doc_id": pdf[id_col],
+            yield pd.DataFrame({"doc_id": exact_longs(pdf[id_col],
+                                                       id_col),
                                 "payload": pd.Series(out, dtype=object)})
 
     return cols.mapInPandas(run, schema)
@@ -208,7 +215,8 @@ def embed_payload(df: DataFrame, dim: int = 64,
                     hexes.append(h)
                 raw = bytes.fromhex("".join(hexes))[:dim]
                 vecs.append([b / 127.5 - 1.0 for b in raw])
-            yield pd.DataFrame({"doc_id": pdf[id_col],
+            yield pd.DataFrame({"doc_id": exact_longs(pdf[id_col],
+                                                       id_col),
                                 "embedding": pd.Series(vecs, dtype=object)})
 
     return cols.mapInPandas(run, schema)

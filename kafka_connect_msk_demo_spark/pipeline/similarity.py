@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..arrow_guard import exact_longs
+
 # ---------------------------------------------------------------------------
 # Exact cosine
 # ---------------------------------------------------------------------------
@@ -132,7 +134,8 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     kernel on the sf0.1 sweep."""
     spark = vectors.sparkSession
     qpd = queries.select("q_id", "q_vec").toPandas()
-    q_ids = qpd["q_id"].to_numpy(np.int64)
+    q_ids = exact_longs(qpd["q_id"], "q_id",
+                        allow_null=False).to_numpy(np.int64)
     Qm = _np_stack(qpd["q_vec"])
     q_nrm = _np_seq_norm(Qm)
     bc = spark.sparkContext.broadcast((q_ids, Qm, q_nrm))
@@ -143,7 +146,8 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             if not len(pdf):
                 continue
             A = _np_stack(pdf["v"])
-            ida = pdf["vec_id"].to_numpy(np.int64)
+            ida = exact_longs(pdf["vec_id"], "vec_id",
+                              allow_null=False).to_numpy(np.int64)
             na = _np_seq_norm(A)
             acc = A[:, 0:1] * Q[:, 0][None, :]
             for j in range(1, A.shape[1]):
@@ -202,7 +206,8 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.45,
     v = vectors.select(F.col(id_col).alias("id"),
                        as_double(vec_col).alias("v"))
     build = v.toPandas()
-    ids_b = build["id"].to_numpy(np.int64)
+    ids_b = exact_longs(build["id"], "id",
+                        allow_null=False).to_numpy(np.int64)
     M = _np_stack(build["v"])
     nrm_b = _np_seq_norm(M)
     bc = spark.sparkContext.broadcast((ids_b, M, nrm_b))
@@ -213,7 +218,8 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.45,
             if not len(pdf):
                 continue
             A = _np_stack(pdf["v"])
-            ida = pdf["id"].to_numpy(np.int64)
+            ida = exact_longs(pdf["id"], "id",
+                              allow_null=False).to_numpy(np.int64)
             na = _np_seq_norm(A)
             acc = A[:, 0:1] * B[:, 0][None, :]
             for j in range(1, A.shape[1]):
@@ -285,8 +291,10 @@ def cosine_dup_pairs_blocked(vectors: DataFrame, threshold: float = 0.45,
                                  "d2": pd.Series(dtype="int64"),
                                  "cos": pd.Series(dtype="float64")})
         A, B = _np_stack(a["v"]), _np_stack(b["rv"])
-        ida = a["id"].to_numpy(np.int64)
-        idb = b["rid"].to_numpy(np.int64)
+        ida = exact_longs(a["id"], "id",
+                          allow_null=False).to_numpy(np.int64)
+        idb = exact_longs(b["rid"], "rid",
+                          allow_null=False).to_numpy(np.int64)
         na, nb = _np_seq_norm(A), _np_seq_norm(B)
         acc = A[:, 0:1] * B[:, 0][None, :]
         for j in range(1, A.shape[1]):
@@ -335,12 +343,16 @@ def lsh_buckets(df: DataFrame, vec_col: str, nbits: int, dim: int,
                  for f in df.schema.fields]
     out_schema = ", ".join(in_fields + ["tbl int", "bucket long"])
     cols = [f.name for f in df.schema.fields]
+    long_cols = [f.name for f in df.schema.fields
+                 if f.dataType.simpleString() == "bigint"]
     weights = (1 << np.arange(nbits, dtype=np.int64))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
+            for lc in long_cols:
+                exact_longs(pdf[lc], lc)
             V = _np_stack(pdf[vec_col])
             acc = V[:, 0:1] * planes[:, 0][None, :]
             for j in range(1, V.shape[1]):
@@ -428,8 +440,10 @@ def _rerank_topk(cand: DataFrame, k: int, dim: int) -> DataFrame:
             for j in range(1, A.shape[1]):
                 acc = acc + A[:, j] * B[:, j]
             cos = acc / (_np_seq_norm(A) * _np_seq_norm(B))
-            yield pd.DataFrame({"q_id": pdf["q_id"],
-                                "vec_id": pdf["vec_id"], "cos": cos})
+            yield pd.DataFrame(
+                {"q_id": exact_longs(pdf["q_id"], "q_id"),
+                 "vec_id": exact_longs(pdf["vec_id"], "vec_id"),
+                 "cos": cos})
 
     scored = (cand.select("q_id", "q_vec", "vec_id", "v")
               .mapInPandas(score, "q_id long, vec_id long, cos double"))

@@ -86,7 +86,16 @@ def _kmv_sketch(df: DataFrame, key_col: str, group_col: str,
     the distinct merge and the top-k window — shared by
     :func:`kmv_distinct` and :func:`kmv_set_ops` so the hash family
     and merge rule can never diverge between the two estimators."""
-    src = df.select(F.col(group_col), F.col(key_col))
+    # The key crosses to Python as its SPARK-CANONICAL string: a long
+    # key batch that carries a null would otherwise arrive float64
+    # (Arrow→pandas nullable-BIGINT hazard), so the same key would
+    # hash as "3" in one batch and "3.0" in another — splitting one
+    # logical key across two sketch slots — and keys ≥ 2^53 would
+    # round before hashing. long→string is exact at any magnitude,
+    # matches the oracles' CAST(key AS VARCHAR) rendering, and is a
+    # no-op for string keys.
+    src = df.select(F.col(group_col),
+                    F.col(key_col).cast("string").alias(key_col))
     partials = src.mapInPandas(
         _kmv_partial_kernel(key_col, group_col, k, salt),
         f"{group_col} string, h long")

@@ -65,7 +65,9 @@ def doc_shingles(df, id_col: str = "doc_id", text_col: str = "text",
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
 
     def kernel(pdfs):
+        from ..arrow_guard import exact_longs
         for pdf in pdfs:
+            ids = exact_longs(pdf["doc_id"], "doc_id")
             out_s = []
             for txt in pdf[text_col]:
                 toks = txt.strip(" ").lower().split(" ")
@@ -76,7 +78,7 @@ def doc_shingles(df, id_col: str = "doc_id", text_col: str = "text",
                 else:
                     sh = [" ".join(toks)]
                 out_s.append(sh)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+            yield pd.DataFrame({"doc_id": ids,
                                 "s": out_s})
 
     return src.mapInPandas(kernel, "doc_id long, s array<string>")

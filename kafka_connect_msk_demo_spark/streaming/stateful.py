@@ -22,6 +22,8 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
+
+from ..arrow_guard import exact_longs
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -132,7 +134,8 @@ def rolling_anomaly_stream(stream: DataFrame, lookback: int = 20,
             pdf = (pd.concat(chunks, ignore_index=True)
                    if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(["us", "event_id"])
-            for eid, vq in zip(pdf["event_id"], pdf["v_q"]):
+            for eid, vq in zip(exact_longs(pdf["event_id"], "event_id"),
+                               pdf["v_q"]):
                 vq = int(vq)
                 vals.append(vq)
                 if len(vals) > lookback:
@@ -198,8 +201,10 @@ def ewma_stream(stream: DataFrame, frame: int = 32, scale: int = 100,
             pdf = (pd.concat(chunks, ignore_index=True)
                    if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(["ts_us", "event_id"])
-            for us, eid, val, qv in zip(pdf["ts_us"], pdf["event_id"],
-                                        pdf["value"], pdf["q_v"]):
+            for us, eid, val, qv in zip(
+                    exact_longs(pdf["ts_us"], "ts_us"),
+                    exact_longs(pdf["event_id"], "event_id"),
+                    pdf["value"], pdf["q_v"]):
                 vals.append(int(qv))
                 if len(vals) > frame:
                     vals.pop(0)
@@ -266,6 +271,8 @@ def record_high_stream(stream: DataFrame,
         pdf = (pd.concat(chunks, ignore_index=True)
                if len(chunks) > 1 else chunks[0])
         pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        exact_longs(pdf["event_id"], "event_id")
+        exact_longs(pdf["ts_us"], "ts_us")
         prev = pdf["value"].cummax().shift(1)
         if cur is not None:
             prev = prev.fillna(cur).clip(lower=cur)

@@ -1,0 +1,443 @@
+"""Adversarial stress harness — the round-7 campaign as one command.
+
+The r7 report (tools/stress_r7_report.md) closed with: re-run the
+randomized-feed + hostile-session-config recipe after any upsert /
+serde / staging change. This makes that a command instead of prose.
+Seeds come from the CLI so the committed tests stay deterministic;
+every axis exits non-zero on the first divergence.
+
+    python tools/stress.py --axis cdc --seeds 7000-7019
+    python tools/stress.py --axis session --sf /root/testdata/sf0.001
+    python tools/stress.py --axis all          # full campaign, default seeds
+
+Axes (matching the r7 report rows):
+
+  cdc      randomized CDC feeds -> CoW == MoR _rt == post-compact _ro
+           == pure-Python latest-wins reference; random inline
+           compaction bounds; partitioned AND unpartitioned
+  jaccard  prefix-filtered == unfiltered exact Jaccard pairs at random
+           (threshold, k)
+  ranking  exact_global_rank/ntile vs a SQL window at random
+           (n, k, fan-out), skewed keys
+  chunks   stateful stream queries vs oracle at chunk counts 1/2/7
+  shuffle  registry queries vs oracle under hostile
+           spark.sql.shuffle.partitions (3 and 200)
+  session  hostile session configs (AQE off, ANSI off, Arrow toggled,
+           Asia/Kolkata) over the config-sensitive query subset
+  staging  N forked processes staging the same stream table
+           concurrently -> one winner, intact mtime order
+  avro     randomized write_avro/read_avro roundtrips: random
+           primitive schemas, nulls, >2^53 longs
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _parse_seeds(spec: str) -> list[int]:
+    if "-" in spec:
+        lo, hi = spec.split("-", 1)
+        return list(range(int(lo), int(hi) + 1))
+    return [int(s) for s in spec.split(",") if s]
+
+
+def _spark(name: str, **conf):
+    from pyspark.sql import SparkSession
+    b = (SparkSession.builder.master("local[8]").appName(name)
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false"))
+    for k, v in conf.items():
+        b = b.config(k.replace("__", "."), v)
+    s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _fresh_spark(name: str, **conf):
+    """Stop any live session first: hostile configs like timezone and
+    ANSI must apply from session construction."""
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    return _spark(name, **conf)
+
+
+def _check(spark, names, sf_dir) -> list[str]:
+    from kafka_connect_msk_demo_spark.oracle import check_query
+    from kafka_connect_msk_demo_spark.queries import ALL_QUERIES
+    bad = []
+    for n in names:
+        fn, sql = ALL_QUERIES[n]
+        if not sql:
+            continue
+        try:
+            issues = check_query(spark, n, fn, sql, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            issues = [f"exception: {exc!r:.200}"]
+        print(f"  {n}: {'ok' if not issues else issues}", flush=True)
+        if issues:
+            bad.append(n)
+    return bad
+
+
+# -- axes -----------------------------------------------------------------
+
+def axis_cdc(seeds: list[int]) -> int:
+    from test_mor import _batch, _mor, _random_feed, _reference_state
+
+    from kafka_connect_msk_demo_spark.streaming.upsert import UpsertTable
+    spark = _spark("stress-cdc")
+    fails = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        feed = _random_feed(rng, n_batches=rng.randrange(3, 7),
+                            n_keys=rng.randrange(4, 12))
+        bound = rng.choice([None, 1, 2, 3])
+        part = rng.choice(["part", None])
+        tmp = tempfile.mkdtemp(prefix=f"stress_cdc_{seed}_")
+        try:
+            cow = UpsertTable(path=os.path.join(tmp, "cow"),
+                              key_cols=["id"], ordering_col="ts",
+                              tiebreak_col="seq", partition_by=part)
+            mor = _mor(os.path.join(tmp, "mor"), partition_by=part)
+            if bound is not None:
+                mor.max_delta_commits = bound
+            for i, rows in enumerate(feed):
+                cow.merge_batch(_batch(spark, rows), i)
+                mor.append_batch(_batch(spark, rows), i)
+            ref = _reference_state(feed)
+            cols = ("id", "part", "val", "ts", "seq")
+            states = {
+                "CoW": {tuple(r) for r in
+                        cow.read(spark).select(*cols).collect()},
+                "MoR_rt": {tuple(r) for r in
+                           mor.read_realtime(spark).select(*cols)
+                           .collect()},
+            }
+            mor.compact(spark)
+            states["MoR_ro_postcompact"] = {
+                tuple(r) for r in
+                mor.read_optimized(spark).select(*cols).collect()}
+            bad = [k for k, v in states.items() if v != ref]
+            print(f"  seed {seed} (bound={bound}, part={part}): "
+                  f"{'ok' if not bad else 'DIVERGED ' + str(bad)}",
+                  flush=True)
+            fails += bool(bad)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return fails
+
+
+def axis_jaccard(seeds: list[int]) -> int:
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline.dedup import jaccard_pairs
+    spark = _spark("stress-jaccard")
+    docs = load_table(spark, SF_SMALL, "documents")
+    fails = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        t = rng.choice([0.5, 0.6, 0.7, 0.8, 0.9, 0.95])
+        k = rng.choice([2, 3])
+        on = {(r.d1, r.d2) for r in
+              jaccard_pairs(docs, t, k, prefix_filter=True).collect()}
+        off = {(r.d1, r.d2) for r in
+               jaccard_pairs(docs, t, k, prefix_filter=False).collect()}
+        ok = on == off
+        print(f"  seed {seed} (t={t}, k={k}): "
+              f"{'ok' if ok else f'DIVERGED |on|={len(on)} |off|={len(off)}'}",
+              flush=True)
+        fails += not ok
+    return fails
+
+
+def axis_ranking(seeds: list[int]) -> int:
+    from pyspark.sql import functions as F
+
+    from kafka_connect_msk_demo_spark.operators.ranking import (
+        exact_global_ntile, exact_global_rank)
+    spark = _spark("stress-ranking")
+    fails = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        n = rng.randrange(1, 1001)
+        k = rng.randrange(2, 101)
+        fan = rng.randrange(1, 65)
+        # skewed keys: 80% of rows land on 20% of the key space
+        rows = [(i, rng.randrange(10) if rng.random() < 0.8
+                 else rng.randrange(10, 1000)) for i in range(n)]
+        df = (spark.createDataFrame(rows, "id long, v long")
+              .repartition(fan))
+        got_rank = {(r.id, r.rk) for r in
+                    exact_global_rank(df, [F.col("v"), F.col("id")],
+                                      out_col="rk").collect()}
+        got_tile = {(r.id, r.tile) for r in
+                    exact_global_ntile(df, k, [F.col("v"), F.col("id")],
+                                       out_col="tile").collect()}
+        df.createOrReplaceTempView("t")
+        want_rank = {(r.id, r.rk) for r in spark.sql(
+            "SELECT id, row_number() OVER (ORDER BY v, id) AS rk FROM t"
+        ).collect()}
+        want_tile = {(r.id, r.tile) for r in spark.sql(
+            f"SELECT id, ntile({k}) OVER (ORDER BY v, id) AS tile FROM t"
+        ).collect()}
+        ok = got_rank == want_rank and got_tile == want_tile
+        print(f"  seed {seed} (n={n}, k={k}, fan={fan}): "
+              f"{'ok' if ok else 'DIVERGED'}", flush=True)
+        fails += not ok
+    return fails
+
+
+#: stream queries whose state logic the chunk-count axis must not
+#: depend on (micro-batch boundaries move with the chunk count)
+CHUNK_QUERIES = ["stream_sales_by_type", "stream_record_high",
+                 "stream_anomaly", "stream_ewma", "stream_topk_users",
+                 "stream_windowed_by_type"]
+
+
+def axis_chunks(counts: list[int]) -> int:
+    from kafka_connect_msk_demo_spark.queries import ALL_QUERIES
+    fails = 0
+    for c in counts:
+        os.environ["SPARK_GRAFT_STREAM_CHUNKS"] = str(c)
+        # catalog reads the env var at import; force re-read
+        import kafka_connect_msk_demo_spark.catalog as cat
+        cat.STREAM_CHUNKS = c
+        spark = _fresh_spark(f"stress-chunks-{c}")
+        print(f" chunk count {c}:", flush=True)
+        names = [n for n in CHUNK_QUERIES if n in ALL_QUERIES]
+        fails += len(_check(spark, names, SF_SMALL))
+    os.environ.pop("SPARK_GRAFT_STREAM_CHUNKS", None)
+    return fails
+
+
+#: partition-mechanics-sensitive subset for the hostile-shuffle axis
+#: (full-registry runs pass --all-queries)
+SHUFFLE_QUERIES = [
+    "limit_offset", "top25_formatted", "window_battery",
+    "dedup_minhash", "dedup_clusters", "sorted_neighborhood",
+    "embedding_dup_pairs", "interpolated_series", "exact_percentiles",
+    "stratified_sample", "revenue_by_region", "kcore_peel",
+    "triangle_count", "stream_record_high", "cdc_upsert_mor",
+]
+
+
+def axis_shuffle(all_queries: bool) -> int:
+    from kafka_connect_msk_demo_spark.queries import ALL_QUERIES
+    fails = 0
+    names = (list(ALL_QUERIES) if all_queries else
+             [n for n in SHUFFLE_QUERIES if n in ALL_QUERIES])
+    for parts in (3, 200):
+        spark = _fresh_spark(f"stress-shuffle-{parts}",
+                             spark__sql__shuffle__partitions=str(parts))
+        print(f" shuffle.partitions={parts}:", flush=True)
+        fails += len(_check(spark, names, SF_SMALL))
+    return fails
+
+
+#: config-sensitive subset: pandas-UDF/decimal-heavy, arithmetic-heavy,
+#: time-sensitive, join/iteration-heavy representatives
+SESSION_QUERIES = [
+    "sales_by_country_decimal", "avro_roundtrip", "serde_json_roundtrip",
+    "summary_stats", "exact_percentiles", "case_interval",
+    "windowed_sales", "time_formatted", "trailing_revenue",
+    "revenue_by_region", "dedup_clusters", "kcore_peel",
+    "embedding_dup_pairs", "kmv_set_ops", "stream_windowed_by_type",
+    "cdc_scd2", "asof_attribution",
+]
+
+SESSION_CONFIGS = [
+    ("aqe-off", {"spark__sql__adaptive__enabled": "false"}),
+    ("ansi-off", {"spark__sql__ansi__enabled": "false"}),
+    ("arrow-on", {"spark__sql__execution__arrow__pyspark__enabled":
+                  "true"}),
+    ("kolkata", {"spark__sql__session__timeZone": "Asia/Kolkata"}),
+]
+
+
+def axis_session() -> int:
+    from kafka_connect_msk_demo_spark.queries import ALL_QUERIES
+    names = [n for n in SESSION_QUERIES if n in ALL_QUERIES]
+    fails = 0
+    for label, conf in SESSION_CONFIGS:
+        spark = _fresh_spark(f"stress-{label}", **conf)
+        print(f" {label}:", flush=True)
+        fails += len(_check(spark, names, SF_SMALL))
+    return fails
+
+
+def axis_staging(n_procs: int = 4) -> int:
+    """Fork N processes that all stage the same stream table into the
+    same target; exactly one staged dir must result, chunks in
+    strictly-increasing mtime order."""
+    import subprocess
+    env = dict(os.environ)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from kafka_connect_msk_demo_spark.catalog import _stream_dir; "
+        "d = _stream_dir(%r, 'events'); print(d)"
+        % (ROOT, SF_SMALL))
+    # clear any pre-staged dir so every fork races the real work
+    import kafka_connect_msk_demo_spark.catalog as cat
+    probe = cat._stream_dir(SF_SMALL, "events")
+    shutil.rmtree(probe, ignore_errors=True)
+    procs = [subprocess.Popen([sys.executable, "-c", code], env=env,
+                              stdout=subprocess.PIPE)
+             for _ in range(n_procs)]
+    outs = [p.communicate()[0].decode().strip() for p in procs]
+    codes = [p.returncode for p in procs]
+    dirs = set(outs)
+    ok = all(c == 0 for c in codes) and len(dirs) == 1
+    if ok:
+        d = dirs.pop()
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        mtimes = [os.stat(os.path.join(d, f)).st_mtime_ns for f in files]
+        ok = mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+        print(f"  {n_procs} forks -> 1 dir, {len(files)} chunks, "
+              f"mtime order {'ok' if ok else 'BROKEN'}", flush=True)
+    else:
+        print(f"  FAILED: exit codes {codes}, dirs {dirs}", flush=True)
+    return 0 if ok else 1
+
+
+AVRO_TYPES = ["long", "int", "double", "string", "boolean"]
+
+
+def axis_avro(seeds: list[int]) -> int:
+    import pandas as pd
+
+    from kafka_connect_msk_demo_spark.sources.files import (
+        read_avro, write_avro)
+    spark = _spark("stress-avro")
+    fails = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        nfields = rng.randrange(1, 6)
+        fields, sparkf = [], []
+        for i in range(nfields):
+            t = rng.choice(AVRO_TYPES)
+            fields.append({"name": f"f{i}",
+                           "type": ["null", t] if rng.random() < 0.5
+                           else t})
+            sparkf.append(
+                f"f{i} {'bigint' if t == 'long' else t}"
+                .replace("boolean", "boolean").replace("double", "double"))
+        avro_json = __import__("json").dumps(
+            {"type": "record", "name": "R", "fields": fields})
+        nrows = rng.randrange(1, 40)
+
+        def val(t, nullable, rng=rng):
+            if nullable and rng.random() < 0.3:
+                return None
+            if t == "long":
+                # bias to the hazardous magnitudes
+                return rng.choice([rng.randrange(-100, 100),
+                                   2 ** 62 + rng.randrange(100),
+                                   -(2 ** 62) - rng.randrange(100)])
+            if t == "int":
+                return rng.randrange(-2 ** 31, 2 ** 31)
+            if t == "double":
+                return rng.uniform(-1e6, 1e6)
+            if t == "string":
+                return "".join(rng.choice("abcxyz")
+                               for _ in range(rng.randrange(0, 9)))
+            return rng.random() < 0.5
+        rows = [tuple(val(f["type"][-1] if isinstance(f["type"], list)
+                          else f["type"],
+                          isinstance(f["type"], list))
+                      for f in fields) for _ in range(nrows)]
+        from pyspark.sql import types as T
+        _map = {"long": T.LongType(), "int": T.IntegerType(),
+                "double": T.DoubleType(), "string": T.StringType(),
+                "boolean": T.BooleanType()}
+        schema = T.StructType([
+            T.StructField(f["name"],
+                          _map[f["type"][-1] if isinstance(f["type"], list)
+                               else f["type"]],
+                          isinstance(f["type"], list))
+            for f in fields])
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = tempfile.mkdtemp(prefix=f"stress_avro_{seed}_")
+        try:
+            write_avro(df, os.path.join(tmp, "out"), avro_json)
+            back = read_avro(spark, os.path.join(tmp, "out"), avro_json,
+                             schema)
+            want = sorted(map(tuple, rows),
+                          key=lambda r: tuple((x is None, x) for x in r))
+            got = sorted((tuple(r) for r in back.collect()),
+                         key=lambda r: tuple((x is None, x) for x in r))
+            # doubles compare exactly: the codec is bit-preserving
+            ok = want == got
+            print(f"  seed {seed} ({nfields} fields, {nrows} rows): "
+                  f"{'ok' if ok else 'DIVERGED'}", flush=True)
+            if not ok:
+                fails += 1
+                for w, g in zip(want, got):
+                    if w != g:
+                        print(f"    want {w}\n    got  {g}", flush=True)
+                        break
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return fails
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--axis", default="all",
+                    choices=["cdc", "jaccard", "ranking", "chunks",
+                             "shuffle", "session", "staging", "avro",
+                             "all"])
+    ap.add_argument("--seeds", default="7000-7019",
+                    help="range lo-hi or comma list (cdc/jaccard/"
+                         "ranking/avro axes)")
+    ap.add_argument("--chunk-counts", default="1,2,7")
+    ap.add_argument("--all-queries", action="store_true",
+                    help="shuffle axis: full registry instead of the "
+                         "sensitive subset")
+    ap.add_argument("--procs", type=int, default=4,
+                    help="staging axis: concurrent forks")
+    args = ap.parse_args()
+    seeds = _parse_seeds(args.seeds)
+    fails = 0
+    axes = ([args.axis] if args.axis != "all" else
+            ["cdc", "jaccard", "ranking", "chunks", "shuffle",
+             "session", "staging", "avro"])
+    for axis in axes:
+        print(f"axis: {axis}", flush=True)
+        if axis == "cdc":
+            fails += axis_cdc(seeds)
+        elif axis == "jaccard":
+            fails += axis_jaccard(seeds[:6])
+        elif axis == "ranking":
+            fails += axis_ranking(seeds[:8])
+        elif axis == "chunks":
+            fails += axis_chunks(
+                [int(c) for c in args.chunk_counts.split(",")])
+        elif axis == "shuffle":
+            fails += axis_shuffle(args.all_queries)
+        elif axis == "session":
+            fails += axis_session()
+        elif axis == "staging":
+            fails += axis_staging(args.procs)
+        elif axis == "avro":
+            fails += axis_avro(seeds[:25])
+    print(f"stress: {'CLEAN' if not fails else f'{fails} FAILURES'}",
+          flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
