@@ -29,6 +29,12 @@ together with every later event for that key, tombstone included, so
 the fold reconverges. Feeds that violate per-key suffix-replay order
 are outside the contract (pinned by
 tests/test_mor.py::test_post_delete_isolated_replay_is_out_of_contract).
+For feeds that CANNOT guarantee suffix replay, ``UpsertTable(...,
+retain_tombstones=N)`` opts into Hudi's soft-delete pattern: applied
+deletes stay stored as tombstone rows for N further batches (never
+surfacing on ``read()``), so an isolated pre-tombstone replay within
+the window re-loses to the tombstone instead of resurrecting
+(tests/test_upsert.py::test_retain_tombstones_blocks_resurrection).
 
 Physical strategy (scale notes)
 -------------------------------
@@ -68,15 +74,31 @@ class UpsertTable:
     """Primary-keyed, partitioned, time-ordered parquet table with
     latest-wins MERGE (W5)."""
 
+    #: internal column stamping the batch_id at which a retained
+    #: tombstone was applied (retain_tombstones mode only)
+    TOMB_COL = "__tomb_since"
+
     def __init__(self, path: str, key_cols: list[str], ordering_col: str,
                  tiebreak_col: str, partition_by: str | None = None,
-                 deleted_col: str = "__deleted") -> None:
+                 deleted_col: str = "__deleted",
+                 retain_tombstones: int | None = None) -> None:
+        """``retain_tombstones=N`` keeps an applied delete as a stored
+        tombstone row for N further merge batches (Hudi's soft-delete
+        pattern) instead of removing the key without trace: an
+        ISOLATED replay of a pre-tombstone version within the
+        retention window meets the stored tombstone and latest-wins
+        keeps the delete — no resurrection. The default (``None``)
+        preserves exact Hudi hard-delete parity: the documented
+        delivery contract (suffix replay) needs no retention, and the
+        table stores only live rows. Retention must be chosen at
+        table creation and kept consistent across its lifetime."""
         self.path = path
         self.key_cols = key_cols
         self.ordering_col = ordering_col
         self.tiebreak_col = tiebreak_col
         self.partition_by = partition_by
         self.deleted_col = deleted_col
+        self.retain_tombstones = retain_tombstones
 
     # -- helpers ----------------------------------------------------------
 
@@ -137,16 +159,28 @@ class UpsertTable:
         return df.filter(
             ~F.coalesce(F.col(self.deleted_col) == "true", F.lit(False)))
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Read the merged table. A table whose current state is EMPTY
-        (every key deleted) has no parquet footers under a partitioned
-        layout — the schema marker written alongside every partitioned
-        write makes it read as a 0-row frame instead of erroring."""
+    def _read_stored(self, spark: SparkSession) -> DataFrame:
+        """The stored state verbatim — includes retained tombstone
+        rows when ``retain_tombstones`` is set. A table whose current
+        state is EMPTY (every key deleted) has no parquet footers
+        under a partitioned layout — the schema marker written
+        alongside every partitioned write makes it read as a 0-row
+        frame instead of erroring."""
         if not self._exists(spark):
             schema = self._read_schema_marker(spark)
             if schema is not None:
                 return spark.createDataFrame([], schema)
         return spark.read.parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read the merged table (live rows; retained tombstones and
+        the internal stamp column never surface)."""
+        stored = self._read_stored(spark)
+        if self.retain_tombstones is None:
+            return stored
+        out = self._live(stored)
+        return out.drop(self.TOMB_COL) if self.TOMB_COL in out.columns \
+            else out
 
     def _latest_wins(self, df: DataFrame) -> DataFrame:
         ordering = F.struct(F.col(self.ordering_col),
@@ -156,6 +190,30 @@ class UpsertTable:
                 .agg(*[F.max_by(c, ordering).alias(c) for c in others])
                 .select(*df.columns))
 
+    def _merged_state(self, merged: DataFrame,
+                      batch_id: int) -> DataFrame:
+        """Rows to STORE after a merge: live rows, plus — when
+        ``retain_tombstones=N`` — applied tombstones stamped with the
+        batch that applied them and purged once ``N`` further batches
+        have merged. Hard-delete mode (None) stores live rows only."""
+        if self.retain_tombstones is None:
+            return self._live(merged)
+        dead = F.coalesce(F.col(self.deleted_col) == "true", F.lit(False))
+        stamped = merged.withColumn(
+            self.TOMB_COL,
+            F.when(~dead, F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col(self.TOMB_COL),
+                                  F.lit(batch_id).cast("long"))))
+        return stamped.filter(
+            (~dead) | (F.lit(batch_id) - F.col(self.TOMB_COL)
+                       < F.lit(self.retain_tombstones)))
+
+    def _with_tomb(self, df: DataFrame) -> DataFrame:
+        """Ensure the internal stamp column exists (retention mode)."""
+        if self.TOMB_COL in df.columns:
+            return df
+        return df.withColumn(self.TOMB_COL, F.lit(None).cast("long"))
+
     # -- the MERGE --------------------------------------------------------
 
     def merge_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
@@ -163,9 +221,16 @@ class UpsertTable:
         (must carry key, ordering, tiebreak and deleted columns)."""
         spark = batch.sparkSession
         incoming = self._latest_wins(batch)
+        retain = self.retain_tombstones is not None
+        if retain:
+            incoming = self._with_tomb(incoming)
 
         if self._exists(spark):
-            base = self.read(spark).select(*batch.columns)
+            cols = list(batch.columns) + ([self.TOMB_COL] if retain
+                                          else [])
+            base = self._with_tomb(self._read_stored(spark)) if retain \
+                else self._read_stored(spark)
+            base = base.select(*cols)
             if self.partition_by:
                 # Affected partitions: where incoming rows land ∪ where
                 # existing versions of the incoming keys currently live
@@ -180,8 +245,9 @@ class UpsertTable:
                          .select(self.partition_by).distinct().collect())
                 parts = sorted({*in_parts, *[r[0] for r in moved]})
                 affected = base.filter(F.col(self.partition_by).isin(parts))
-                live = self._live(
-                    self._latest_wins(affected.unionByName(incoming)))
+                live = self._merged_state(
+                    self._latest_wins(affected.unionByName(incoming)),
+                    batch_id)
                 # Dynamic overwrite only rewrites partitions present in
                 # the written frame: a partition fully vacated by deletes
                 # or key moves keeps its stale files and must be dropped
@@ -208,8 +274,8 @@ class UpsertTable:
                 # to a sibling temp dir, then swap via FS rename (atomic
                 # on HDFS; copy-rename on S3A — a versioned-dir layout is
                 # the production alternative there).
-                live = self._live(self._latest_wins(
-                    base.unionByName(incoming)))
+                live = self._merged_state(self._latest_wins(
+                    base.unionByName(incoming)), batch_id)
                 tmp = f"{self.path.rstrip('/')}__tmp_{batch_id}"
                 live.write.mode("overwrite").parquet(tmp)
                 fs, jpath = _hadoop_fs(spark, self.path)
@@ -217,7 +283,7 @@ class UpsertTable:
                 fs.delete(jpath, True)
                 fs.rename(jvm_path(tmp), jpath)
         else:
-            live = self._live(incoming)
+            live = self._merged_state(incoming, batch_id)
             writer = live.write.mode("overwrite")
             if self.partition_by:
                 writer = writer.partitionBy(self.partition_by)

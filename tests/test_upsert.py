@@ -73,3 +73,81 @@ def test_latest_wins_tiebreak(spark, tmp_path):
     t.merge_batch(_batch(spark, [(1, "a", "lo", 10, 1, "false"),
                                  (1, "a", "hi", 10, 2, "false")]), 0)
     assert [r.val for r in t.read(spark).collect()] == ["hi"]
+
+
+# -- retain_tombstones (Hudi soft-delete pattern) ---------------------------
+
+def _retaining(path, n, partition_by=None):
+    return UpsertTable(path=str(path), key_cols=["id"], ordering_col="ts",
+                       tiebreak_col="seq", partition_by=partition_by,
+                       retain_tombstones=n)
+
+
+@pytest.mark.parametrize("part", [None, "part"])
+def test_isolated_replay_resurrects_without_retention(spark, tmp_path,
+                                                      part):
+    """The documented hard-delete parity default: an isolated replay
+    of a pre-tombstone version after the delete was applied
+    resurrects the key (out-of-contract feed, Hudi-equivalent)."""
+    t = _table(tmp_path / "t", partition_by=part)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 0)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true")]), 1)
+    assert t.read(spark).count() == 0
+    # isolated replay: the old version WITHOUT its later tombstone
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 2)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {(1, "v1")}
+
+
+@pytest.mark.parametrize("part", [None, "part"])
+def test_retain_tombstones_blocks_resurrection(spark, tmp_path, part):
+    t = _retaining(tmp_path / "t", 10, partition_by=part)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                 (2, "b", "w1", 10, 0, "false")]), 0)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true")]), 1)
+    got = t.read(spark)
+    # the tombstone and the stamp column never surface on read()
+    assert {(r.id, r.val) for r in got.collect()} == {(2, "w1")}
+    assert UpsertTable.TOMB_COL not in got.columns
+    # isolated replay within the retention window: latest-wins meets
+    # the RETAINED tombstone -> the delete holds
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 2)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {(2, "w1")}
+    # and a genuinely NEWER insert of the key still lands
+    t.merge_batch(_batch(spark, [(1, "a", "v9", 30, 0, "false")]), 3)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} \
+        == {(1, "v9"), (2, "w1")}
+
+
+def test_retention_window_purges_after_n_batches(spark, tmp_path):
+    """retain_tombstones=1: the tombstone row is physically purged one
+    merge after it was applied — and past the window the table is
+    back to hard-delete behavior for isolated replays (the bound is
+    the contract, not forever-retention)."""
+    t = _retaining(tmp_path / "t", 1)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                 (2, "a", "w1", 10, 0, "false")]), 0)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true")]), 1)
+    stored = {r.id for r in spark.read.parquet(str(tmp_path / "t"))
+              .collect()}
+    assert stored == {1, 2}  # tombstone row 1 still stored
+    # next merge (unrelated key) purges the aged tombstone
+    t.merge_batch(_batch(spark, [(2, "a", "w2", 30, 0, "false")]), 2)
+    stored = {r.id for r in spark.read.parquet(str(tmp_path / "t"))
+              .collect()}
+    assert stored == {2}
+    # past the window an isolated replay resurrects again (documented)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 3)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} \
+        == {(1, "v1"), (2, "w2")}
+
+
+def test_retention_all_deletes_first_batch(spark, tmp_path):
+    """First-ever batch resolving entirely to tombstones: retention
+    mode stores the tombstone rows (unlike hard-delete mode's empty
+    write) and read() still shows an empty table."""
+    t = _retaining(tmp_path / "t", 5, partition_by="part")
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "true")]), 0)
+    assert t.read(spark).count() == 0
+    # the replayed pre-tombstone version does not resurrect
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 5, 0, "false")]), 1)
+    assert t.read(spark).count() == 0
