@@ -201,3 +201,28 @@ def test_exact_longs_unit():
     assert exact_longs(s_small, "c") is s_small
     with pytest.raises(ValueError, match="2\\*\\*53"):
         exact_longs(pd.Series([float(BIG), None]), "c")
+
+
+def test_oracle_compare_path_renders_longs_identically(spark):
+    """The correctness gate's own boundary (VERDICT r7 ask #2): the
+    driver compares Spark ``toPandas`` (non-Arrow fallback) against
+    DuckDB ``fetchdf``. Non-null long columns cross BOTH as exact
+    int64 at any magnitude; a null-bearing long column crosses BOTH
+    as float64 with IDENTICAL deterministic rounding — the gate stays
+    consistent (never reds one engine against the other on rendering)
+    though magnitudes >= 2^53 in a NULLABLE output column would
+    compare at reduced precision. No registry query emits such a
+    column (tools/audit_dtypes.py); this test pins the contract."""
+    import duckdb
+
+    sdf = spark.createDataFrame([(1,), (None,), (BIG,)], "x long") \
+        .toPandas()
+    ddf = duckdb.sql(
+        f"SELECT * FROM (VALUES (1), (NULL), ({BIG})) t(x)").fetchdf()
+    assert str(sdf["x"].dtype) == str(ddf["x"].dtype) == "float64"
+    assert sorted(sdf["x"].dropna()) == sorted(ddf["x"].dropna())
+    s2 = spark.createDataFrame([(1,), (BIG,)], "x long").toPandas()
+    d2 = duckdb.sql(f"SELECT * FROM (VALUES (1), ({BIG})) t(x)").fetchdf()
+    assert str(s2["x"].dtype) == str(d2["x"].dtype) == "int64"
+    assert list(s2["x"].sort_values()) == list(d2["x"].sort_values()) \
+        == [1, BIG]
