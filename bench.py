@@ -219,7 +219,7 @@ def run() -> None:
     # and keeps its number. Floor of 0.2 s on the prior: below that,
     # scheduling jitter alone doubles a timing.
     for name in [n for n, t in timings.items()
-                 if prior.get(name, 0.0) >= 0.2 and t > 2 * prior[name]]:
+                 if prior.get(n, 0.0) >= 0.2 and t > 2 * prior[n]]:
         print(f"bench: outlier re-measure {name} "
               f"({timings[name]}s vs prior {prior[name]}s)",
               file=sys.stderr, flush=True)
