@@ -218,6 +218,15 @@ def run() -> None:
     # same code) re-measure clean, while a real regression reproduces
     # and keeps its number. Floor of 0.2 s on the prior: below that,
     # scheduling jitter alone doubles a timing.
+    # Both numbers are persisted (``sweep_outliers`` in the output
+    # record) and the focused median replaces the sweep timing ONLY
+    # when it falls back under the 2x-of-prior threshold — i.e. the
+    # re-run proves the sweep number was pressure, not the query. A
+    # focused re-measure that is still >2x prior is a reproduced
+    # regression: the sweep number stands (the post-sweep re-run is
+    # incomparably warm — JIT + page cache — so its lower-but-still-
+    # regressed number must not soften a real finding).
+    sweep_outliers: dict[str, dict[str, float]] = {}
     for name in [n for n, t in timings.items()
                  if prior.get(n, 0.0) >= 0.2 and t > 2 * prior[n]]:
         print(f"bench: outlier re-measure {name} "
@@ -230,22 +239,46 @@ def run() -> None:
             samples.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
         re_med = round(statistics.median(samples), 3)
-        if re_med < timings[name]:
+        sweep_outliers[name] = {"sweep": timings[name], "focused": re_med,
+                                "prior": prior[name]}
+        if re_med <= 2 * prior[name]:
             print(f"bench: {name} {timings[name]} -> {re_med} "
                   f"(sweep-pressure outlier, focused median kept)",
                   file=sys.stderr, flush=True)
             timings[name] = re_med
+        else:
+            print(f"bench: {name} focused {re_med}s still >2x prior "
+                  f"{prior[name]}s — regression reproduced, sweep "
+                  f"number kept", file=sys.stderr, flush=True)
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # line 1: full per-query detail (larger than any tail capture)
-    print(json.dumps({
+    full_record = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sweep_outliers": sweep_outliers,
         "sf": sf_val,
-    }))
+    }
+    # Durable copy of the summary: a shell-redirect mistake on stdout
+    # (round 8 captured stderr only and lost the round's medians) can
+    # never again lose a sweep's numbers. Path override for per-round
+    # archives: SPARK_GRAFT_BENCH_JSON=tools/bench_r9_idle.json.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_JSON",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "bench_last.json"))
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full_record, fh, indent=1)
+        print(f"bench: summary JSON -> {out_path}",
+              file=sys.stderr, flush=True)
+    except OSError as exc:       # read-only checkout: keep stdout path
+        print(f"bench: could not write {out_path}: {exc}",
+              file=sys.stderr, flush=True)
+    # line 1: full per-query detail (larger than any tail capture)
+    print(json.dumps(full_record))
     # line 2 (LAST, short): the comparable headline number, guaranteed
     # to survive a fixed-size stdout tail capture
     print(json.dumps({

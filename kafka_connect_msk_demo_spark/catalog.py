@@ -381,24 +381,17 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     # whose lock was stolen unlinked the new owner's lock in finally).
     # The lock file itself is never removed. /tmp is local, so NFS
     # flock caveats don't apply.
-    # The lock lives under the shared /tmp tree: create it world-RW so
-    # a worker running as a different OS user waits on the flock
-    # instead of dying with EACCES at os.open. umask may still strip
-    # the group/other bits for the creator, so a reader that loses the
-    # permission race falls back to a per-uid lock path — same-uid
-    # workers (the only writers that can actually collide on the
-    # staged dir, which is itself created by one uid) still serialize.
+    # The lock path is PER-UID and 0o600 (ADVICE r8): only same-uid
+    # workers can actually collide on the staged dir (it is created by
+    # one uid; a foreign uid's write fails at makedirs regardless), so
+    # a shared world-writable lock on a predictable /tmp path bought
+    # no real cross-uid exclusion while letting any local user flock
+    # it and stall staging indefinitely. O_NOFOLLOW refuses a
+    # pre-planted symlink at the (still predictable, but now
+    # uid-scoped) path.
     import fcntl
-    lock = d + ".lock"
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o666)
-    except PermissionError:
-        lock = f"{d}.lock.{os.getuid()}"
-        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o666)
-    try:
-        os.fchmod(fd, 0o666)  # umask strips bits at create; best-effort
-    except OSError:
-        pass  # not the owner — the open already succeeded, flock works
+    lock = f"{d}.lock.{os.getuid()}"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR | os.O_NOFOLLOW, 0o600)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
         if _staged():

@@ -56,14 +56,14 @@ def _value_kind(series: pd.Series) -> str:
     int/float/Decimal/bool/str renderings of equal values as distinct,
     but is insensitive to integer width.
 
-    Object-dtype columns are classified from a SAMPLE of values (first
-    100 + last 100 non-null), not just the first one — a mixed-kind
-    column (e.g. Decimal in row 0 but float later) previously evaded
-    the gate while still hash-mismatching on the driver; sampling both
-    ends also catches kind drift that first appears late (a stray
-    float past row 100). A genuinely mixed column reports
-    ``mixed(...)`` and only matches an identically-mixed
-    counterpart."""
+    Object-dtype columns are classified from the FULL column — a
+    mixed-kind column (e.g. Decimal in row 0 but float later)
+    previously evaded the gate while still hash-mismatching on the
+    driver; r7's head+tail sample still missed a deviant buried
+    strictly mid-column (ADVICE r8), so the scan now covers every
+    value via one representative per distinct concrete type. A
+    genuinely mixed column reports ``mixed(...)`` and only matches an
+    identically-mixed counterpart."""
     if pd.api.types.is_bool_dtype(series):
         return "bool"
     if pd.api.types.is_integer_dtype(series):
@@ -75,9 +75,18 @@ def _value_kind(series: pd.Series) -> str:
     nn = series.dropna()
     if not len(nn):
         return "empty"
-    sample = nn if len(nn) <= 200 else pd.concat(
-        [nn.head(100), nn.tail(100)])
-    kinds = {_scalar_kind(v) for v in sample}
+    # Full-column coverage via one-representative-per-distinct-TYPE:
+    # every _scalar_kind branch is an isinstance check, so values of
+    # the same concrete type always share a kind — grouping by type()
+    # is lossless, closes the former head(100)+tail(100) mid-column
+    # blind spot, and stays O(n) C-level type() calls (no per-value
+    # Python dispatch except once per distinct type).
+    reps: dict[type, object] = {}
+    for v in nn:
+        t = type(v)
+        if t not in reps:
+            reps[t] = v
+    kinds = {_scalar_kind(v) for v in reps.values()}
     if len(kinds) > 1:
         return "mixed(" + ",".join(sorted(kinds)) + ")"
     return kinds.pop()

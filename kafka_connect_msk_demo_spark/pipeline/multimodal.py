@@ -14,11 +14,14 @@ Design for 100 TB:
   and batch size is bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory
   is payload-size-aware;
-* heavy decode (image/audio codecs) is isolated behind
-  :func:`decode_payload`, which raises ``NotImplementedError`` in this
-  container (codec libraries are deliberately absent) — the Spark-side
-  plumbing (schema, batching, partitioning) is real and tested via the
-  metadata extractor, which exercises the identical batch path.
+* heavy decode is isolated behind :func:`decode_payload`:
+  ``codec="ppm"`` is a LIVE pure-Python decode of the uncompressed
+  binary PPM (P6) format (header parse + raw pixel plane, planted
+  declaratively by :func:`with_ppm_payload`, exact-oracle-checked by
+  the registered ``multimodal_decode`` query); compressed codecs
+  (JPEG/PNG/audio/video) still raise ``NotImplementedError`` — their
+  libraries are deliberately absent in this container — and plug into
+  the identical Arrow-batch kernel shape when present.
 
 The synthetic payloads come from :func:`with_binary_payload` (UTF-8
 document bytes prefixed with a fixed fake header), so metadata
@@ -222,16 +225,123 @@ def embed_payload(df: DataFrame, dim: int = 64,
     return cols.mapInPandas(run, schema)
 
 
+def with_ppm_payload(docs: DataFrame, out: str = "payload") -> DataFrame:
+    """Plant a REAL binary PPM (P6) image per document, fully
+    declaratively (no Python on the encode side): ASCII header
+    ``P6\\n{w} {h}\\n255\\n`` followed by the raw ``w*h*3`` pixel
+    plane, where ``w = doc_id%4+2``, ``h = doc_id%3+2`` and pixel
+    ``i`` is ``(doc_id%256 + i*7) % 256``. Every byte is a closed-form
+    function of ``doc_id``, so a DuckDB oracle can recompute the
+    decoded plane without ever touching binary (the fixture
+    :func:`decode_payload` is graded against)."""
+    did = F.col("doc_id")
+    w = (did % 4 + 2)
+    h = (did % 3 + 2)
+    n = (w * h * 3).cast("int")
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                      h.cast("string"), F.lit("\n255\n"))
+    hexplane = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.lpad(
+                F.conv(((did % 256 + i * 7) % 256).cast("string"),
+                       10, 16), 2, "0")), "")
+    return docs.withColumn(
+        out, F.concat(F.encode(header, "UTF-8"), F.unhex(hexplane)))
+
+
+def _parse_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary PPM (P6): magic, ``#`` comments, arbitrary
+    whitespace between header tokens, maxval < 256, then exactly one
+    whitespace byte before the raw ``w*h*3`` plane. Returns
+    ``(width, height, maxval, plane)``; raises ValueError on anything
+    malformed — a corrupt payload must fail loudly, never decode into
+    garbage pixels."""
+    if buf[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {buf[:2]!r})")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PPM header")
+        c = buf[pos:pos + 1]
+        if c == b"#":                       # comment to end of line
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end:end + 1].isspace():
+                end += 1
+            tok = buf[pos:end]
+            if not tok.isdigit():
+                raise ValueError(f"bad PPM header token {tok!r}")
+            tokens.append(int(tok))
+            pos = end
+    w, h, maxval = tokens
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if pos >= len(buf) or not buf[pos:pos + 1].isspace():
+        raise ValueError("missing whitespace after maxval")
+    pos += 1                                 # exactly ONE (PPM spec)
+    plane = buf[pos:pos + w * h * 3]
+    if len(plane) != w * h * 3:
+        raise ValueError(
+            f"truncated pixel plane: want {w * h * 3}, got {len(plane)}")
+    return w, h, maxval, plane
+
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("maxval", T.IntegerType(), False),
+    T.StructField("plane", T.ArrayType(T.IntegerType()), False),
+])
+
+
 def decode_payload(df: DataFrame, payload_col: str = "payload",
-                   codec: str = "image") -> DataFrame:
+                   codec: str = "image",
+                   id_col: str = "doc_id") -> DataFrame:
     """Decode payloads into pixel/sample arrays.
 
-    NOT implemented in this container: image/audio codec libraries
-    (Pillow, torchaudio, av) are unavailable by design. The production
-    implementation plugs a decoder into the same ``mapInPandas``
-    template as :func:`extract_metadata`; everything around it —
-    schema, Arrow batching, memory bounds — is already exercised."""
-    raise NotImplementedError(
-        f"payload decode ({codec}) requires codec libraries not present "
-        "in this environment; see extract_metadata for the batch "
-        "template the decoder plugs into")
+    ``codec="ppm"`` is a REAL pure-Python decode of the uncompressed
+    binary PPM (P6) format — header parse (comments, whitespace,
+    maxval) + raw pixel plane — running in the same Arrow-batched
+    ``mapInPandas`` template as :func:`extract_metadata`: the Python
+    boundary is crossed once per batch, memory is bounded by
+    ``arrow.maxRecordsPerBatch``, and the output plane is
+    ``array<int>`` so every downstream step (resize, embed, aggregate)
+    can stay JVM-side.
+
+    Compressed formats (JPEG/PNG, audio, video) still raise: their
+    codec libraries (Pillow, torchaudio, av) are unavailable in this
+    container by design; a production decoder plugs into the identical
+    kernel shape."""
+    if codec != "ppm":
+        raise NotImplementedError(
+            f"payload decode ({codec}) requires codec libraries not "
+            "present in this environment; codec='ppm' is the live "
+            "pure-Python path, and extract_metadata shows the batch "
+            "template other decoders plug into")
+    cols = df.select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, mxs, planes = [], [], [], [], []
+            for doc_id, payload in zip(exact_longs(pdf[id_col], id_col),
+                                       pdf[payload_col]):
+                w, h, mx, plane = _parse_ppm(bytes(payload))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                mxs.append(mx)
+                planes.append(list(plane))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "maxval": pd.Series(mxs, dtype="int32"),
+                "plane": pd.Series(planes, dtype=object)})
+
+    return cols.mapInPandas(run, DECODE_SCHEMA)

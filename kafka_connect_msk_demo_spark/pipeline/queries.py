@@ -896,6 +896,91 @@ _SQL_MULTIMODAL_EMBED_ANN = _sql_ann_topk(
     source=_ANN_SOURCE_MULTIMODAL_EMBED)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode→resize→embed chain on REAL planted image bytes
+    (r9 ask #5): every document gets a genuine binary PPM (P6) built
+    declaratively from its doc_id (``multimodal.with_ppm_payload``),
+    ``multimodal.decode_payload(codec="ppm")`` — a live pure-Python
+    header+plane parser in the Arrow-batch kernel — decodes it, and
+    everything downstream of the decode stays JVM-side: the plane
+    checksum (F.aggregate), the 2×2 nearest-neighbor resize
+    (F.transform over stride-sampled indices, the byte-plane analog of
+    ``multimodal.resize_payload``), and the md5-hex pseudo-embedding
+    seed (the ``multimodal.embed_payload`` chain's first link). The
+    oracle recomputes the decoded integer plane in closed form from
+    doc_id — it never parses binary — so a decoder bug (offset, dim
+    swap, truncation) hash-mismatches instead of round-tripping."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = multimodal.decode_payload(
+        multimodal.with_ppm_payload(docs), codec="ppm")
+    n = F.size("plane")
+    step = F.floor(n / 12).cast("int")      # n = w*h*3 >= 12 by fixture
+    resized = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda j: F.element_at(F.col("plane"), j * step + 1))
+    resized_hex = F.upper(F.array_join(
+        F.transform(resized,
+                    lambda v: F.lpad(F.conv(v.cast("string"), 10, 16),
+                                     2, "0")), ""))
+    out = (dec
+           .withColumn("n_vals", n.cast("long"))
+           .withColumn("sum_plane",
+                       F.aggregate("plane", F.lit(0).cast("long"),
+                                   lambda acc, x: acc + x))
+           .withColumn("resized_hex", resized_hex))
+    return (out
+            .withColumn("emb_hash",
+                        F.md5(F.encode(F.col("resized_hex"), "UTF-8")))
+            .withColumn("emb0",
+                        F.conv(F.substring("emb_hash", 1, 2), 16, 10)
+                        .cast("long"))
+            .select("doc_id", "width", "height", "maxval", "n_vals",
+                    "sum_plane", "resized_hex", "emb_hash", "emb0")
+            .orderBy("doc_id"))
+
+
+_SQL_MULTIMODAL_DECODE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 4 + 2 AS w,
+         doc_id % 3 + 2 AS h
+  FROM documents
+),
+plane AS (      -- the decoded integer plane, recomputed in closed form
+  SELECT d.doc_id, d.w, d.h, t.i,
+         (d.doc_id % 256 + t.i * 7) % 256 AS v
+  FROM d CROSS JOIN generate_series(0, 179) t(i)
+  WHERE t.i < d.w * d.h * 3
+),
+agg AS (
+  SELECT doc_id, w, h,
+         CAST(w * h * 3 AS BIGINT) AS n_vals,
+         CAST(SUM(v) AS BIGINT) AS sum_plane
+  FROM plane GROUP BY doc_id, w, h
+),
+rs AS (         -- 2x2 RGB nearest-neighbor resize: stride sampling
+  SELECT a.doc_id,
+         upper(string_agg(
+           lpad(to_hex((a.doc_id % 256
+                        + (j.j * (a.n_vals // 12)) * 7) % 256),
+                2, '0'),
+           '' ORDER BY j.j)) AS resized_hex
+  FROM agg a CROSS JOIN generate_series(0, 11) j(j)
+  GROUP BY a.doc_id
+)
+SELECT a.doc_id,
+       CAST(a.w AS INTEGER) AS width,
+       CAST(a.h AS INTEGER) AS height,
+       CAST(255 AS INTEGER) AS maxval,
+       a.n_vals, a.sum_plane, r.resized_hex,
+       md5(r.resized_hex) AS emb_hash,
+       CAST(concat('0x', substr(md5(r.resized_hex), 1, 2)) AS BIGINT)
+         AS emb0
+FROM agg a JOIN rs r USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling: downsample the
     dominant language, keep the tail — membership is a pure function of
@@ -3550,6 +3635,8 @@ PIPELINE_QUERIES: dict = {
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     "multimodal_embed_ann": (q_multimodal_embed_ann,
                              _SQL_MULTIMODAL_EMBED_ANN),
+    # r9 sanctioned addition (VERDICT r8 ask #5): live PPM decode
+    "multimodal_decode": (q_multimodal_decode, _SQL_MULTIMODAL_DECODE),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "repetition_stats": (q_repetition_stats, _SQL_REPETITION_STATS),

@@ -58,6 +58,13 @@ def _kmv_partial_kernel(key_col: str, group_col: str, k: int,
             for g, key in zip(pdf[group_col], pdf[key_col]):
                 if key is None or pd.isna(key):
                     continue
+                if isinstance(key, float) and key == 0.0:
+                    # -0.0 == 0.0 as doubles (one logical key) but
+                    # f-string-renders "-0.0" vs "0.0" — whichever a
+                    # partition saw first would pick that partition's
+                    # hash, making the merged sketch partition-order
+                    # dependent. Canonicalize before hashing.
+                    key = 0.0
                 h = memo.get(key)
                 if h is None:
                     digest = hashlib.md5(
@@ -86,16 +93,30 @@ def _kmv_sketch(df: DataFrame, key_col: str, group_col: str,
     the distinct merge and the top-k window — shared by
     :func:`kmv_distinct` and :func:`kmv_set_ops` so the hash family
     and merge rule can never diverge between the two estimators."""
-    # The key crosses to Python as its SPARK-CANONICAL string: a long
-    # key batch that carries a null would otherwise arrive float64
-    # (Arrow→pandas nullable-BIGINT hazard), so the same key would
-    # hash as "3" in one batch and "3.0" in another — splitting one
-    # logical key across two sketch slots — and keys ≥ 2^53 would
-    # round before hashing. long→string is exact at any magnitude,
-    # matches the oracles' CAST(key AS VARCHAR) rendering, and is a
-    # no-op for string keys.
-    src = df.select(F.col(group_col),
-                    F.col(key_col).cast("string").alias(key_col))
+    # INTEGRAL keys cross to Python as their SPARK-CANONICAL string: a
+    # long key batch that carries a null would otherwise arrive
+    # float64 (Arrow→pandas nullable-BIGINT hazard), so the same key
+    # would hash as "3" in one batch and "3.0" in another — splitting
+    # one logical key across two sketch slots — and keys ≥ 2^53 would
+    # round before hashing. long→string is exact at any magnitude and
+    # matches the oracles' CAST(key AS VARCHAR) rendering. The cast is
+    # deliberately NOT applied to other types (ADVICE r8): doubles
+    # render Spark-canonically (scientific notation at large
+    # magnitudes) which would silently change the hash family vs prior
+    # rounds, and -0.0/0.0 — equal as doubles — would become distinct
+    # strings and count as two keys. Non-integral keys have no
+    # null-batch rounding hazard (floats are already float64;
+    # strings/decimals cross losslessly), so they keep their native
+    # rendering.
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+    key_type = df.schema[key_col].dataType
+    if isinstance(key_type, (ByteType, ShortType, IntegerType,
+                             LongType)):
+        key_expr = F.col(key_col).cast("string").alias(key_col)
+    else:
+        key_expr = F.col(key_col)
+    src = df.select(F.col(group_col), key_expr)
     partials = src.mapInPandas(
         _kmv_partial_kernel(key_col, group_col, k, salt),
         f"{group_col} string, h long")

@@ -6208,6 +6208,9 @@ DRIVER_WINDOW = 50
 #: tie-break seed among never-driver-verified queries (judge-named
 #: round-4 coverage set); names absent from the registry are ignored.
 _DRIVER_PRIORITY = [
+    # r9 sanctioned addition (VERDICT r8 ask #5) — never-green, so it
+    # heads the r9 window alongside the r4-stale rotation backlog.
+    "multimodal_decode",
     # r2 driver FAIL whose fix has never seen a driver row — first.
     "lang_stats",
     # round-3 pipeline tail (registry positions 51+ last round)

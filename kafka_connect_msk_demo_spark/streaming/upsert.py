@@ -31,9 +31,10 @@ are outside the contract (pinned by
 tests/test_mor.py::test_post_delete_isolated_replay_is_out_of_contract).
 For feeds that CANNOT guarantee suffix replay, ``UpsertTable(...,
 retain_tombstones=N)`` opts into Hudi's soft-delete pattern: applied
-deletes stay stored as tombstone rows for N further batches (never
-surfacing on ``read()``), so an isolated pre-tombstone replay within
-the window re-loses to the tombstone instead of resurrecting
+deletes stay stored as tombstone rows for N further merges — aged by
+a persisted per-table merge counter, independent of caller batch_ids —
+never surfacing on ``read()``, so an isolated pre-tombstone replay
+within the window re-loses to the tombstone instead of resurrecting
 (tests/test_upsert.py::test_retain_tombstones_blocks_resurrection).
 
 Physical strategy (scale notes)
@@ -74,8 +75,8 @@ class UpsertTable:
     """Primary-keyed, partitioned, time-ordered parquet table with
     latest-wins MERGE (W5)."""
 
-    #: internal column stamping the batch_id at which a retained
-    #: tombstone was applied (retain_tombstones mode only)
+    #: internal column stamping the persisted MERGE SEQUENCE at which a
+    #: retained tombstone was applied (retain_tombstones mode only)
     TOMB_COL = "__tomb_since"
 
     def __init__(self, path: str, key_cols: list[str], ordering_col: str,
@@ -91,7 +92,16 @@ class UpsertTable:
         preserves exact Hudi hard-delete parity: the documented
         delivery contract (suffix replay) needs no retention, and the
         table stores only live rows. Retention must be chosen at
-        table creation and kept consistent across its lifetime."""
+        table creation and kept consistent across its lifetime.
+
+        Tombstone age is measured by a PERSISTED per-table merge
+        counter (``_merge_seq`` marker), not the caller-supplied
+        ``batch_id`` (ADVICE r8): callers using the default
+        ``batch_id=0`` on every merge no longer retain tombstones
+        forever, and a checkpoint-restart batch-id jump can no longer
+        purge the window early. A crash-replayed micro-batch counts as
+        one more merge — the window is "N further successful merges",
+        never shorter than N distinct batches."""
         self.path = path
         self.key_cols = key_cols
         self.ordering_col = ordering_col
@@ -133,6 +143,38 @@ class UpsertTable:
         out = fs.create(p, True)
         try:
             out.write(bytearray(schema.json().encode("utf-8")))
+        finally:
+            out.close()
+
+    MERGE_SEQ_MARKER = "_merge_seq"
+
+    def _read_merge_seq(self, spark: SparkSession) -> int:
+        """Persisted count of completed merges (retention mode only);
+        -1 when the table has never merged. Underscore-prefixed, so
+        Spark's parquet reader ignores it like any _metadata file."""
+        fs, _ = _hadoop_fs(spark, self.path)
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{self.MERGE_SEQ_MARKER}")
+        if not fs.exists(p):
+            return -1
+        stream = fs.open(p)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            return int(raw.strip())
+        except ValueError:
+            return -1
+
+    def _write_merge_seq(self, spark: SparkSession, seq: int) -> None:
+        fs, _ = _hadoop_fs(spark, self.path)
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{self.MERGE_SEQ_MARKER}")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(str(seq).encode("utf-8")))
         finally:
             out.close()
 
@@ -191,11 +233,13 @@ class UpsertTable:
                 .select(*df.columns))
 
     def _merged_state(self, merged: DataFrame,
-                      batch_id: int) -> DataFrame:
+                      merge_seq: int) -> DataFrame:
         """Rows to STORE after a merge: live rows, plus — when
         ``retain_tombstones=N`` — applied tombstones stamped with the
-        batch that applied them and purged once ``N`` further batches
-        have merged. Hard-delete mode (None) stores live rows only."""
+        MERGE SEQUENCE that applied them and purged once ``N`` further
+        merges have completed. Hard-delete mode (None) stores live
+        rows only. ``merge_seq`` comes from the persisted per-table
+        counter, never the caller's batch_id (see __init__)."""
         if self.retain_tombstones is None:
             return self._live(merged)
         dead = F.coalesce(F.col(self.deleted_col) == "true", F.lit(False))
@@ -203,9 +247,9 @@ class UpsertTable:
             self.TOMB_COL,
             F.when(~dead, F.lit(None).cast("long"))
             .otherwise(F.coalesce(F.col(self.TOMB_COL),
-                                  F.lit(batch_id).cast("long"))))
+                                  F.lit(merge_seq).cast("long"))))
         return stamped.filter(
-            (~dead) | (F.lit(batch_id) - F.col(self.TOMB_COL)
+            (~dead) | (F.lit(merge_seq) - F.col(self.TOMB_COL)
                        < F.lit(self.retain_tombstones)))
 
     def _with_tomb(self, df: DataFrame) -> DataFrame:
@@ -222,6 +266,9 @@ class UpsertTable:
         spark = batch.sparkSession
         incoming = self._latest_wins(batch)
         retain = self.retain_tombstones is not None
+        # Tombstone ages advance on the PERSISTED merge counter, not
+        # the caller's batch_id — batch_id only names the temp dir.
+        stamp = (self._read_merge_seq(spark) + 1) if retain else batch_id
         if retain:
             incoming = self._with_tomb(incoming)
 
@@ -247,7 +294,7 @@ class UpsertTable:
                 affected = base.filter(F.col(self.partition_by).isin(parts))
                 live = self._merged_state(
                     self._latest_wins(affected.unionByName(incoming)),
-                    batch_id)
+                    stamp)
                 # Dynamic overwrite only rewrites partitions present in
                 # the written frame: a partition fully vacated by deletes
                 # or key moves keeps its stale files and must be dropped
@@ -275,7 +322,7 @@ class UpsertTable:
                 # on HDFS; copy-rename on S3A — a versioned-dir layout is
                 # the production alternative there).
                 live = self._merged_state(self._latest_wins(
-                    base.unionByName(incoming)), batch_id)
+                    base.unionByName(incoming)), stamp)
                 tmp = f"{self.path.rstrip('/')}__tmp_{batch_id}"
                 live.write.mode("overwrite").parquet(tmp)
                 fs, jpath = _hadoop_fs(spark, self.path)
@@ -283,7 +330,7 @@ class UpsertTable:
                 fs.delete(jpath, True)
                 fs.rename(jvm_path(tmp), jpath)
         else:
-            live = self._merged_state(incoming, batch_id)
+            live = self._merged_state(incoming, stamp)
             writer = live.write.mode("overwrite")
             if self.partition_by:
                 writer = writer.partitionBy(self.partition_by)
@@ -293,6 +340,12 @@ class UpsertTable:
                 # marker keeps the (empty) table readable and _exists
                 # stays False so the next batch re-runs initial insert
                 self._write_schema_marker(spark, live.schema)
+        if retain:
+            # Persist AFTER the data write: a crashed merge re-reads
+            # the old counter and replays as the same merge_seq (ages
+            # never advance past data they didn't see). Written last,
+            # so the non-partitioned swap's dir delete can't drop it.
+            self._write_merge_seq(spark, stamp)
 
     # -- read views (S15: Hudi _ro/_rt analog) -----------------------------
 
@@ -402,16 +455,26 @@ class MergeOnReadTable:
     def __init__(self, path: str, key_cols: list[str], ordering_col: str,
                  tiebreak_col: str, partition_by: str | None = None,
                  deleted_col: str = "__deleted",
-                 max_delta_commits: int | None = None) -> None:
+                 max_delta_commits: int | None = None,
+                 retain_tombstones: int | None = None) -> None:
         """``max_delta_commits`` is the ``hoodie.compact.inline.max.
         delta.commits`` analog (the reference's DeltaStreamer MoR jobs
         schedule inline compaction): when set, :meth:`append_batch`
         folds the log into base once it holds that many delta commits,
         which also bounds the log key set the ``_rt`` broadcast
-        carries."""
+        carries.
+
+        ``retain_tombstones=N`` passes the soft-delete pattern through
+        to the compacted base (see :class:`UpsertTable`): compaction
+        stores applied deletes as tombstone rows for N further
+        compaction merges, and ``_rt`` reads merge against the STORED
+        state (tombstones included) so an isolated pre-tombstone
+        replay appended to the log re-loses to a retained tombstone
+        instead of resurrecting through the read-time merge."""
         self.base = UpsertTable(f"{path.rstrip('/')}/base", key_cols,
                                 ordering_col, tiebreak_col, partition_by,
-                                deleted_col)
+                                deleted_col,
+                                retain_tombstones=retain_tombstones)
         self.path = path.rstrip("/")
         self.log_path = f"{self.path}/log"
         self.key_cols = key_cols
@@ -480,15 +543,32 @@ class MergeOnReadTable:
 
         Base rows whose key never appears in the log bypass the merge
         entirely via a broadcast anti join (no shuffle of the base);
-        only (base ⋉ log-keys) ∪ log enters the latest-wins window."""
+        only (base ⋉ log-keys) ∪ log enters the latest-wins window.
+
+        Retention mode merges against the STORED base state —
+        retained tombstones included — so a within-window isolated
+        replay in the log loses to the stored tombstone; tombstones
+        and the stamp column never surface in the returned frame."""
+        retain = self.base.retain_tombstones is not None
         log = self._read_log(spark, self._log_batches(spark))
-        base = self.read_optimized(spark)
+        base = self.base._with_tomb(self.base._read_stored(spark)) \
+            if retain else self.read_optimized(spark)
         if log is None:
-            return self.base._live(base)
+            out = self.base._live(base)
+            return out.drop(UpsertTable.TOMB_COL) if retain else out
+        log = self.base._with_tomb(log) if retain else log
         log = log.select(*base.columns)
         keys = F.broadcast(log.select(*self.key_cols).distinct())
         untouched = base.join(keys, self.key_cols, "left_anti")
         affected = base.join(keys, self.key_cols, "left_semi")
+        if retain:
+            # untouched STORED rows can be retained tombstones — the
+            # live filter must cover both branches here, unlike the
+            # hard-delete path below (whose base stores live rows
+            # only, and whose plan shape is kept byte-identical).
+            merged = self.base._latest_wins(affected.unionByName(log))
+            return self.base._live(untouched.unionByName(merged)) \
+                .drop(UpsertTable.TOMB_COL)
         merged = self.base._live(
             self.base._latest_wins(affected.unionByName(log)))
         return untouched.unionByName(merged)

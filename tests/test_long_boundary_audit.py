@@ -194,6 +194,58 @@ def test_kmv_hash_rendering_is_null_immune(spark):
     assert base["g"] == 3.0
 
 
+def test_kmv_string_cast_is_type_gated(spark):
+    """ADVICE r8: the Spark-side string cast that fixes the integral
+    null-batch hazard must apply ONLY to integral key columns — a
+    double key must keep its native rendering (no scientific-notation
+    hash-family change), and -0.0/0.0 — equal as doubles — must count
+    as ONE distinct key regardless of which rendering a partition sees
+    first."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_msk_demo_spark.pipeline.sketches import (
+        _kmv_sketch, kmv_distinct)
+
+    # integral key → cast present in the plan; double key → absent
+    import re
+    longs = spark.createDataFrame([(1, "g")], "k long, grp string")
+    dbls = spark.createDataFrame([(1.0, "g")], "k double, grp string")
+    cast_re = re.compile(r"cast\(k#\d+l? as string\)")
+    assert cast_re.search(_kmv_sketch(
+        longs, "k", "grp", 8, "s")._jdf.queryExecution().analyzed()
+        .toString().lower())
+    assert not cast_re.search(_kmv_sketch(
+        dbls, "k", "grp", 8, "s")._jdf.queryExecution().analyzed()
+        .toString().lower())
+
+    # ±0.0: one logical key, order-invariant
+    def est(vals):
+        df = spark.createDataFrame([(v, "g") for v in vals],
+                                   "k double, grp string").coalesce(1)
+        out = kmv_distinct(df, "k", "grp", k=8)
+        return {r["grp"]: (r["n_true"], r["est_distinct"])
+                for r in out.collect()}
+
+    a = est([0.0, -0.0, 2.5])
+    b = est([-0.0, 0.0, 2.5])
+    assert a == b
+    assert a["g"] == (2, 2.0)   # Spark count_distinct also merges ±0.0
+
+    # string keys were never cast and keep working end-to-end
+    strs = spark.createDataFrame([("x", "g"), ("y", "g")],
+                                 "k string, grp string")
+    out = kmv_distinct(strs, "k", "grp", k=8).collect()
+    assert out[0]["est_distinct"] == 2.0
+    # float-key partition invariance: the ±0.0 canonicalization keeps
+    # the merged sketch identical under any partitioning
+    wide = spark.createDataFrame(
+        [(float(i % 7) if i % 11 else 0.0 * (-1) ** i, "g")
+         for i in range(200)], "k double, grp string")
+    one = kmv_distinct(wide.coalesce(1), "k", "grp", k=8).collect()
+    many = kmv_distinct(wide.repartition(13), "k", "grp", k=8).collect()
+    assert [r.asDict() for r in one] == [r.asDict() for r in many]
+
+
 def test_exact_longs_unit():
     s_int = pd.Series([1, BIG], dtype="int64")
     assert exact_longs(s_int, "c") is s_int

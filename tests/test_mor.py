@@ -552,3 +552,47 @@ def test_post_delete_isolated_replay_is_out_of_contract(spark, tmp_path):
     t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
                                  (1, "a", "v1", 20, 1, "true")]), 3)
     assert t.read(spark).count() == 0
+
+
+def test_mor_retention_blocks_replay_through_rt(spark, tmp_path):
+    """retain_tombstones passes through to the MoR base: after
+    compaction stores the tombstone, an ISOLATED pre-tombstone replay
+    appended to the log must lose to the retained tombstone in the
+    read-time merge (_rt), and the stamp column must never surface on
+    _ro or _rt."""
+    t = MergeOnReadTable(path=str(tmp_path / "t"), key_cols=["id"],
+                         ordering_col="ts", tiebreak_col="seq",
+                         partition_by="part", retain_tombstones=5)
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                  (2, "b", "w1", 10, 1, "false")]), 0)
+    t.append_batch(_batch(spark, [(1, "a", "v1", 20, 2, "true")]), 1)
+    t.compact(spark)
+    assert {r.id for r in t.read_optimized(spark).collect()} == {2}
+    # isolated replay of the pre-tombstone version, via the LOG
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 2)
+    rt = t.read_realtime(spark)
+    assert UpsertTable.TOMB_COL not in rt.columns
+    assert {(r.id, r.val) for r in rt.collect()} == {(2, "w1")}
+    # and compacting the replay keeps the delete applied
+    t.compact(spark)
+    assert {r.id for r in t.read_optimized(spark).collect()} == {2}
+    assert UpsertTable.TOMB_COL not in t.read_optimized(spark).columns
+    # a genuinely newer version still lands through the log
+    t.append_batch(_batch(spark, [(1, "a", "v9", 30, 3, "false")]), 3)
+    assert {(r.id, r.val) for r in t.read_realtime(spark).collect()} \
+        == {(1, "v9"), (2, "w1")}
+
+
+def test_mor_retention_rt_without_any_log(spark, tmp_path):
+    """_rt on a retained table with an empty log: live rows only, no
+    stamp column (the no-log fast path takes the retention branch)."""
+    t = MergeOnReadTable(path=str(tmp_path / "t"), key_cols=["id"],
+                         ordering_col="ts", tiebreak_col="seq",
+                         partition_by="part", retain_tombstones=3)
+    t.append_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                  (2, "b", "w1", 10, 1, "false")]), 0)
+    t.append_batch(_batch(spark, [(2, "b", "w1", 20, 2, "true")]), 1)
+    t.compact(spark)
+    rt = t.read_realtime(spark)
+    assert UpsertTable.TOMB_COL not in rt.columns
+    assert {(r.id, r.val) for r in rt.collect()} == {(1, "v1")}

@@ -110,17 +110,29 @@ def test_mixed_kind_column_no_longer_evades():
 
 
 def test_late_row_kind_drift_is_caught():
-    """ADVICE r7: a deviant kind whose first appearance is past row
-    100 used to evade the head(100)-only sample; the head+tail sample
-    catches it. A deviant buried mid-column in a >200-row series is
-    the documented residual blind spot — assert the boundary cases
-    around it explicitly."""
+    """ADVICE r7/r8: a deviant kind anywhere in the column is caught.
+    r7 closed the past-row-100 gap with a head+tail sample; r8's
+    ADVICE flagged the residual mid-column blind spot (deviant
+    strictly between head(100) and tail(100) of a >200-row series) —
+    the classifier now scans the FULL column via one representative
+    per distinct concrete type, so there is no positional gap left."""
     # deviant in the TAIL of a 500-row column → caught
     vals = [Decimal("1.0")] * 499 + [2.5]
     assert _value_kind(pd.Series(vals, dtype="object")) \
         == "mixed(decimal,float)"
-    # deviant at row 150 of a 200-row column (<=200 → full scan) → caught
+    # deviant at row 150 of a 200-row column → caught
     vals = [Decimal("1.0")] * 150 + [2.5] + [Decimal("1.0")] * 49
+    assert _value_kind(pd.Series(vals, dtype="object")) \
+        == "mixed(decimal,float)"
+    # deviant buried strictly MID-COLUMN of a 500-row series (row 250:
+    # outside both head(100) and tail(100)) — the former blind spot
+    vals = [Decimal("1.0")] * 250 + [2.5] + [Decimal("1.0")] * 249
+    assert _value_kind(pd.Series(vals, dtype="object")) \
+        == "mixed(decimal,float)"
+    # same position, numpy-rendered deviant (distinct concrete type)
+    import numpy as np
+    vals = [Decimal("1.0")] * 250 + [np.float64(2.5)] \
+        + [Decimal("1.0")] * 249
     assert _value_kind(pd.Series(vals, dtype="object")) \
         == "mixed(decimal,float)"
     # pure column of any length stays a single kind

@@ -112,10 +112,57 @@ def test_multimodal_metadata_roundtrip(spark):
     assert out[7].n_bytes == 8 + len("some text")
 
 
-def test_multimodal_decode_is_stubbed(spark):
+def test_multimodal_decode_guard_for_absent_codecs(spark):
+    """Compressed codecs (image default, audio, video) still raise:
+    their libraries are deliberately absent in this container."""
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload(multimodal.with_binary_payload(df))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(multimodal.with_binary_payload(df),
+                                  codec="audio")
+
+
+def test_ppm_parser_unit():
+    """The live PPM (P6) decode path, value-level: spec-shaped
+    headers (comments, multi-whitespace), and loud failure on every
+    malformation class — magic, token, maxval, truncation."""
+    from kafka_connect_msk_demo_spark.pipeline.multimodal import _parse_ppm
+    plane = bytes(range(2 * 2 * 3))
+    assert _parse_ppm(b"P6\n2 2\n255\n" + plane) == (2, 2, 255, plane)
+    # comments and arbitrary whitespace between header tokens
+    assert _parse_ppm(b"P6 # comment\n 2\t\n2 # w h\n255\n" + plane) \
+        == (2, 2, 255, plane)
+    # maxval != 255 (still < 256) parses
+    assert _parse_ppm(b"P6\n2 2\n31\n" + plane)[2] == 31
+    # the single whitespace after maxval may be any whitespace byte
+    assert _parse_ppm(b"P6\n2 2\n255 " + plane)[3] == plane
+    import pytest as _pytest
+    for bad in (b"P5\n2 2\n255\n" + plane,        # wrong magic
+                b"P6\n2 x\n255\n" + plane,        # non-numeric token
+                b"P6\n2 2\n999\n" + plane,        # 2-byte maxval
+                b"P6\n2 2\n255\n" + plane[:-1],   # truncated plane
+                b"P6\n2 2",                         # truncated header
+                b"P6\n2 2\n255"):                  # no ws after maxval
+        with _pytest.raises(ValueError):
+            _parse_ppm(bad)
+
+
+def test_ppm_decode_roundtrip(spark):
+    """with_ppm_payload (declarative encoder) -> decode_payload (real
+    Arrow-batched parser): dims, maxval and every plane byte match the
+    closed form, including a doc_id > 2^53 crossing the boundary."""
+    big = (1 << 60) + 3
+    df = spark.createDataFrame([(0,), (5,), (big,)], "doc_id long")
+    out = {r.doc_id: r for r in multimodal.decode_payload(
+        multimodal.with_ppm_payload(df.withColumn("text", F.lit("x"))),
+        codec="ppm").collect()}
+    assert set(out) == {0, 5, big}
+    for did, r in out.items():
+        w, h = did % 4 + 2, did % 3 + 2
+        assert (r.width, r.height, r.maxval) == (w, h, 255)
+        assert r.plane == [(did % 256 + i * 7) % 256
+                           for i in range(w * h * 3)]
 
 
 def test_doc_shingles_matches_jvm_expression(docs):

@@ -151,3 +151,39 @@ def test_retention_all_deletes_first_batch(spark, tmp_path):
     # the replayed pre-tombstone version does not resurrect
     t.merge_batch(_batch(spark, [(1, "a", "v1", 5, 0, "false")]), 1)
     assert t.read(spark).count() == 0
+
+
+@pytest.mark.parametrize("part", [None, "part"])
+def test_retention_ages_by_merge_count_not_batch_id(spark, tmp_path,
+                                                    part):
+    """ADVICE r8: tombstone age advances on the persisted per-table
+    merge counter. (a) A caller passing the default batch_id=0 on
+    EVERY merge must still purge after N merges (previously:
+    forever-retention → unbounded table growth); (b) a
+    checkpoint-restart batch-id JUMP must not purge the window early."""
+    # (a) constant batch_id=0 throughout, window N=1
+    t = _retaining(tmp_path / "a", 1, partition_by=part)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                 (2, "a", "w1", 10, 0, "false")]))
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true")]))
+    stored = {r.id for r in spark.read.parquet(str(tmp_path / "a"))
+              .collect()}
+    assert stored == {1, 2}  # tombstone still within its window
+    t.merge_batch(_batch(spark, [(2, "a", "w2", 30, 0, "false")]))
+    stored = {r.id for r in spark.read.parquet(str(tmp_path / "a"))
+              .collect()}
+    assert stored == {2}, "default batch_id=0 retained forever"
+
+    # (b) batch-id jump 1 -> 1000 (checkpoint restart): window N=3
+    # has seen only ONE further merge, so the tombstone must survive
+    # and an isolated pre-tombstone replay must still lose
+    t = _retaining(tmp_path / "b", 3, partition_by=part)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 0)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true")]), 1)
+    t.merge_batch(_batch(spark, [(9, "a", "z1", 30, 0, "false")]), 1000)
+    stored = {r.id for r in spark.read.parquet(str(tmp_path / "b"))
+              .collect()}
+    assert 1 in stored, "batch-id jump purged the window early"
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 1001)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} \
+        == {(9, "z1")}

@@ -97,9 +97,10 @@ def _check(spark, names, sf_dir) -> list[str]:
 # -- axes -----------------------------------------------------------------
 
 def axis_cdc(seeds: list[int]) -> int:
-    from test_mor import _batch, _mor, _random_feed, _reference_state
+    from test_mor import _batch, _random_feed, _reference_state
 
-    from kafka_connect_msk_demo_spark.streaming.upsert import UpsertTable
+    from kafka_connect_msk_demo_spark.streaming.upsert import (
+        MergeOnReadTable, UpsertTable)
     spark = _spark("stress-cdc")
     fails = 0
     for seed in seeds:
@@ -108,12 +109,20 @@ def axis_cdc(seeds: list[int]) -> int:
                             n_keys=rng.randrange(4, 12))
         bound = rng.choice([None, 1, 2, 3])
         part = rng.choice(["part", None])
+        # soft-delete retention sweeps alongside hard-delete (r9 ask):
+        # in-contract feeds (suffix replay only) must converge to the
+        # SAME live state under any retention window.
+        retain = rng.choice([None, 1, 3])
         tmp = tempfile.mkdtemp(prefix=f"stress_cdc_{seed}_")
         try:
             cow = UpsertTable(path=os.path.join(tmp, "cow"),
                               key_cols=["id"], ordering_col="ts",
-                              tiebreak_col="seq", partition_by=part)
-            mor = _mor(os.path.join(tmp, "mor"), partition_by=part)
+                              tiebreak_col="seq", partition_by=part,
+                              retain_tombstones=retain)
+            mor = MergeOnReadTable(path=os.path.join(tmp, "mor"),
+                                   key_cols=["id"], ordering_col="ts",
+                                   tiebreak_col="seq", partition_by=part,
+                                   retain_tombstones=retain)
             if bound is not None:
                 mor.max_delta_commits = bound
             for i, rows in enumerate(feed):
@@ -133,7 +142,24 @@ def axis_cdc(seeds: list[int]) -> int:
                 tuple(r) for r in
                 mor.read_optimized(spark).select(*cols).collect()}
             bad = [k for k, v in states.items() if v != ref]
-            print(f"  seed {seed} (bound={bound}, part={part}): "
+            if retain is not None:
+                # retention invariants: the stamp column never
+                # surfaces, and every STORED tombstone is within its
+                # window of the persisted merge counter (no unbounded
+                # tombstone accumulation, no early purge).
+                for name, tbl in (("CoW", cow), ("MoR_base", mor.base)):
+                    if UpsertTable.TOMB_COL in tbl.read(spark).columns:
+                        bad.append(f"{name}_stamp_surfaced")
+                    seq = tbl._read_merge_seq(spark)
+                    stored = tbl._read_stored(spark)
+                    if UpsertTable.TOMB_COL in stored.columns:
+                        stale = (stored
+                                 .filter(stored[UpsertTable.TOMB_COL]
+                                         <= seq - retain).count())
+                        if stale:
+                            bad.append(f"{name}_{stale}_aged_tombstones")
+            print(f"  seed {seed} (bound={bound}, part={part}, "
+                  f"retain={retain}): "
                   f"{'ok' if not bad else 'DIVERGED ' + str(bad)}",
                   flush=True)
             fails += bool(bad)
