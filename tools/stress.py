@@ -14,7 +14,9 @@ Axes (matching the r7 report rows):
 
   cdc      randomized CDC feeds -> CoW == MoR _rt == post-compact _ro
            == pure-Python latest-wins reference; random inline
-           compaction bounds; partitioned AND unpartitioned
+           compaction bounds; partitioned AND unpartitioned; random
+           retain_tombstones (None/1/3) with tombstone-window
+           invariants against the persisted merge counter (r9)
   jaccard  prefix-filtered == unfiltered exact Jaccard pairs at random
            (threshold, k)
   ranking  exact_global_rank/ntile vs a SQL window at random
