@@ -270,8 +270,11 @@ def _parse_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
         elif c.isspace():
             pos += 1
         else:
+            # a '#' terminates a token too: netpbm comments may start
+            # anywhere in the header, including right after a number
             end = pos
-            while end < len(buf) and not buf[end:end + 1].isspace():
+            while (end < len(buf) and not buf[end:end + 1].isspace()
+                   and buf[end:end + 1] != b"#"):
                 end += 1
             tok = buf[pos:end]
             if not tok.isdigit():

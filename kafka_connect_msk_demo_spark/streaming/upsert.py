@@ -146,15 +146,20 @@ class UpsertTable:
         finally:
             out.close()
 
-    MERGE_SEQ_MARKER = "_merge_seq"
+    def _merge_seq_path(self, spark: SparkSession):
+        """SIBLING of the table dir (``<path>__merge_seq``), never
+        inside it: the non-partitioned merge swaps the whole table dir
+        (delete + rename), so an in-dir marker would be lost by a
+        crash between the swap and the counter persist — the sibling
+        survives any data-dir rewrite in both layouts."""
+        return spark._jvm.org.apache.hadoop.fs.Path(
+            f"{self.path.rstrip('/')}__merge_seq")
 
     def _read_merge_seq(self, spark: SparkSession) -> int:
         """Persisted count of completed merges (retention mode only);
-        -1 when the table has never merged. Underscore-prefixed, so
-        Spark's parquet reader ignores it like any _metadata file."""
+        -1 when the table has never merged."""
         fs, _ = _hadoop_fs(spark, self.path)
-        p = spark._jvm.org.apache.hadoop.fs.Path(
-            f"{self.path}/{self.MERGE_SEQ_MARKER}")
+        p = self._merge_seq_path(spark)
         if not fs.exists(p):
             return -1
         stream = fs.open(p)
@@ -170,9 +175,7 @@ class UpsertTable:
 
     def _write_merge_seq(self, spark: SparkSession, seq: int) -> None:
         fs, _ = _hadoop_fs(spark, self.path)
-        p = spark._jvm.org.apache.hadoop.fs.Path(
-            f"{self.path}/{self.MERGE_SEQ_MARKER}")
-        out = fs.create(p, True)
+        out = fs.create(self._merge_seq_path(spark), True)
         try:
             out.write(bytearray(str(seq).encode("utf-8")))
         finally:
@@ -343,8 +346,9 @@ class UpsertTable:
         if retain:
             # Persist AFTER the data write: a crashed merge re-reads
             # the old counter and replays as the same merge_seq (ages
-            # never advance past data they didn't see). Written last,
-            # so the non-partitioned swap's dir delete can't drop it.
+            # never advance past data they didn't see). The marker is
+            # a SIBLING of the table dir so the non-partitioned swap's
+            # dir delete cannot drop the previous counter either.
             self._write_merge_seq(spark, stamp)
 
     # -- read views (S15: Hudi _ro/_rt analog) -----------------------------

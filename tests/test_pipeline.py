@@ -460,3 +460,34 @@ def test_blocked_dup_pairs_single_block_degenerate(spark, vecs):
            for r in similarity.cosine_dup_pairs_blocked(
                allv, 0.3, nblocks=1).collect()}
     assert one == exact
+
+
+def test_ppm_parser_fuzz_roundtrip():
+    """Property: any spec-shaped P6 encoding — arbitrary comment/
+    whitespace mix between header tokens — decodes to exactly its
+    (w, h, maxval, plane)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_msk_demo_spark.pipeline.multimodal import _parse_ppm
+
+    ws = st.sampled_from([b" ", b"\n", b"\t", b"\r", b" \n", b"# c\n",
+                          b" # x y\n\t"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 9),
+           maxval=st.integers(1, 255), s1=ws, s2=ws, s3=ws,
+           data=st.data())
+    def run(w, h, maxval, s1, s2, s3, data):
+        plane = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)))
+        # separators between tokens may be any whitespace/comment mix,
+        # but the byte after maxval is exactly ONE whitespace char
+        buf = (b"P6" + s1 + str(w).encode() + s2 + str(h).encode()
+               + s3 + str(maxval).encode() + b"\n" + plane)
+        assert _parse_ppm(buf) == (w, h, maxval, plane)
+        # trailing garbage after the plane is ignored (spec: readers
+        # take exactly w*h*3 bytes)
+        assert _parse_ppm(buf + b"junk")[3] == plane
+
+    run()

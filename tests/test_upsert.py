@@ -187,3 +187,34 @@ def test_retention_ages_by_merge_count_not_batch_id(spark, tmp_path,
     t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]), 1001)
     assert {(r.id, r.val) for r in t.read(spark).collect()} \
         == {(9, "z1")}
+
+
+def test_merge_seq_crash_replay_does_not_advance(spark, tmp_path,
+                                                 monkeypatch):
+    """The counter persists AFTER the data write: a merge that crashes
+    between the two re-reads the old counter on replay, so the replay
+    stamps/ages as the SAME merge — tombstone windows never advance
+    past data the table didn't durably see."""
+    t = _retaining(tmp_path / "t", 2)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false")]))
+    assert t._read_merge_seq(spark) == 0
+    # crash injection: data lands, counter write dies
+    real = UpsertTable._write_merge_seq
+
+    def boom(self, spark_, seq):
+        raise OSError("injected crash before counter persist")
+
+    monkeypatch.setattr(UpsertTable, "_write_merge_seq", boom)
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 1, "true")]))
+    monkeypatch.setattr(UpsertTable, "_write_merge_seq", real)
+    assert t._read_merge_seq(spark) == 0          # counter unmoved
+    # replay of the same batch: stamps as merge 1 (old counter + 1),
+    # identical to what the crashed attempt would have produced
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 1, "true")]))
+    assert t._read_merge_seq(spark) == 1
+    stored = spark.read.parquet(str(tmp_path / "t"))
+    tombs = {(r.id, r[UpsertTable.TOMB_COL]) for r in stored.collect()
+             if r[UpsertTable.TOMB_COL] is not None}
+    assert tombs == {(1, 1)}
