@@ -111,6 +111,19 @@ def run_embed(spark, ids):
     return embed_payload(_payloads(spark, ids)), "doc_id"
 
 
+def run_ppm_decode(spark, ids):
+    from kafka_connect_msk_demo_spark.pipeline.multimodal import (
+        decode_payload, with_ppm_payload)
+    import pyspark.sql.functions as F
+    docs = _docs(spark, [i if i is not None else 0 for i in ids])
+    payloads = with_ppm_payload(docs)
+    if any(i is None for i in ids):
+        payloads = payloads.withColumn(
+            "doc_id", F.when(F.col("doc_id") == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("doc_id")))
+    return decode_payload(payloads.coalesce(1), codec="ppm"), "doc_id"
+
+
 def run_cosine_pairs(spark, ids):
     from kafka_connect_msk_demo_spark.pipeline.similarity import (
         cosine_dup_pairs)
@@ -137,6 +150,7 @@ BOUNDARIES = [
     ("multimodal_frame_sample", run_frame_sample),
     ("multimodal_resize", run_resize),
     ("multimodal_embed", run_embed),
+    ("multimodal_ppm_decode", run_ppm_decode),
     ("cosine_dup_pairs", run_cosine_pairs),
     ("cosine_dup_pairs_blocked", run_blocked_pairs),
 ]
