@@ -389,9 +389,27 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     # it and stall staging indefinitely. O_NOFOLLOW refuses a
     # pre-planted symlink at the (still predictable, but now
     # uid-scoped) path.
+    # Availability fallback: a pre-planted foreign-owned file (or
+    # symlink — O_NOFOLLOW turns it into ELOOP) at the predictable
+    # lock path must not crash staging forever. The lock's parent dir
+    # is OURS (we makedirs'd it; a foreign-owned tree fails later at
+    # makedirs regardless) and not sticky, so we may unlink the
+    # planted entry and retry once; only if that also fails do we
+    # surface a diagnosable error instead of a bare EACCES.
     import fcntl
     lock = f"{d}.lock.{os.getuid()}"
-    fd = os.open(lock, os.O_CREAT | os.O_RDWR | os.O_NOFOLLOW, 0o600)
+    flags = os.O_CREAT | os.O_RDWR | os.O_NOFOLLOW
+    try:
+        fd = os.open(lock, flags, 0o600)
+    except OSError:
+        try:
+            os.unlink(lock)
+            fd = os.open(lock, flags, 0o600)
+        except OSError as e:
+            raise RuntimeError(
+                f"staging lock {lock!r} is unusable (pre-planted file "
+                f"or symlink not owned by uid {os.getuid()}?): {e}"
+            ) from e
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
         if _staged():

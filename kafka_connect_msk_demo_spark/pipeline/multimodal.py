@@ -282,6 +282,11 @@ def _parse_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
             tokens.append(int(tok))
             pos = end
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        # netpbm requires positive dimensions; a 0 would pass the
+        # plane-length check (0 == 0) and decode into a degenerate
+        # empty image instead of failing loudly
+        raise ValueError(f"non-positive PPM dimensions {w}x{h}")
     if not 0 < maxval < 256:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     if pos >= len(buf) or not buf[pos:pos + 1].isspace():

@@ -71,6 +71,31 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _read_small_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small UTF-8 marker file via the Hadoop FS API; None when
+    absent. Shared by the schema marker and the merge counter so the
+    stream handling / charset semantics can never diverge."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_small_text(spark: SparkSession, path: str, text: str) -> None:
+    """Overwrite-create a small UTF-8 marker file (Hadoop FS API)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 class UpsertTable:
     """Primary-keyed, partitioned, time-ordered parquet table with
     latest-wins MERGE (W5)."""
@@ -137,65 +162,38 @@ class UpsertTable:
         parquet footer, so an all-deletes table state would otherwise
         be unreadable. Hadoop FS API — works on file://, hdfs://,
         s3a:// alike."""
-        fs, _ = _hadoop_fs(spark, self.path)
-        p = spark._jvm.org.apache.hadoop.fs.Path(
-            f"{self.path}/{self.SCHEMA_MARKER}")
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(schema.json().encode("utf-8")))
-        finally:
-            out.close()
+        _write_small_text(spark, f"{self.path}/{self.SCHEMA_MARKER}",
+                          schema.json())
 
-    def _merge_seq_path(self, spark: SparkSession):
+    def _merge_seq_path(self) -> str:
         """SIBLING of the table dir (``<path>__merge_seq``), never
         inside it: the non-partitioned merge swaps the whole table dir
         (delete + rename), so an in-dir marker would be lost by a
         crash between the swap and the counter persist — the sibling
         survives any data-dir rewrite in both layouts."""
-        return spark._jvm.org.apache.hadoop.fs.Path(
-            f"{self.path.rstrip('/')}__merge_seq")
+        return f"{self.path.rstrip('/')}__merge_seq"
 
     def _read_merge_seq(self, spark: SparkSession) -> int:
         """Persisted count of completed merges (retention mode only);
         -1 when the table has never merged."""
-        fs, _ = _hadoop_fs(spark, self.path)
-        p = self._merge_seq_path(spark)
-        if not fs.exists(p):
+        raw = _read_small_text(spark, self._merge_seq_path())
+        if raw is None:
             return -1
-        stream = fs.open(p)
-        try:
-            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8")
-        finally:
-            stream.close()
         try:
             return int(raw.strip())
         except ValueError:
             return -1
 
     def _write_merge_seq(self, spark: SparkSession, seq: int) -> None:
-        fs, _ = _hadoop_fs(spark, self.path)
-        out = fs.create(self._merge_seq_path(spark), True)
-        try:
-            out.write(bytearray(str(seq).encode("utf-8")))
-        finally:
-            out.close()
+        _write_small_text(spark, self._merge_seq_path(), str(seq))
 
     def _read_schema_marker(self, spark: SparkSession):
         import json as _json
 
         from pyspark.sql import types as T
-        fs, _ = _hadoop_fs(spark, self.path)
-        p = spark._jvm.org.apache.hadoop.fs.Path(
-            f"{self.path}/{self.SCHEMA_MARKER}")
-        if not fs.exists(p):
+        raw = _read_small_text(spark, f"{self.path}/{self.SCHEMA_MARKER}")
+        if raw is None:
             return None
-        stream = fs.open(p)
-        try:
-            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8")
-        finally:
-            stream.close()
         return T.StructType.fromJson(_json.loads(raw))
 
     def _live(self, df: DataFrame) -> DataFrame:
@@ -293,7 +291,25 @@ class UpsertTable:
                          .join(incoming.select(*self.key_cols).distinct(),
                                self.key_cols, "left_semi")
                          .select(self.partition_by).distinct().collect())
-                parts = sorted({*in_parts, *[r[0] for r in moved]})
+                # Partitions holding tombstones this merge ages OUT of
+                # the retention window must also be rewritten — the
+                # purge in _merged_state only reaches partitions in the
+                # rewrite set, so without this a tombstone in a cold
+                # partition would outlive its window (unbounded
+                # accumulation) and the "purged once N further merges
+                # have completed" contract would hold only for hot
+                # partitions. The lookup is a 2-column pruned scan, and
+                # each tombstone triggers at most ONE extra partition
+                # rewrite in its lifetime (at age N, then it is gone).
+                aged = []
+                if retain:
+                    aged = (base
+                            .filter(F.col(self.TOMB_COL)
+                                    <= stamp - self.retain_tombstones)
+                            .select(self.partition_by).distinct()
+                            .collect())
+                parts = sorted({*in_parts, *[r[0] for r in moved],
+                                *[r[0] for r in aged]})
                 affected = base.filter(F.col(self.partition_by).isin(parts))
                 live = self._merged_state(
                     self._latest_wins(affected.unionByName(incoming)),
@@ -392,8 +408,12 @@ class UpsertTable:
         small-file debt the same way frequent micro-batch commits do).
 
         Data is byte-identical afterwards — compaction only changes the
-        file layout, which tests assert by content equality. Returns
-        the list of partitions rewritten.
+        file layout, which tests assert by content equality. The
+        rewrite reads the STORED state, so in ``retain_tombstones``
+        mode in-window tombstone rows (and their stamp column) survive
+        compaction — a layout service must never shrink the
+        resurrection-protection window. Returns the list of partitions
+        rewritten.
 
         Scale shape: the policy reads FS metadata only; each selected
         partition is read once, repartitioned to its target file count,
@@ -408,16 +428,16 @@ class UpsertTable:
         if self.partition_by:
             for part, nfiles in todo:
                 val = part.split("=", 1)[1]
-                sub = self.read(spark).filter(
+                sub = self._read_stored(spark).filter(
                     F.col(self.partition_by) == val)
                 with _dynamic_overwrite(spark):
                     (sub.repartition(nfiles).write.mode("overwrite")
                      .partitionBy(self.partition_by).parquet(self.path))
         else:
             nfiles = todo[0][1]
-            live = self.read(spark).repartition(nfiles)
+            stored = self._read_stored(spark).repartition(nfiles)
             tmp = f"{self.path.rstrip('/')}__compact_tmp"
-            live.write.mode("overwrite").parquet(tmp)
+            stored.write.mode("overwrite").parquet(tmp)
             fs, jpath = _hadoop_fs(spark, self.path)
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path
             fs.delete(jpath, True)

@@ -159,6 +159,32 @@ def test_staged_chunks_have_strictly_increasing_mtimes(sf_small):
     assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:])), mtimes
 
 
+def test_staging_recovers_from_planted_lock_entry(sf_small, tmp_path,
+                                                  monkeypatch):
+    """A pre-planted entry at the predictable per-uid lock path (a
+    symlink here — O_NOFOLLOW turns it into ELOOP, the same failure
+    shape as a foreign-owned 0o600 file's EACCES) must not crash
+    staging forever: the lock's parent dir is ours, so _stream_dir
+    unlinks the planted entry and retries once."""
+    import glob
+    import os
+    import tempfile
+
+    import kafka_connect_msk_demo_spark.catalog as cat
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    safe = sf_small.strip("/").replace("/", "_")
+    d = os.path.join(str(tmp_path), "spark_graft_streams", safe,
+                     "events-c3")
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    lock = f"{d}.lock.{os.getuid()}"
+    os.symlink("/nonexistent-target", lock)
+    staged = cat._stream_dir(sf_small, "events", chunks=3)
+    assert staged == d
+    assert not os.path.islink(lock), "planted symlink not replaced"
+    assert len(glob.glob(os.path.join(d, "part-*.parquet"))) == 3
+
+
 def test_concurrent_staging_yields_one_valid_dir(sf_small, tmp_path):
     """ADVICE r6 (catalog lock TOCTOU): N processes racing to stage the
     same stream dir must serialize through the flock and leave exactly

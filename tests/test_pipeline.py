@@ -143,7 +143,9 @@ def test_ppm_parser_unit():
                 b"P6\n2 2\n999\n" + plane,        # 2-byte maxval
                 b"P6\n2 2\n255\n" + plane[:-1],   # truncated plane
                 b"P6\n2 2",                         # truncated header
-                b"P6\n2 2\n255"):                  # no ws after maxval
+                b"P6\n2 2\n255",                   # no ws after maxval
+                b"P6\n0 2\n255\n",                 # zero width
+                b"P6\n2 0\n255\n"):                # zero height
         with _pytest.raises(ValueError):
             _parse_ppm(bad)
 

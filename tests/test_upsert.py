@@ -189,6 +189,57 @@ def test_retention_ages_by_merge_count_not_batch_id(spark, tmp_path,
         == {(9, "z1")}
 
 
+@pytest.mark.parametrize("part", [None, "part"])
+def test_compact_preserves_inwindow_tombstones(spark, tmp_path, part):
+    """compact() is a LAYOUT service: it must rewrite the STORED state,
+    tombstones included. Rewriting from read() (live rows only) would
+    silently purge every in-window tombstone and its stamp column, so
+    an isolated pre-tombstone replay after a compact would resurrect
+    the deleted key inside the retention window."""
+    t = _retaining(tmp_path / "t", 5, partition_by=part)
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                 (2, "a", "w1", 10, 0, "false")]))
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true")]))
+    before = {tuple(r) for r in t._read_stored(spark).collect()}
+    assert any(r[UpsertTable.TOMB_COL] is not None
+               for r in t._read_stored(spark).collect())
+    t.compact(spark, target_bytes=1 << 30, min_files=0)
+    stored = t._read_stored(spark)
+    assert UpsertTable.TOMB_COL in stored.columns
+    assert {tuple(r) for r in stored.collect()} == before
+    # resurrection stays blocked across the compact
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 5, 0, "false")]))
+    assert {(r.id, r.val) for r in t.read(spark).collect()} \
+        == {(2, "w1")}
+
+
+def test_cold_partition_tombstone_purged_at_age(spark, tmp_path):
+    """A tombstone in a partition NO later merge touches must still be
+    purged once its window closes: the merge's rewrite set includes
+    aged-tombstone partitions, so cold partitions cannot accumulate
+    tombstones forever (the purge contract is 'N further merges', not
+    'N further merges that happen to hit the same partition')."""
+    t = _retaining(tmp_path / "t", 1, partition_by="part")
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 10, 0, "false"),
+                                 (2, "b", "w1", 10, 0, "false")]))
+    t.merge_batch(_batch(spark, [(1, "a", "v1", 20, 0, "true")]))
+    tombs = [r for r in t._read_stored(spark).collect()
+             if r[UpsertTable.TOMB_COL] is not None]
+    assert [(r.id, r.part) for r in tombs] == [(1, "a")]
+    # two further merges touch ONLY partition b; window N=1 expires
+    # the part-a tombstone on the first of them
+    t.merge_batch(_batch(spark, [(2, "b", "w2", 30, 0, "false")]))
+    stored = t._read_stored(spark)
+    assert stored.filter(
+        stored[UpsertTable.TOMB_COL].isNotNull()).count() == 0
+    # ... and the vacated partition directory is gone too
+    import os
+    assert not os.path.exists(str(tmp_path / "t" / "part=a"))
+    t.merge_batch(_batch(spark, [(2, "b", "w3", 40, 0, "false")]))
+    assert {(r.id, r.val) for r in t.read(spark).collect()} \
+        == {(2, "w3")}
+
+
 def test_merge_seq_crash_replay_does_not_advance(spark, tmp_path,
                                                  monkeypatch):
     """The counter persists AFTER the data write: a merge that crashes
