@@ -367,9 +367,17 @@ def ewma_halving(df: DataFrame, key_col: str, order_cols: list[str],
              for c in order_cols]
     order_out = [F.unix_micros(c).alias(n) if n != c else F.col(c)
                  for c, n in zip(order_cols, names)]
+    # an ALL-NULL window (n_window = 0, possible only when value_col
+    # carries nulls) has no defined EWMA: norm is exactly 0.0 there,
+    # which ANSI mode (Spark 4 default) rejects as DIVIDE_BY_ZERO
+    # mid-scan — guard the branch explicitly and emit NULL (the
+    # streaming twin emits the same; NaN is not an option there, since
+    # pandas→Arrow reads a float64 NaN as the null sentinel anyway)
+    ewma = F.when(F.col("n_window") == 0,
+                  F.lit(None).cast("double")) \
+        .otherwise((folded / norm) / F.lit(float(scale)))
     return (d.select(key_col, *order_out, value_col, "n_window",
-                     ((folded / norm) / F.lit(float(scale)))
-                     .alias("ewma"))
+                     ewma.alias("ewma"))
             .orderBy(key_col, *names))
 
 

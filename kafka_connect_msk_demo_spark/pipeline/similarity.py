@@ -134,6 +134,11 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     kernel on the sf0.1 sweep."""
     spark = vectors.sparkSession
     qpd = queries.select("q_id", "q_vec").toPandas()
+    if not len(qpd):
+        # np.stack raises on a zero-length sequence; no queries means
+        # an empty result, not a driver-side crash
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos double, rank int")
     q_ids = exact_longs(qpd["q_id"], "q_id",
                         allow_null=False).to_numpy(np.int64)
     Qm = _np_stack(qpd["q_vec"])
@@ -186,8 +191,8 @@ def queries_by_mod(vectors: DataFrame, mod: int, id_col: str = "vec_id",
 
 
 def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.45,
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     dim: int = 64) -> DataFrame:
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
     """Exact embedding near-dup pairs (d1 < d2, cosine ≥ threshold) —
     VALIDATION/TEST HELPER ONLY, not registered: ``toPandas()``
     collects the whole corpus to the driver before broadcasting, which
@@ -240,7 +245,6 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.45,
 def cosine_dup_pairs_blocked(vectors: DataFrame, threshold: float = 0.45,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             dim: int = 64,
                              nblocks: int = 8) -> DataFrame:
     """Exact embedding near-dup pairs (d1 < d2, cosine ≥ threshold) as
     a distributed block-matrix self-join — NO corpus-sized driver
@@ -389,7 +393,7 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         queries.select("q_id", as_double("q_vec").alias("q_vec")),
         nbits, dim, tables)
         .filter(F.col("vec_id") != F.col("q_id")))
-    return _rerank_topk(cand, k, dim)
+    return _rerank_topk(cand, k)
 
 
 def _lsh_probe_candidates(data_src: DataFrame, q_src: DataFrame,
@@ -420,7 +424,7 @@ def _lsh_probe_candidates(data_src: DataFrame, q_src: DataFrame,
             .dropDuplicates(["q_id", "vec_id"]))
 
 
-def _rerank_topk(cand: DataFrame, k: int, dim: int) -> DataFrame:
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     """Exact-cosine rerank + per-query top-k of a candidate frame
     carrying (q_id, q_vec, vec_id, v).
 
@@ -580,17 +584,29 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
             order = sorted(range(len(cents)), key=lambda i: cents[i][0])
             ids = [cents[i][0] for i in order]
             C = np.stack([np.asarray(cents[i][1]) for i in order])
-            Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]
-            bc = spark.sparkContext.broadcast((ids, Cn))
+            c_nrm = _np_seq_norm(C)
+            bc = spark.sparkContext.broadcast((ids, C, c_nrm))
 
             def partials(batches):
-                cids, CnT = bc.value[0], bc.value[1].T
+                cids, Cm, nc = bc.value
                 for pdf in batches:
                     if not len(pdf):
                         continue
                     A = _np_stack(pdf["v"])
-                    An = A / np.sqrt((A * A).sum(axis=1))[:, None]
-                    cell = (An @ CnT).argmax(axis=1)
+                    # the SAME sequential-dim-axis kernel as
+                    # brute_force_topk and the dot/(‖a‖·‖b‖) shape of
+                    # ivf_assign/_COS_CENT: a normalize-then-BLAS-matmul
+                    # assignment would accumulate in a vendor/ISA-
+                    # dependent order, so a ULP-tied vector could land
+                    # in a different cell under OpenBLAS vs MKL vs the
+                    # oracle's fold — silently changing the trained
+                    # index across machines.
+                    na = _np_seq_norm(A)
+                    acc = A[:, 0:1] * Cm[:, 0][None, :]
+                    for j in range(1, A.shape[1]):
+                        acc = acc + A[:, j:j + 1] * Cm[:, j][None, :]
+                    cell = (acc / (na[:, None] * nc[None, :])).argmax(
+                        axis=1)
                     rows = []
                     for ci in np.unique(cell):
                         # Quantize BEFORE summing: int64 addition is
@@ -614,6 +630,10 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
             agg = data.mapInPandas(
                 partials,
                 "c_id long, n long, qsum array<long>").collect()
+            # the collect above fully consumed this iteration's plan —
+            # release the broadcast blocks now instead of letting
+            # `iters` generations pile up until ContextCleaner GC
+            bc.unpersist()
             totals: dict[int, tuple[int, np.ndarray]] = {}
             for r in agg:
                 n0, s0 = totals.get(
@@ -722,7 +742,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
               .select("q_id", "q_vec", F.col("c_id").alias("cell")))
     cand = (data.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("q_id")))
-    return _rerank_topk(cand, k, 64)
+    return _rerank_topk(cand, k)
 
 
 def embedding_dim_stats(vecs: DataFrame, vec_col: str = "embedding",
@@ -791,7 +811,7 @@ def hard_negative_topk(vectors: DataFrame, k: int = 5, nbits: int = 6,
         F.col(label_col).alias("q_lbl"))
     cand = (_lsh_probe_candidates(data_src, q_src, nbits, dim, tables)
             .filter(F.col("lbl") != F.col("q_lbl")))
-    return _rerank_topk(cand, k, dim)
+    return _rerank_topk(cand, k)
 
 
 def label_centroid_similarity(vecs: DataFrame, quant: int = 1 << 20,

@@ -6211,6 +6211,14 @@ _DRIVER_PRIORITY = [
     # r9 sanctioned addition (VERDICT r8 ask #5) — never-green, so it
     # heads the r9 window alongside the r4-stale rotation backlog.
     "multimodal_decode",
+    # r9 plan rewrites (_PLAN_REWRITTEN_AFTER): voided rows make these
+    # never-green again, and never-green seeds must precede every
+    # staler-green seed for the rotation's move-to-back invariant to
+    # hold (stream_running_user_stats and semdedup_trained moved here
+    # from their original sections for the same reason).
+    "stream_running_user_stats", "semdedup_trained", "ewma_smooth",
+    "ivf_kmeans_topk", "stream_record_high", "stream_anomaly",
+    "stream_ewma",
     # r2 driver FAIL whose fix has never seen a driver row — first.
     "lang_stats",
     # round-3 pipeline tail (registry positions 51+ last round)
@@ -6221,7 +6229,7 @@ _DRIVER_PRIORITY = [
     "pretraining_filter", "knn_classify", "weighted_sample",
     # round-3 streaming tail
     "stream_sales_by_type", "stream_windowed_by_type",
-    "stream_enriched_windowed", "stream_running_user_stats",
+    "stream_enriched_windowed",
     "stream_stream_join", "stream_session_agg",
     # new in round 4
     "dedup_clusters_lsh", "sales_by_country_decimal",
@@ -6254,7 +6262,7 @@ _DRIVER_PRIORITY = [
     "dedup_keep_best", "boilerplate_audit", "lang_confusion",
     "decontaminate_report",
     # round-5 additions (behind the never-verified backlog)
-    "lang_confusion_shares", "epoch_shard", "semdedup_trained",
+    "lang_confusion_shares", "epoch_shard",
     # round-7: the sanctioned streaming-MoR addition and the
     # re-verification of the re-planned pair scorer (VERDICT r6 asks
     # #2/#3) — never-green, so they sit right behind the 19-query
@@ -6270,7 +6278,25 @@ _DRIVER_PRIORITY = [
 #: all-pairs scorer; the distributed block-tile rewrite landed in r6
 #: (pipeline/similarity.py cosine_dup_pairs_blocked) and has never
 #: been driver-checked (VERDICT r6 ask #2).
-_PLAN_REWRITTEN_AFTER = {"embedding_dup_pairs": 6}
+#: The r9 entries void rows ≤ r8: the k-means trainer's cell
+#: assignment moved from a BLAS normalize-then-matmul to the module's
+#: sequential-fold kernel (pipeline/similarity.py kmeans_centroids),
+#: the four stateful streaming kernels gained null-value handling
+#: matching their batch twins (streaming/stateful.py), and
+#: ewma_halving's output expression gained the ANSI-safe all-null
+#: window guard (operators/temporal.py) — results are identical on
+#: null-free data, but the executed plans are new and must re-earn
+#: their driver rows.
+_PLAN_REWRITTEN_AFTER = {
+    "embedding_dup_pairs": 6,
+    "ewma_smooth": 8,
+    "stream_ewma": 8,
+    "stream_anomaly": 8,
+    "stream_record_high": 8,
+    "stream_running_user_stats": 8,
+    "ivf_kmeans_topk": 8,
+    "semdedup_trained": 8,
+}
 
 
 def _driver_green_rounds() -> dict[str, int]:

@@ -32,6 +32,23 @@ STATE_SCHEMA = "n bigint, vmax double, last_us bigint"
 OUTPUT_SCHEMA = "user_id bigint, n bigint, vmax double, last_us bigint"
 
 
+def _gather_sorted(pdfs: Iterator[pd.DataFrame],
+                   cols: list[str]) -> pd.DataFrame | None:
+    """Concatenate a group's Arrow chunks and sort by ``cols``; None
+    when the micro-batch delivered no rows. A group larger than the
+    Arrow batch size arrives as SEVERAL pdfs within one micro-batch —
+    the order-dependent folds must see one frame, and every operator
+    must skip empty chunks (an empty ``pd.concat`` input raises, and an
+    empty series' ``max()`` is NaN). Shared so the guard cannot be
+    forgotten in the next stateful operator."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    pdf = (pd.concat(chunks, ignore_index=True)
+           if len(chunks) > 1 else chunks[0])
+    return pdf.sort_values(cols, ignore_index=True)
+
+
 def running_user_stats(stream: DataFrame,
                        key_col: str = "user_id",
                        ts_col: str = "ts",
@@ -49,12 +66,18 @@ def running_user_stats(stream: DataFrame,
                state: GroupState) -> Iterator[pd.DataFrame]:
         n, vmax, last_us = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
-            n += len(pdf)
+            n += len(pdf)  # COUNT(*): null values still count rows
+            # skipna max: an all-null (or empty) chunk yields NaN,
+            # which must not poison the running state (max(NaN, x)
+            # keeps NaN forever) — MAX ignores NULLs, like the oracle
             batch_max = pdf["v"].max()
-            vmax = batch_max if vmax is None else max(vmax, batch_max)
+            if not pd.isna(batch_max):
+                vmax = float(batch_max) if vmax is None \
+                    else max(vmax, float(batch_max))
             batch_last = pdf["us"].max()
-            last_us = batch_last if last_us is None \
-                else max(last_us, batch_last)
+            if not pd.isna(batch_last):
+                last_us = int(batch_last) if last_us is None \
+                    else max(last_us, int(batch_last))
         state.update((n, vmax, last_us))
         yield pd.DataFrame({"user_id": [key[0]], "n": [n],
                             "vmax": [vmax], "last_us": [last_us]})
@@ -126,26 +149,33 @@ def rolling_anomaly_stream(stream: DataFrame, lookback: int = 20,
                state: GroupState) -> Iterator[pd.DataFrame]:
         vals = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        # a group larger than the Arrow batch size arrives as SEVERAL
-        # pdfs within one micro-batch — concatenate before sorting, or
-        # the order-dependent fold would run per-chunk order only
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = (pd.concat(chunks, ignore_index=True)
-                   if len(chunks) > 1 else chunks[0])
-            pdf = pdf.sort_values(["us", "event_id"])
-            for eid, vq in zip(exact_longs(pdf["event_id"], "event_id"),
-                               pdf["v_q"]):
+        pdf = _gather_sorted(pdfs, ["us", "event_id"])
+        if pdf is not None:
+            exact_longs(pdf["v_q"], "v_q")
+            for eid, vq in zip(
+                    exact_longs(pdf["event_id"], "event_id",
+                                allow_null=False),
+                    pdf["v_q"]):
+                # a NULL value occupies a trailing-window SLOT but
+                # contributes nothing and is never flagged — the batch
+                # twin's rowsBetween counts physical rows while
+                # count/sum skip nulls, and its flag condition is NULL
+                if pd.isna(vq):
+                    vals.append(None)
+                    if len(vals) > lookback:
+                        vals.pop(0)
+                    continue
                 vq = int(vq)
                 vals.append(vq)
                 if len(vals) > lookback:
                     vals.pop(0)
-                n = len(vals)
-                s = sum(vals)
-                ss = sum(x * x for x in vals)
+                present = [x for x in vals if x is not None]
+                n = len(present)
+                s = sum(present)
+                ss = sum(x * x for x in present)
                 dev = n * vq - s
                 if n >= min_obs and dev * dev > kk * (n * ss - s * s):
-                    out.append((key[0], eid, vq, n, s))
+                    out.append((key[0], int(eid), vq, n, s))
         state.update((vals,))
         if out:
             yield pd.DataFrame(
@@ -193,27 +223,34 @@ def ewma_stream(stream: DataFrame, frame: int = 32, scale: int = 100,
                state: GroupState) -> Iterator[pd.DataFrame]:
         vals = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        # concatenate Arrow chunks before sorting — a group larger
-        # than the Arrow batch size spans several pdfs per micro-batch
-        # and the fold is order-dependent
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = (pd.concat(chunks, ignore_index=True)
-                   if len(chunks) > 1 else chunks[0])
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        pdf = _gather_sorted(pdfs, ["ts_us", "event_id"])
+        if pdf is not None:
+            exact_longs(pdf["q_v"], "q_v")
             for us, eid, val, qv in zip(
-                    exact_longs(pdf["ts_us"], "ts_us"),
-                    exact_longs(pdf["event_id"], "event_id"),
+                    exact_longs(pdf["ts_us"], "ts_us",
+                                allow_null=False),
+                    exact_longs(pdf["event_id"], "event_id",
+                                allow_null=False),
                     pdf["value"], pdf["q_v"]):
-                vals.append(int(qv))
+                # a NULL value occupies a window SLOT but is absent
+                # from the fold, exactly like the batch twin (its
+                # collect_list drops nulls inside the rows frame); the
+                # row is still emitted, with value NULL and the EWMA of
+                # the remaining window (NULL when the window is
+                # all-null — no observation, no defined EWMA; the
+                # batch twin guards its norm division the same way)
+                vals.append(None if pd.isna(qv) else int(qv))
                 if len(vals) > frame:
                     vals.pop(0)
-                n = len(vals)
+                present = [x for x in vals if x is not None]
+                n = len(present)
                 s = 0.0
-                for x in vals:
+                for x in present:
                     s = (x + s) / 2.0
-                ewma = (s / (1.0 - 2.0 ** -n)) / float(scale)
-                out.append((key[0], int(us), int(eid), float(val),
+                ewma = None if n == 0 \
+                    else (s / (1.0 - 2.0 ** -n)) / float(scale)
+                out.append((key[0], int(us), int(eid),
+                            None if pd.isna(val) else float(val),
                             n, ewma))
         state.update((vals,))
         if out:
@@ -265,12 +302,16 @@ def record_high_stream(stream: DataFrame,
     def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         cur = state.get[0] if state.exists else None
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if not chunks:
+        pdf = _gather_sorted(pdfs, ["ts_us", "event_id"])
+        if pdf is None:
             return
-        pdf = (pd.concat(chunks, ignore_index=True)
-               if len(chunks) > 1 else chunks[0])
-        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        # NULL values can neither be record highs nor raise the
+        # running max (the oracle's MAX ignores NULLs) — and a NaN
+        # surviving into cummax would poison the shifted mask (the
+        # NaN position reads as "no previous max", emitting non-records)
+        pdf = pdf.dropna(subset=["value"], ignore_index=True)
+        if not len(pdf):
+            return
         exact_longs(pdf["event_id"], "event_id")
         exact_longs(pdf["ts_us"], "ts_us")
         prev = pdf["value"].cummax().shift(1)
