@@ -659,6 +659,15 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
     """
     from ..operators.ranking import exact_global_rank
 
+    if window < 2:
+        # sequence(rn+1, rn+window-1) DESCENDS when start > stop (the
+        # same Spark hazard text_analysis documents for sequence(1,0)),
+        # so window<=1 would emit self-probes / duplicated neighbors
+        # instead of the correct "no neighborhood" answer: no pairs.
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "d1 long, d2 long, jac double")
+
     key = F.substring(F.lower(F.trim(F.col(text_col))), 1, key_len)
     ranked = (exact_global_rank(
         docs.select(F.col(id_col).alias("doc_id"), key.alias("ky")),
@@ -705,7 +714,7 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokens(text_col).alias("t"))
     kg = toks.select(
-        "doc_id", F.size("t").alias("n"),
+        "doc_id",
         F.explode(F.expr(
             f"CASE WHEN size(t) >= {k} THEN "
             f"transform(sequence(1, size(t) - {k} + 1), "
@@ -735,7 +744,10 @@ def winnowing_pairs(docs: DataFrame, k: int = 3, w: int = 4,
     count — the MOSS match report. The join key is the fingerprint
     (inverted index over the 2/(w+1)-dense fingerprint set, never the
     full shingle set)."""
-    fps = winnowing_fingerprints(docs, k, w, id_col, text_col)
+    # persist: both self-join sides would otherwise re-run the full
+    # tokenize/gram/two-window fingerprint pipeline (the same reason
+    # jaccard_pairs/simhash_pairs persist their self-joined frames)
+    fps = winnowing_fingerprints(docs, k, w, id_col, text_col).persist()
     a = fps.select(F.col("doc_id").alias("d1"), "fp")
     b = fps.select(F.col("doc_id").alias("d2"), "fp")
     return (a.join(b, "fp")

@@ -588,8 +588,9 @@ WITH base AS (
 ), m AS (
   SELECT doc_id,
          0.4 * (least(len(t), 64)::DOUBLE / 64.0)
-           + 0.3 * (1.0 - len(regexp_extract_all(low,
-                 '{text_analysis.PUNCT_RE}'))::DOUBLE / length(low))
+           + 0.3 * (1.0 - coalesce(len(regexp_extract_all(low,
+                 '{text_analysis.PUNCT_RE}'))::DOUBLE
+                 / nullif(length(low), 0), 0.0))
            + 0.3 * least(len(list_filter(t, x -> x IN ({_STOP_SQL})))::DOUBLE
                          / len(t) * 5.0, 1.0) AS quality
   FROM base
@@ -690,8 +691,9 @@ SELECT doc_id,
            AS n_re_tokens,
        len(regexp_extract_all(low, '{text_analysis.PUNCT_RE}'))
            AS n_punct,
-       len(regexp_extract_all(low, '{text_analysis.PUNCT_RE}'))::DOUBLE
-           / length(low) AS punct_ratio,
+       coalesce(len(regexp_extract_all(low,
+           '{text_analysis.PUNCT_RE}'))::DOUBLE
+           / nullif(length(low), 0), 0.0) AS punct_ratio,
        length(low)::DOUBLE / len(t) AS mean_token_len
 FROM base
 ORDER BY doc_id
@@ -711,8 +713,9 @@ WITH base AS (
 ), m AS (
   SELECT doc_id,
          len(t) AS n_tokens,
-         len(regexp_extract_all(low, '{text_analysis.PUNCT_RE}'))::DOUBLE
-             / length(low) AS punct_ratio,
+         coalesce(len(regexp_extract_all(low,
+             '{text_analysis.PUNCT_RE}'))::DOUBLE
+             / nullif(length(low), 0), 0.0) AS punct_ratio,
          len(list_filter(t, x -> x IN ({_STOP_SQL})))::DOUBLE / len(t)
              AS stop_ratio
   FROM base
@@ -2007,8 +2010,8 @@ WITH base AS (
 ), m AS (
   SELECT doc_id,
          len(t) AS n_tokens,
-         len(regexp_extract_all(low, '{{punct}}'))::DOUBLE
-             / length(low) AS punct_ratio,
+         coalesce(len(regexp_extract_all(low, '{{punct}}'))::DOUBLE
+             / nullif(length(low), 0), 0.0) AS punct_ratio,
          len(list_filter(t, x -> x IN ({{stops}})))::DOUBLE / len(t)
              AS stop_ratio
   FROM base
@@ -2078,8 +2081,11 @@ def _sql_cms_counts() -> str:
          "|| ':' || {w}), 1, 12) AS BIGINT) % " + str(CMS_WIDTH))
     return f"""
 WITH tok AS (
-  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
-  FROM documents
+  -- mirror cms_estimate's null-key filter (no-op here: string_split
+  -- never yields NULL elements, only '')
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+    FROM documents) WHERE w IS NOT NULL
 ), c AS (SELECT w, COUNT(*) AS cnt_exact FROM tok GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_total FROM tok),
 probes AS (
@@ -2703,8 +2709,9 @@ WITH d AS (
 ), qual AS (
   SELECT doc_id,
          0.4 * (least(len(t), 64)::DOUBLE / 64.0)
-           + 0.3 * (1.0 - len(regexp_extract_all(low,
-                 '{text_analysis.PUNCT_RE}'))::DOUBLE / length(low))
+           + 0.3 * (1.0 - coalesce(len(regexp_extract_all(low,
+                 '{text_analysis.PUNCT_RE}'))::DOUBLE
+                 / nullif(length(low), 0), 0.0))
            + 0.3 * least(len(list_filter(t, x -> x IN ({_STOP_SQL})))
                          ::DOUBLE / len(t) * 5.0, 1.0) AS quality
   FROM d

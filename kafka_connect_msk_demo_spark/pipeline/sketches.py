@@ -52,7 +52,12 @@ def _kmv_partial_kernel(key_col: str, group_col: str, k: int,
 
     def kernel(batches):
         mins: dict[str, list] = {}   # group -> sorted list, ≤ k
-        memo: dict[object, int] = {}  # key -> hash (keys repeat a lot)
+        # key -> hash memo (keys repeat a lot); BOUNDED like dedup's
+        # shingle cache — an unbounded memo over billions of distinct
+        # streamed keys would OOM the worker, the exact regime KMV
+        # exists for (clearing only costs re-hashing later repeats)
+        memo: dict[object, int] = {}
+        memo_max = 1 << 20
         import bisect
         for pdf in batches:
             for g, key in zip(pdf[group_col], pdf[key_col]):
@@ -67,6 +72,8 @@ def _kmv_partial_kernel(key_col: str, group_col: str, k: int,
                     key = 0.0
                 h = memo.get(key)
                 if h is None:
+                    if len(memo) >= memo_max:
+                        memo.clear()
                     digest = hashlib.md5(
                         f"{salt}:{key}".encode()).hexdigest()
                     h = int(digest[:12], 16)
@@ -117,13 +124,30 @@ def _kmv_sketch(df: DataFrame, key_col: str, group_col: str,
     else:
         key_expr = F.col(key_col)
     src = df.select(F.col(group_col), key_expr)
+    # the kernel passes group values through untouched, so the output
+    # schema must carry the group column's ACTUAL type — hard-coding
+    # `string` crashed (or mis-joined) any non-string group column
+    group_ddl = df.schema[group_col].dataType.simpleString()
     partials = src.mapInPandas(
         _kmv_partial_kernel(key_col, group_col, k, salt),
-        f"{group_col} string, h long")
+        f"{group_col} {group_ddl}, h long")
     w = Window.partitionBy(group_col).orderBy("h")
     return (partials.distinct()
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+def _non_null_keys(df: DataFrame, key_col: str) -> DataFrame:
+    """Rows whose key the SKETCH kernel would count: non-null, and for
+    float keys non-NaN too (pandas ``isna`` treats NaN as null, but
+    Spark's ``count_distinct`` counts NaN as a value — without this the
+    exact audit side and the sketch disagree on NaN-bearing keys, and
+    an all-NaN group gets a truth row but no sketch row)."""
+    from pyspark.sql.types import DoubleType, FloatType
+    out = df.filter(F.col(key_col).isNotNull())
+    if isinstance(df.schema[key_col].dataType, (FloatType, DoubleType)):
+        out = out.filter(~F.isnan(F.col(key_col)))
+    return out
 
 
 def kmv_distinct(df: DataFrame, key_col: str, group_col: str,
@@ -140,7 +164,7 @@ def kmv_distinct(df: DataFrame, key_col: str, group_col: str,
               .agg(F.count(F.lit(1)).alias("n_h"),
                    F.max(F.when(F.col("rk") == k,
                                 F.col("h"))).alias("kth")))
-    true = (df.filter(F.col(key_col).isNotNull())
+    true = (_non_null_keys(df, key_col)
             .groupBy(group_col)
             .agg(F.count_distinct(F.col(key_col)).alias("n_true")))
     est = F.when(F.col("n_h") < k, F.col("n_h").cast("double")) \
@@ -201,7 +225,7 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str,
     regs = (hll_register_rows(df, key_col, group_col, salt)
             .groupBy(group_col, "reg")
             .agg(F.max("rho").alias("max_rho")))
-    true = (df.filter(F.col(key_col).isNotNull())
+    true = (_non_null_keys(df, key_col)
             .groupBy(group_col)
             .agg(F.count_distinct(F.col(key_col)).alias("n_true")))
     return hll_estimate(regs, true, group_col)
@@ -291,6 +315,13 @@ def cms_estimate(items: DataFrame, probes: DataFrame, key_col: str,
     Memory is O(depth·width) no matter how many billions of items
     stream by — the point of a sketch.
     """
+    # NULL keys are not items: concat_ws silently DROPS a null arg, so
+    # every null would hash as the bare salt into one phantom cell per
+    # row (inflating any probe that collides with it), and a null
+    # probe would return a row keyed NULL reading that phantom counter.
+    # The sibling sketches (KMV/HLL) skip nulls the same way.
+    items = items.filter(F.col(key_col).isNotNull())
+    probes = probes.filter(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     cells = items.select(F.explode(F.array(*[
         F.struct(F.lit(d).alias("d"),
@@ -370,7 +401,7 @@ def kmv_set_ops(df: DataFrame, key_col: str, group_col: str,
     nboth = (both.groupBy("ta", "tb")
              .agg(F.count(F.lit(1)).alias("n_both")))
     # exact audit counts
-    e = (df.filter(F.col(key_col).isNotNull())
+    e = (_non_null_keys(df, key_col)
          .select(F.col(group_col).alias("g"), F.col(key_col).alias("u"))
          .distinct())
     per_type = e.groupBy("g").agg(F.count(F.lit(1)).alias("n_t"))

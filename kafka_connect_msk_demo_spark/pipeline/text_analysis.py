@@ -60,9 +60,20 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
         F.size(ws).alias("n_tokens"),
         F.size(re_toks).alias("n_re_tokens"),
         n_punct.alias("n_punct"),
-        (n_punct.cast("double") / F.length(low)).alias("punct_ratio"),
+        _punct_ratio(low, n_punct).alias("punct_ratio"),
+        # split(" ") of any string yields >= 1 token ([""] for empty
+        # text), so this denominator can never be zero
         (F.length(low).cast("double") / F.size(ws)).alias("mean_token_len"),
     )
+
+
+def _punct_ratio(low, n_punct):
+    """punct/chars with the empty-text branch pinned to 0.0: an empty
+    or whitespace-only doc has length(low) = 0, and ANSI mode (Spark 4
+    default) raises DIVIDE_BY_ZERO instead of returning NULL — the
+    oracles guard the same way (coalesce(x / nullif(len, 0), 0.0))."""
+    return F.when(F.length(low) == 0, F.lit(0.0)) \
+        .otherwise(n_punct.cast("double") / F.length(low))
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
@@ -76,9 +87,9 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     Deterministic double arithmetic, identical on the oracle side."""
     low = F.lower(F.trim(F.col(text_col)))
     ws = tokens(text_col)
-    n_tokens = F.size(ws)
-    punct_ratio = (F.size(F.regexp_extract_all(low, F.lit(PUNCT_RE), F.lit(0)))
-                   .cast("double") / F.length(low))
+    n_tokens = F.size(ws)  # split(" ") yields >= 1 token, never 0
+    punct_ratio = _punct_ratio(
+        low, F.size(F.regexp_extract_all(low, F.lit(PUNCT_RE), F.lit(0))))
     stop_hits = F.size(F.filter(ws, _isin_any))
     stop_ratio = stop_hits.cast("double") / n_tokens
     length_term = F.least(n_tokens, F.lit(64)).cast("double") / 64.0
@@ -298,7 +309,6 @@ def repetition_stats(docs: DataFrame, ns: tuple = (2, 3),
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 25,
               id_col: str = "doc_id", text_col: str = "text",
-              k1_num: int = 12, b_num: int = 75,
               scale: int = 1_000_000) -> DataFrame:
     """Top-``k`` documents for a bag-of-terms query under BM25 with a
     rational idf (no ``ln`` — same reason as :func:`tfidf_top_terms`:
@@ -309,6 +319,20 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 25,
         idf   = (N + 1) / (dft + 1)
         norm  = tf + k1*(1 - b) + k1*b*dl/avgdl        (k1=1.2, b=0.75)
         score = idf * tf * (k1 + 1) / norm
+
+    k1 and b are FIXED at the standard 1.2 / 0.75: the cross-
+    multiplied integer algebra below (10/3/9/22) encodes them exactly,
+    which is what makes every factor an exact int64 — generic
+    parameters would need per-call rational scaling and a matching
+    oracle rewrite. (An earlier signature accepted k1_num/b_num and
+    silently ignored them.)
+
+    int64 range: ``num = 22·S·tf·(N+1)`` must stay below 2^63, which
+    bounds S·tf·N ≲ 4·10^17 — comfortable for any single-query corpus
+    this engine benches (sf0.1: S ≈ 6·10^6), but a 100 TB corpus
+    (S ≈ 10^13, N ≈ 10^10) overflows; at that scale promote the two
+    products to DECIMAL(38,0) on BOTH engines (the same escape
+    :func:`unigram_lm_score` documents).
 
     Each factor is an exact-int → double conversion or a single
     correctly-rounded op evaluated in the SAME expression tree by both

@@ -6218,11 +6218,13 @@ _DRIVER_PRIORITY = [
     # from their original sections for the same reason).
     "stream_running_user_stats", "semdedup_trained", "ewma_smooth",
     "ivf_kmeans_topk", "stream_record_high", "stream_anomaly",
-    "stream_ewma",
+    "stream_ewma", "text_quality", "token_stats", "mix_allocation",
+    "corpus_clean", "corpus_pipeline", "rrf_fusion", "cms_counts",
+    "winnowing_pairs",
     # r2 driver FAIL whose fix has never seen a driver row — first.
     "lang_stats",
     # round-3 pipeline tail (registry positions 51+ last round)
-    "text_quality", "lang_id", "top_ngrams", "doc_fingerprint",
+    "lang_id", "top_ngrams", "doc_fingerprint",
     "multimodal_meta", "multimodal_embed_ann", "stratified_sample",
     "tfidf_top_terms", "repetition_stats", "chunk_dedup", "pii_scrub",
     "benchmark_contamination", "dedup_clusters", "fuzzy_match",
@@ -6258,7 +6260,7 @@ _DRIVER_PRIORITY = [
     "repeated_span_mask", "unigram_lm", "temperature_mix",
     "sorted_neighborhood", "zipf_census", "weighted_bootstrap",
     "stream_dedup_census", "table_profile", "bigram_lm",
-    "contamination_spans", "corpus_mix_audit", "winnowing_pairs",
+    "contamination_spans", "corpus_mix_audit",
     "dedup_keep_best", "boilerplate_audit", "lang_confusion",
     "decontaminate_report",
     # round-5 additions (behind the never-verified backlog)
@@ -6296,6 +6298,17 @@ _PLAN_REWRITTEN_AFTER = {
     "stream_running_user_stats": 8,
     "ivf_kmeans_topk": 8,
     "semdedup_trained": 8,
+    # punct_ratio's empty-text guard (Spark + oracle CASE), the CMS
+    # null-key filter, and winnowing_pairs' fingerprint persist all
+    # changed these queries' executed plans in r9:
+    "text_quality": 8,
+    "token_stats": 8,
+    "mix_allocation": 8,
+    "corpus_clean": 8,
+    "corpus_pipeline": 8,
+    "rrf_fusion": 8,
+    "cms_counts": 8,
+    "winnowing_pairs": 8,
 }
 
 
