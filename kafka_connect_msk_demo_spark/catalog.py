@@ -393,25 +393,22 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     # symlink — O_NOFOLLOW turns it into ELOOP) at the predictable
     # lock path must not crash staging forever. The lock's parent dir
     # is OURS (we makedirs'd it; a foreign-owned tree fails later at
-    # makedirs regardless) and not sticky, so we may unlink the
-    # planted entry and retry once; only if that also fails do we
-    # surface a diagnosable error instead of a bare EACCES.
-    import fcntl
+    # makedirs regardless) and not sticky, so we may unlink a PLANTED
+    # entry and retry. ADVICE r9: the fallback must never unlink a
+    # same-uid regular file — that is another worker's freshly
+    # recreated lock, and unlinking it re-opens the unlink TOCTOU the
+    # flock protocol exists to close (two workers holding flocks on
+    # different inodes of the same path = interleaved staging). So the
+    # recovery is errno-scoped (ELOOP/EACCES/EPERM only — a transient
+    # EMFILE/ENFILE must not delete a healthy lock someone else holds),
+    # lstat-verified (only a symlink or a foreign-owned entry is ever
+    # unlinked; a same-uid regular file means retry the open), and the
+    # open->flock window is closed by an fstat/stat inode check after
+    # the flock: if the path no longer names our inode, someone
+    # replaced the entry while we waited — drop the fd and loop.
     lock = f"{d}.lock.{os.getuid()}"
-    flags = os.O_CREAT | os.O_RDWR | os.O_NOFOLLOW
+    fd = _open_staging_lock(lock)
     try:
-        fd = os.open(lock, flags, 0o600)
-    except OSError:
-        try:
-            os.unlink(lock)
-            fd = os.open(lock, flags, 0o600)
-        except OSError as e:
-            raise RuntimeError(
-                f"staging lock {lock!r} is unusable (pre-planted file "
-                f"or symlink not owned by uid {os.getuid()}?): {e}"
-            ) from e
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
         if _staged():
             return d
         import shutil
@@ -426,6 +423,68 @@ def _stream_dir(sf_dir: str, name: str, chunks: int | None = None) -> str:
     finally:
         os.close(fd)  # releases the flock; the lock file persists
     return d
+
+
+def _open_staging_lock(lock: str, attempts: int = 16) -> int:
+    """Open + flock the per-uid staging lock, returning a locked fd
+    whose inode is verified to still be what ``lock`` names.
+
+    Recovery discipline (ADVICE r9):
+
+    * Only errno ELOOP (O_NOFOLLOW hit a planted symlink), EACCES or
+      EPERM enter the recovery path. Anything else — EMFILE, ENFILE,
+      ENOSPC, ... — is transient or environmental and must NOT unlink
+      a healthy lock another worker may be holding; it propagates.
+    * Recovery lstats the path and unlinks ONLY a symlink or a
+      foreign-owned entry. A same-uid regular file is another worker's
+      just-recreated lock: retry the open instead of unlinking it.
+    * After flock, os.fstat(fd).st_ino is compared against
+      os.stat(lock).st_ino: a mismatch means the directory entry was
+      replaced while we waited for the lock (our flock serializes
+      nothing), so the fd is dropped and the open retried.
+    """
+    import errno
+    import fcntl
+
+    flags = os.O_CREAT | os.O_RDWR | os.O_NOFOLLOW
+    last: OSError | None = None
+    for _ in range(attempts):
+        try:
+            fd = os.open(lock, flags, 0o600)
+        except OSError as e:
+            last = e
+            if e.errno not in (errno.ELOOP, errno.EACCES, errno.EPERM):
+                raise
+            try:
+                st = os.lstat(lock)
+            except FileNotFoundError:
+                continue  # entry vanished — plain retry
+            except OSError as e2:
+                last = e2
+                continue
+            import stat as _stat
+            if _stat.S_ISLNK(st.st_mode) or st.st_uid != os.getuid():
+                try:  # planted symlink / foreign file: safe to clear
+                    os.unlink(lock)
+                except OSError as e2:
+                    last = e2
+            # same-uid regular file: another worker's lock — never
+            # unlink; fall through and retry the open
+            continue
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if os.fstat(fd).st_ino == os.stat(lock).st_ino:
+                return fd
+            # entry replaced behind us; our flock is on a dead inode
+            os.close(fd)
+        except OSError as e:
+            last = e
+            os.close(fd)
+    raise RuntimeError(
+        f"staging lock {lock!r} is unusable after {attempts} attempts "
+        f"(pre-planted entry not owned by uid {os.getuid()}, or the "
+        f"path keeps being replaced): {last}"
+    ) from last
 
 
 def _write_chunks(target: str, name: str, chunks: int, d: str) -> None:

@@ -68,12 +68,19 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _punct_ratio(low, n_punct):
-    """punct/chars with the empty-text branch pinned to 0.0: an empty
-    or whitespace-only doc has length(low) = 0, and ANSI mode (Spark 4
-    default) raises DIVIDE_BY_ZERO instead of returning NULL — the
-    oracles guard the same way (coalesce(x / nullif(len, 0), 0.0))."""
-    return F.when(F.length(low) == 0, F.lit(0.0)) \
-        .otherwise(n_punct.cast("double") / F.length(low))
+    """punct/chars with the empty-text AND null-text branches pinned to
+    0.0. An empty or whitespace-only doc has length(low) = 0, and ANSI
+    mode (Spark 4 default) raises DIVIDE_BY_ZERO instead of returning
+    NULL; a NULL text makes the WHEN predicate NULL, so the division
+    branch is never taken and the coalesce pins the result. Both match
+    the oracles' coalesce(x / nullif(len, 0), 0.0), which also yields
+    0.0 for NULL text (NULL/NULL -> NULL -> 0.0) — ADVICE r9 found the
+    previous WHEN length == 0 shape fell through to NULL on NULL text.
+    CASE WHEN short-circuits, so the ANSI division only evaluates when
+    length(low) > 0."""
+    return F.coalesce(
+        F.when(F.length(low) > 0, n_punct.cast("double") / F.length(low)),
+        F.lit(0.0))
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",

@@ -6301,14 +6301,19 @@ _PLAN_REWRITTEN_AFTER = {
     # punct_ratio's empty-text guard (Spark + oracle CASE), the CMS
     # null-key filter, and winnowing_pairs' fingerprint persist all
     # changed these queries' executed plans in r9:
-    "text_quality": 8,
-    "token_stats": 8,
-    "mix_allocation": 8,
-    "corpus_clean": 8,
-    "corpus_pipeline": 8,
-    "rrf_fusion": 8,
     "cms_counts": 8,
     "winnowing_pairs": 8,
+    # r10 (ADVICE r9): _punct_ratio's NULL-text branch moved from
+    # WHEN length == 0 to coalesce(WHEN length > 0 ..., 0.0) — same
+    # values on non-null text, but the executed CASE expression is new
+    # in every plan that computes punct_ratio, so the r9 rows verified
+    # a plan that no longer exists:
+    "text_quality": 9,
+    "token_stats": 9,
+    "mix_allocation": 9,
+    "corpus_clean": 9,
+    "corpus_pipeline": 9,
+    "rrf_fusion": 9,
 }
 
 

@@ -1,0 +1,163 @@
+"""Round-10 hardening: ADVICE r9 fixes pinned by tests — NULL-text
+punct_ratio parity with the DuckDB oracle guard, and the staging-lock
+recovery fallback's errno/ownership discipline."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_msk_demo_spark.pipeline.text_analysis import (
+    PUNCT_RE, quality_score, token_stats)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_punct_ratio_null_text_matches_oracle(spark):
+    """ADVICE r9: the previous WHEN length(low) == 0 branch is NULL for
+    NULL input and fell through to NULL/NULL = NULL, while the oracles'
+    coalesce(x / nullif(len, 0), 0.0) yields 0.0. Both sides must pin
+    NULL text to 0.0."""
+    out = {r.doc_id: r for r in token_stats(_docs(spark, [
+        (1, None), (2, ""), (3, "a b!")])).collect()}
+    assert out[1].punct_ratio == 0.0
+    assert out[2].punct_ratio == 0.0
+    assert out[3].punct_ratio == pytest.approx(1.0 / 4.0)
+    # DuckDB twin of the guard on a NULL document: same 0.0
+    oracle = duckdb.sql(f"""
+        SELECT coalesce(
+            len(regexp_extract_all(lower(trim(t)), '{PUNCT_RE}'))::DOUBLE
+            / nullif(length(lower(trim(t))), 0), 0.0)
+        FROM (VALUES (NULL::VARCHAR), (''), ('a b!')) AS v(t)
+    """).fetchall()
+    assert [row[0] for row in oracle] == [
+        0.0, 0.0, pytest.approx(1.0 / 4.0)]
+
+
+def test_lock_recovery_clears_planted_symlink(tmp_path):
+    """A planted symlink (ELOOP under O_NOFOLLOW) is unlinked and the
+    lock recreated as a regular file we hold flocked."""
+    from kafka_connect_msk_demo_spark.catalog import _open_staging_lock
+    lock = str(tmp_path / "t.lock")
+    os.symlink("/nonexistent-target", lock)
+    fd = _open_staging_lock(lock)
+    try:
+        assert not os.path.islink(lock)
+        assert os.fstat(fd).st_ino == os.stat(lock).st_ino
+    finally:
+        os.close(fd)
+
+
+def test_lock_recovery_never_unlinks_same_uid_regular_file(tmp_path):
+    """ADVICE r9: an unreadable same-uid regular file at the lock path
+    (EACCES) is another worker's lock, not a plant — recovery must
+    retry the open and eventually fail diagnosably WITHOUT unlinking
+    it (unlinking would put two workers on different lock inodes)."""
+    if os.getuid() == 0:
+        pytest.skip("root bypasses file permission checks")
+    from kafka_connect_msk_demo_spark.catalog import _open_staging_lock
+    lock = str(tmp_path / "t.lock")
+    with open(lock, "w"):
+        pass
+    os.chmod(lock, 0o000)
+    ino = os.stat(lock).st_ino
+    with pytest.raises(RuntimeError, match="unusable"):
+        _open_staging_lock(lock, attempts=3)
+    assert os.stat(lock).st_ino == ino, "healthy same-uid lock unlinked"
+
+
+def test_lock_eacces_on_same_uid_file_retries_not_unlinks(tmp_path,
+                                                          monkeypatch):
+    """uid-independent twin of the test above (this sandbox runs as
+    root, which bypasses permission bits): EACCES is injected at the
+    open while a same-uid regular file sits at the path — recovery
+    must retry and fail diagnosably without ever unlinking it."""
+    import errno as _errno
+
+    from kafka_connect_msk_demo_spark.catalog import _open_staging_lock
+    lock = str(tmp_path / "t.lock")
+    with open(lock, "w"):
+        pass
+    ino = os.stat(lock).st_ino
+    real_open = os.open
+    calls = {"n": 0}
+
+    def denying_open(path, flags, mode=0o777, **kw):
+        if path == lock:
+            calls["n"] += 1
+            raise OSError(_errno.EACCES, "permission denied", path)
+        return real_open(path, flags, mode, **kw)
+
+    monkeypatch.setattr(os, "open", denying_open)
+    with pytest.raises(RuntimeError, match="unusable"):
+        _open_staging_lock(lock, attempts=4)
+    monkeypatch.undo()
+    assert calls["n"] == 4, "open not retried per attempt"
+    assert os.stat(lock).st_ino == ino, "same-uid lock was unlinked"
+
+
+def test_lock_transient_errno_propagates_without_unlink(tmp_path,
+                                                        monkeypatch):
+    """A transient EMFILE on open must propagate as OSError — never
+    enter the unlink-recovery path against a healthy lock file."""
+    import errno as _errno
+
+    from kafka_connect_msk_demo_spark.catalog import _open_staging_lock
+    lock = str(tmp_path / "t.lock")
+    with open(lock, "w"):
+        pass
+    ino = os.stat(lock).st_ino
+    real_open = os.open
+
+    def fake_open(path, flags, mode=0o777, **kw):
+        if path == lock:
+            raise OSError(_errno.EMFILE, "too many open files", path)
+        return real_open(path, flags, mode, **kw)
+
+    monkeypatch.setattr(os, "open", fake_open)
+    with pytest.raises(OSError) as ei:
+        _open_staging_lock(lock)
+    assert ei.value.errno == _errno.EMFILE
+    monkeypatch.undo()
+    assert os.stat(lock).st_ino == ino, "lock unlinked on EMFILE"
+
+
+def test_lock_inode_verified_after_flock(tmp_path, monkeypatch):
+    """If the directory entry is replaced between our open and flock,
+    the flocked fd is a dead inode — the helper must detect the
+    mismatch and retry until fd and path agree."""
+    import fcntl as _fcntl
+
+    from kafka_connect_msk_demo_spark.catalog import _open_staging_lock
+    lock = str(tmp_path / "t.lock")
+    real_flock = _fcntl.flock
+    swapped = {"done": False}
+
+    def racing_flock(fd, op):
+        if not swapped["done"]:
+            swapped["done"] = True
+            os.unlink(lock)
+            with open(lock, "w"):
+                pass  # another worker recreates the entry
+        return real_flock(fd, op)
+
+    monkeypatch.setattr(_fcntl, "flock", racing_flock)
+    fd = _open_staging_lock(lock)
+    try:
+        assert swapped["done"]
+        assert os.fstat(fd).st_ino == os.stat(lock).st_ino
+    finally:
+        os.close(fd)
+
+
+def test_quality_score_null_text_no_null_leak(spark):
+    """quality_score on a NULL-text doc must not leak NULL through the
+    punct term; the other terms may be NULL-driven but punct_ratio
+    itself is pinned."""
+    rows = {r.doc_id: r for r in quality_score(_docs(spark, [
+        (1, None), (2, "the cat sat")])).collect()}
+    assert rows[1].punct_ratio == 0.0
+    assert rows[2].quality is not None
