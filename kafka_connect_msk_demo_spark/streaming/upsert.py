@@ -259,6 +259,40 @@ class UpsertTable:
             return df
         return df.withColumn(self.TOMB_COL, F.lit(None).cast("long"))
 
+    def _rewrite_partitions(self, base: DataFrame, incoming: DataFrame,
+                            stamp: int, retain: bool) -> DataFrame:
+        """Distinct partition values this merge must rewrite, AS A
+        DATAFRAME (one column named ``partition_by``) — never a
+        driver-side list:
+
+        * where incoming rows land,
+        * where existing versions of the incoming keys currently live
+          (cross-partition moves must vacate their old partition; the
+          lookup scans only (key, partition) — column pruning keeps it
+          a 2-column parquet scan),
+        * partitions holding tombstones this merge ages OUT of the
+          retention window — the purge in ``_merged_state`` only
+          reaches partitions in the rewrite set, so without this a
+          tombstone in a cold partition would outlive its window
+          (unbounded accumulation) and the "purged once N further
+          merges have completed" contract would hold only for hot
+          partitions. Each tombstone triggers at most ONE extra
+          partition rewrite in its lifetime (at age N, then it is
+          gone).
+        """
+        pcol = self.partition_by
+        out = incoming.select(pcol).unionByName(
+            base.select(*self.key_cols, pcol)
+            .join(incoming.select(*self.key_cols).distinct(),
+                  self.key_cols, "left_semi")
+            .select(pcol))
+        if retain:
+            out = out.unionByName(
+                base.filter(F.col(self.TOMB_COL)
+                            <= stamp - self.retain_tombstones)
+                .select(pcol))
+        return out.distinct()
+
     # -- the MERGE --------------------------------------------------------
 
     def merge_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
@@ -280,58 +314,46 @@ class UpsertTable:
                 else self._read_stored(spark)
             base = base.select(*cols)
             if self.partition_by:
-                # Affected partitions: where incoming rows land ∪ where
-                # existing versions of the incoming keys currently live
-                # (cross-partition moves must vacate their old partition).
-                # The lookup scans only (key, partition) — column pruning
-                # keeps it a 2-column parquet scan.
-                in_parts = [r[0] for r in incoming
-                            .select(self.partition_by).distinct().collect()]
-                moved = (base.select(*self.key_cols, self.partition_by)
-                         .join(incoming.select(*self.key_cols).distinct(),
-                               self.key_cols, "left_semi")
-                         .select(self.partition_by).distinct().collect())
-                # Partitions holding tombstones this merge ages OUT of
-                # the retention window must also be rewritten — the
-                # purge in _merged_state only reaches partitions in the
-                # rewrite set, so without this a tombstone in a cold
-                # partition would outlive its window (unbounded
-                # accumulation) and the "purged once N further merges
-                # have completed" contract would hold only for hot
-                # partitions. The lookup is a 2-column pruned scan, and
-                # each tombstone triggers at most ONE extra partition
-                # rewrite in its lifetime (at age N, then it is gone).
-                aged = []
-                if retain:
-                    aged = (base
-                            .filter(F.col(self.TOMB_COL)
-                                    <= stamp - self.retain_tombstones)
-                            .select(self.partition_by).distinct()
-                            .collect())
-                parts = sorted({*in_parts, *[r[0] for r in moved],
-                                *[r[0] for r in aged]})
-                affected = base.filter(F.col(self.partition_by).isin(parts))
+                parts_df = self._rewrite_partitions(base, incoming,
+                                                    stamp, retain)
+                # The rewrite set stays a DataFrame end to end
+                # (VERDICT r9 #3): the previous shape collected 3-4
+                # distinct-partition lists to the driver and filtered
+                # base with a literal ``isin(parts)``, which bloats
+                # both the driver and the compiled plan once the
+                # partition column is high-cardinality. A broadcast
+                # left-semi join carries the same semantics with a
+                # bounded-size build side (distinct partition VALUES
+                # touched by one micro-batch — the same boundedness
+                # the old collect assumed, but degrading gracefully
+                # instead of OOMing the driver), and dynamic partition
+                # pruning reuses the broadcast to prune the base scan
+                # to the touched directories.
+                affected = base.join(F.broadcast(parts_df),
+                                     self.partition_by, "left_semi")
                 live = self._merged_state(
                     self._latest_wins(affected.unionByName(incoming)),
                     stamp)
                 # Dynamic overwrite only rewrites partitions present in
-                # the written frame: a partition fully vacated by deletes
-                # or key moves keeps its stale files and must be dropped
-                # explicitly. Collect the surviving partition list BEFORE
-                # the write — afterwards the lazy `live` plan would
-                # re-scan base files the overwrite just replaced.
-                live_parts = {r[0] for r in live
-                              .select(self.partition_by).distinct().collect()}
+                # the written frame: a partition fully vacated by
+                # deletes or key moves keeps its stale files and must
+                # be dropped explicitly. Collect ONLY the vacated set
+                # (rewrite set minus surviving partitions — normally
+                # empty or tiny), and do it BEFORE the write: afterwards
+                # the lazy plans would re-scan base files the overwrite
+                # just replaced.
+                vacated = [r[0] for r in parts_df.join(
+                    live.select(self.partition_by).distinct(),
+                    self.partition_by, "left_anti").collect()]
                 with _dynamic_overwrite(spark):
                     (live.write.mode("overwrite")
                      .partitionBy(self.partition_by).parquet(self.path))
                 fs, _ = _hadoop_fs(spark, self.path)
                 jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-                for p in parts:
-                    if p not in live_parts:
-                        fs.delete(
-                            jvm_path(f"{self.path}/{self.partition_by}={p}"),
-                            True)
+                for p in vacated:
+                    fs.delete(
+                        jvm_path(f"{self.path}/{self.partition_by}={p}"),
+                        True)
                 self._write_schema_marker(spark, live.schema)
             else:
                 # Never overwrite the path a lazy plan is still reading:

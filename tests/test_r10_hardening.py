@@ -153,6 +153,61 @@ def test_lock_inode_verified_after_flock(tmp_path, monkeypatch):
         os.close(fd)
 
 
+def test_upsert_merge_high_cardinality_partitions_no_literal_list(
+        spark, tmp_path):
+    """VERDICT r9 #3: the merge's rewrite-set must be a JOIN against
+    the distinct-partition frame, never a collected list + isin — with
+    ~10k partition values the old shape bloated the driver and put a
+    10k-literal IN into the plan. Merge into a 10k-partition table and
+    verify update / cross-partition move / vacating delete semantics,
+    plus the plan shape (left-semi join, no literal partition list)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from pyspark.sql import functions as SF
+
+    from kafka_connect_msk_demo_spark.streaming.upsert import UpsertTable
+
+    n = 10_000
+    path = str(tmp_path / "tenk")
+    pads.write_dataset(
+        pa.table({"k": list(range(n)),
+                  "part": [f"p{i:05d}" for i in range(n)],
+                  "v": [1.0] * n, "ts": [0] * n, "tb": [0] * n,
+                  "__deleted": ["false"] * n}),
+        path, format="parquet", max_partitions=n * 2,
+        partitioning=pads.partitioning(
+            pa.schema([("part", pa.string())]), flavor="hive"))
+    ut = UpsertTable(path, ["k"], "ts", "tb", partition_by="part")
+
+    # plan shape: the affected-base frame is a semi join, not an isin
+    base = ut._read_stored(spark)
+    incoming = spark.createDataFrame(
+        [(5, "p00005", 99.0, 1, 1, "false"),
+         (7, "p00003", 77.0, 1, 1, "false"),
+         (9, "p00009", 0.0, 1, 1, "true")],
+        "k long, part string, v double, ts long, tb long, "
+        "__deleted string")
+    parts_df = ut._rewrite_partitions(base, incoming, stamp=0,
+                                      retain=False)
+    affected = base.join(SF.broadcast(parts_df), "part", "left_semi")
+    plan = affected._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    assert " IN (" not in plan, "literal partition list leaked back"
+    assert "p00005" not in plan, "partition VALUES embedded in plan"
+
+    # semantics: update in place, cross-partition move, vacating delete
+    ut.merge_batch(incoming, 1)
+    assert not os.path.exists(f"{path}/part=p00007"), "move not vacated"
+    assert not os.path.exists(f"{path}/part=p00009"), "delete not vacated"
+    moved = spark.read.parquet(f"{path}/part=p00003").collect()
+    assert sorted((r.k, r.v) for r in moved) == [(3, 1.0), (7, 77.0)]
+    upd = spark.read.parquet(f"{path}/part=p00005").collect()
+    assert [(r.k, r.v) for r in upd] == [(5, 99.0)]
+    # an untouched partition keeps its original single row
+    cold = spark.read.parquet(f"{path}/part=p00042").collect()
+    assert [(r.k, r.v) for r in cold] == [(42, 1.0)]
+
+
 def test_quality_score_null_text_no_null_leak(spark):
     """quality_score on a NULL-text doc must not leak NULL through the
     punct term; the other terms may be NULL-driven but punct_ratio
