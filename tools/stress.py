@@ -30,6 +30,10 @@ Axes (matching the r7 report rows):
            concurrently -> one winner, intact mtime order
   avro     randomized write_avro/read_avro roundtrips: random
            primitive schemas, nulls, >2^53 longs
+  extremes shuffle-partition EXTREMES (1 and 256) across the cdc and
+           stateful axes (r10 ask: AQE is load-bearing in several
+           plans; 1 strips parallelism, 256 floods tiny SFs with
+           empty shuffle partitions)
 """
 
 from __future__ import annotations
@@ -98,12 +102,13 @@ def _check(spark, names, sf_dir) -> list[str]:
 
 # -- axes -----------------------------------------------------------------
 
-def axis_cdc(seeds: list[int]) -> int:
+def axis_cdc(seeds: list[int], spark=None) -> int:
     from test_mor import _batch, _random_feed, _reference_state
 
     from kafka_connect_msk_demo_spark.streaming.upsert import (
         MergeOnReadTable, UpsertTable)
-    spark = _spark("stress-cdc")
+    if spark is None:
+        spark = _spark("stress-cdc")
     fails = 0
     for seed in seeds:
         rng = random.Random(seed)
@@ -276,6 +281,35 @@ def axis_shuffle(all_queries: bool) -> int:
     return fails
 
 
+#: stateful-stream subset for the shuffle-extremes axis: the chunked
+#: stream queries plus the applyInPandasWithState family and the
+#: window-heavy rolling anomaly
+EXTREME_STATEFUL = CHUNK_QUERIES + [
+    "stream_running_user_stats", "stream_dedup_keys",
+    "stream_dedup_census", "rolling_anomaly"]
+
+
+def axis_extremes(seeds: list[int]) -> int:
+    """VERDICT r9 #4's new axis: shuffle-partition EXTREMES (1 and 256)
+    across the cdc and stateful axes. AQE is documented load-bearing
+    in several plans; partitions=1 strips all shuffle parallelism
+    (exercising single-partition window/agg edge cases) and 256
+    over-parallelizes the tiny SF (hundreds of EMPTY shuffle
+    partitions feeding stateful operators) — results must be identical
+    either way."""
+    from kafka_connect_msk_demo_spark.queries import ALL_QUERIES
+    fails = 0
+    for parts in (1, 256):
+        spark = _fresh_spark(f"stress-extremes-{parts}",
+                             spark__sql__shuffle__partitions=str(parts))
+        print(f" shuffle.partitions={parts} stateful:", flush=True)
+        names = [n for n in EXTREME_STATEFUL if n in ALL_QUERIES]
+        fails += len(_check(spark, names, SF_SMALL))
+        print(f" shuffle.partitions={parts} cdc:", flush=True)
+        fails += axis_cdc(seeds, spark=spark)
+    return fails
+
+
 #: config-sensitive subset: pandas-UDF/decimal-heavy, arithmetic-heavy,
 #: time-sensitive, join/iteration-heavy representatives
 SESSION_QUERIES = [
@@ -427,7 +461,7 @@ def main() -> int:
     ap.add_argument("--axis", default="all",
                     choices=["cdc", "jaccard", "ranking", "chunks",
                              "shuffle", "session", "staging", "avro",
-                             "all"])
+                             "extremes", "all"])
     ap.add_argument("--seeds", default="7000-7019",
                     help="range lo-hi or comma list (cdc/jaccard/"
                          "ranking/avro axes)")
@@ -442,7 +476,7 @@ def main() -> int:
     fails = 0
     axes = ([args.axis] if args.axis != "all" else
             ["cdc", "jaccard", "ranking", "chunks", "shuffle",
-             "session", "staging", "avro"])
+             "session", "staging", "avro", "extremes"])
     for axis in axes:
         print(f"axis: {axis}", flush=True)
         if axis == "cdc":
@@ -462,6 +496,8 @@ def main() -> int:
             fails += axis_staging(args.procs)
         elif axis == "avro":
             fails += axis_avro(seeds[:25])
+        elif axis == "extremes":
+            fails += axis_extremes(seeds[:8])
     print(f"stress: {'CLEAN' if not fails else f'{fails} FAILURES'}",
           flush=True)
     return 1 if fails else 0
