@@ -537,6 +537,45 @@ def deterministic_centroids(vectors: DataFrame, k: int = 16,
                     as_double(vec_col).alias("c_vec")))
 
 
+def cells_for_corpus(n: int, target_cell: int = 128,
+                     floor: int = 16) -> int:
+    """IVF/SemDeDup cell count PROPORTIONAL to corpus size — the knob
+    that keeps the within-cell pair scan linear at scale.
+
+    Σ|cell|² with a FIXED k grows as N²/k: the r10 scaling audit
+    measured the registered fixed-k=16 ``semdedup_trained`` at slope
+    ~70x over a 10x corpus (tools/scaling_r10.json) — exactly this
+    term. SemDeDup at LAION scale (Abbas et al. 2023) sizes k ∝ N
+    (50k clusters for ~5B embeddings ≈ 100k per cell) so |cell| stays
+    ~target_cell and Σ|cell|² ≈ N·target_cell — linear in N. The
+    registered queries keep fixed k because the DuckDB oracle unrolls
+    the Lloyd rounds with k as a literal loop bound; production
+    callers pass ``n_centroids=cells_for_corpus(df.count())``.
+    """
+    return max(floor, -(-n // target_cell))
+
+
+def bits_for_corpus(n: int, target_bucket: int = 100,
+                    floor: int = 6, cap: int = 24) -> int:
+    """Hyperplane-LSH hash width PROPORTIONAL to log2(corpus size) —
+    the ann_topk/multimodal knob that keeps bucket occupancy (and so
+    per-query candidate volume) ~target_bucket as N grows.
+
+    With FIXED nbits the expected bucket holds N/2^nbits vectors, so
+    candidates per query grow linearly in N — and when the query set
+    also grows with the corpus (every mod-th vector), total rerank
+    work is ~N²: the r10 scaling audit measured the registered
+    fixed-nbits=6 ``multimodal_embed_ann`` at slope ~170x on 10x data
+    (tools/scaling_r10.json). Production callers pass
+    ``nbits=bits_for_corpus(df.count())``; registered queries keep
+    fixed nbits because the oracle inlines the plane set as literals.
+    """
+    import math
+    if n <= target_bucket:
+        return floor
+    return min(cap, max(floor, math.ceil(math.log2(n / target_bucket))))
+
+
 def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

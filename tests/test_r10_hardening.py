@@ -208,6 +208,39 @@ def test_upsert_merge_high_cardinality_partitions_no_literal_list(
     assert [(r.k, r.v) for r in cold] == [(42, 1.0)]
 
 
+def test_cells_for_corpus_scales_with_n():
+    """The SemDeDup/IVF cell-count knob: k ∝ N keeps |cell| near
+    target_cell so the within-cell pair scan stays linear (the r10
+    scaling audit measured fixed-k=16 at slope ~70x on 10x data)."""
+    from kafka_connect_msk_demo_spark.pipeline.similarity import (
+        cells_for_corpus)
+    assert cells_for_corpus(2_000, target_cell=125) == 16
+    assert cells_for_corpus(20_000, target_cell=125) == 160
+    assert cells_for_corpus(10, target_cell=125) == 16  # floor
+    assert cells_for_corpus(0) == 16
+    # ceil division: one over a boundary adds a cell
+    assert cells_for_corpus(125 * 100 + 1, target_cell=125) == 101
+
+
+def test_semdedup_scaled_cells_partitions_all_members(spark, sf_small):
+    """semantic_dedup_stats under a corpus-proportional cell count
+    still partitions every vector into exactly one cell (Σ n_members
+    == N) — the knob changes cost shape, not coverage."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline import similarity
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    n = vecs.count()
+    k = similarity.cells_for_corpus(n, target_cell=25)
+    assert k > 16
+    cents = similarity.kmeans_centroids(vecs, k=k, iters=1)
+    out = similarity.semantic_dedup_stats(vecs, threshold=0.4,
+                                          centroids=cents)
+    rows = out.collect()
+    assert sum(r.n_members for r in rows) == n
+    assert len(rows) <= k
+
+
 def test_quality_score_null_text_no_null_leak(spark):
     """quality_score on a NULL-text doc must not leak NULL through the
     punct term; the other terms may be NULL-driven but punct_ratio

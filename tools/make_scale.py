@@ -9,10 +9,16 @@ join fan-outs stay realistic, instead of inflating duplicate keys:
 * region / nation are FIXED dims (TPC-H semantics) — copied verbatim;
 * customer / supplier / part / orders / lineitem / events replicate
   with their primary and foreign keys offset consistently per replica;
-* documents get a per-replica suffix token appended to ``text`` (and
-  ``n_chars`` adjusted) — verbatim replication would give every doc
-  K-1 exact twins and turn the dedup family's output size quadratic in
-  K, which measures the synthetic corpus, not the operator;
+* documents get a per-replica TOKEN SUBSTITUTION (every 7th token,
+  phase-shifted by replica, gets a replica tag) — verbatim replication
+  would give every doc K-1 exact twins, and a suffix-only perturbation
+  still leaves cross-replica 3-shingle Jaccard ≈ 0.97, so every doc
+  gains K-1 near-dup twins and the dedup family's pair output grows
+  ~K² (measured: the first r10 audit pass put dedup_clusters at slope
+  55x purely from this artifact). Substituting ~14% of tokens changes
+  ~40% of 3-shingles, dropping cross-replica J to ~0.4 — below every
+  registered near-dup threshold — while keeping each replica's
+  WITHIN-replica dup structure natural;
 * embeddings get a per-replica CYCLIC SHIFT of the vector — cosine
   structure within a replica is preserved while replicas stay far
   apart, for the same reason (K identical copies of every vector would
@@ -69,6 +75,21 @@ def _strides(src: str) -> dict[str, int]:
     return out
 
 
+def _perturb_text(text: str | None, r: int) -> str | None:
+    """Replica-r text: tag every 7th whitespace token (phase r % 7)
+    with the replica id — ~14% of tokens, ~40% of 3-shingles, pushing
+    cross-replica Jaccard to ~0.4 (below the 0.5-0.8 thresholds the
+    near-dup operators use) while leaving within-replica structure
+    untouched."""
+    if text is None:
+        return None
+    toks = text.split(" ")
+    phase = (r - 1) % 7
+    return " ".join(
+        f"{t}r{r}" if i % 7 == phase else t
+        for i, t in enumerate(toks))
+
+
 def _replicate(tbl: pa.Table, name: str, k: int,
                strides: dict[str, int]) -> pa.Table:
     reps = []
@@ -81,11 +102,14 @@ def _replicate(tbl: pa.Table, name: str, k: int,
                 col = pc.add(col, r * strides[space])
                 col = col.cast(field.type)
             elif name == "documents" and field.name == "text" and r > 0:
-                col = pc.binary_join_element_wise(
-                    col, pa.array([f" r{r:02d}"] * len(tbl),
-                                  type=field.type), "")
+                col = pa.array(
+                    [_perturb_text(t, r) for t in col.to_pylist()],
+                    type=field.type)
             elif name == "documents" and field.name == "n_chars" and r > 0:
-                col = pc.add(col, len(f" r{r:02d}")).cast(field.type)
+                texts = tbl.column("text").to_pylist()
+                col = pa.array(
+                    [len(_perturb_text(t, r)) if t is not None else None
+                     for t in texts], type=field.type)
             elif name == "embeddings" and field.name == "embedding" \
                     and r > 0:
                 import numpy as np

@@ -49,17 +49,108 @@ AUDIT_QUERIES = [
 ]
 
 
+#: a first rep above this (seconds) records single-rep: reps exist to
+#: drop sweep-position cold costs, which a multi-minute measurement
+#: dwarfs — and tripling a 20-minute quadratic audit query buys nothing
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "60"))
+
+OUT_PATH = os.path.join(HERE, "scaling_r10.json")
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _scale_path_variants():
+    """UNREGISTERED scale-path twins of the audit's quadratic-by-design
+    queries, to put the linear alternative's slope next to the exact
+    baseline's in scaling_r10.json:
+
+    * semdedup_trained_cells∝N — same SemDeDup, but the quantizer cell
+      count follows cells_for_corpus (the paper's k ∝ N sizing) so the
+      within-cell pair scan stays ~N·target_cell instead of N²/k;
+    * dedup_keep_best_lsh — the same keep-longest policy fed from the
+      banded MinHash-LSH pair generator instead of the exact
+      prefix-filtered one (the registered dedup_clusters_lsh pairing).
+    """
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline import dedup, similarity
+
+    def semdedup_scaled(spark, sf_dir):
+        vecs = load_table(spark, sf_dir, "embeddings")
+        k = similarity.cells_for_corpus(vecs.count(), target_cell=125)
+        cents = similarity.kmeans_centroids(vecs, k=k, iters=2)
+        return similarity.semantic_dedup_stats(vecs, threshold=0.4,
+                                               centroids=cents)
+
+    def keep_best_lsh(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
+        return dedup.dedup_keep_policy(docs, pairs, order_col="n_chars")
+
+    def embedding_dup_pairs_lsh(spark, sf_dir):
+        # the bucketed replacement for the exact all-pairs scorer, at
+        # its intended true-near-dup threshold and N-scaled hash width
+        vecs = load_table(spark, sf_dir, "embeddings")
+        nbits = similarity.bits_for_corpus(vecs.count())
+        return similarity.cosine_dup_pairs_lsh(vecs, threshold=0.9,
+                                               nbits=nbits)
+
+    def multimodal_ann_scaled_bits(spark, sf_dir):
+        from kafka_connect_msk_demo_spark.pipeline import multimodal
+        docs = load_table(spark, sf_dir, "documents")
+        payloads = multimodal.with_binary_payload(docs)
+        emb = (multimodal.embed_payload(payloads)
+               .withColumnRenamed("doc_id", "vec_id"))
+        q = similarity.queries_by_mod(emb, 50)
+        nbits = similarity.bits_for_corpus(docs.count())
+        return similarity.ann_topk(emb, q, k=10, nbits=nbits)
+
+    return {"semdedup_trained_scaled_cells": semdedup_scaled,
+            "dedup_keep_best_lsh": keep_best_lsh,
+            "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+            "multimodal_embed_ann_scaled_bits": multimodal_ann_scaled_bits}
+
+
+def _load() -> dict:
+    try:
+        with open(OUT_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {"metric": "scaling_slope_sf0.1_to_sf1", "cpus": CPUS,
+                "repeats": REPEATS, "budget_s": BUDGET_S, "queries": {}}
+
+
+def _save(result: dict) -> None:
+    qs = result["queries"]
+    for rec in qs.values():
+        rec["slope"] = round(rec["sf1"] / rec["sf0.1"], 2) \
+            if rec.get("sf0.1") and rec.get("sf1") else None
+    with open(OUT_PATH, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+
+
 def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of AUDIT_QUERIES")
+    args = ap.parse_args()
+    names = (args.queries.split(",") if args.queries else AUDIT_QUERIES)
+
     spark = get_spark("scaling-audit", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
-    registry = _q.queries()
-    out: dict[str, dict] = {}
+    registry = dict(_q.queries())
+    registry.update(_scale_path_variants())
+    if not args.queries:
+        names = list(names) + list(_scale_path_variants())
+    result = _load()  # resumable: (query, sf) pairs already done skip
+    out = result["queries"]
     for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        todo = [n for n in names if sf_label not in out.get(n, {})]
+        if not todo:
+            continue
         # warm-ups per cost class (bench.py rationale): scan+codegen,
         # Python worker pool, pipeline-table first touch
         _force(registry["sales_by_region"](spark, sf_dir))
@@ -67,26 +158,23 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
         _force(registry["token_stats"](spark, sf_dir))
         _force(registry["embed_dim_stats"](spark, sf_dir))
-        for name in AUDIT_QUERIES:
+        for name in todo:
             reps = []
             for _ in range(REPEATS):
                 t0 = time.monotonic()
                 _force(registry[name](spark, sf_dir))
                 reps.append(round(time.monotonic() - t0, 3))
+                if reps[-1] > BUDGET_S:
+                    break  # single-rep is enough past the budget
             med = statistics.median(reps)
             out.setdefault(name, {})[sf_label] = med
+            out[name][f"{sf_label}_reps"] = reps
+            _save(result)  # persist after every measurement
             print(f"{sf_label} {name}: {med} {reps}", flush=True)
-    for name, rec in out.items():
-        rec["slope"] = round(rec["sf1"] / rec["sf0.1"], 2) \
-            if rec.get("sf0.1") else None
-    result = {"metric": "scaling_slope_sf0.1_to_sf1", "cpus": CPUS,
-              "repeats": REPEATS, "queries": out}
-    path = os.path.join(HERE, "scaling_r10.json")
-    with open(path, "w") as fh:
-        json.dump(result, fh, indent=1, sort_keys=True)
-    print(json.dumps({k: v["slope"] for k, v in out.items()},
+    _save(result)
+    print(json.dumps({k: v.get("slope") for k, v in out.items()},
                      sort_keys=True))
-    print(f"wrote {path}")
+    print(f"wrote {OUT_PATH}")
 
 
 if __name__ == "__main__":
