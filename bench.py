@@ -151,6 +151,45 @@ def _prior_timings() -> dict[str, float]:
     return out
 
 
+def _cpu_ref(spark) -> dict:
+    """Machine-speed reference: three fixed workloads independent of
+    any query — pure-Python bytecode, BLAS matmul, and a JVM-side
+    range-sum — so cross-round comparisons can separate a code
+    regression from host degradation. Added in r10: untouched queries
+    (limit_offset, label_centroid_sim, ...) read 2-3x slower than the
+    committed r9 idle medians on an idle box with zero steal — without
+    a stored reference the per-query numbers alone cannot prove which
+    side moved. Compare cpu_ref across the bench_r{N}_idle.json
+    archives before reading any per-query delta as a regression."""
+    import numpy as _np
+    a = _np.random.default_rng(42).random((1000, 1000))
+    reps = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        a @ a
+        reps.append(time.monotonic() - t0)
+    mm = statistics.median(reps)
+    t0 = time.monotonic()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    loop = time.monotonic() - t0
+    reps = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        reps.append(time.monotonic() - t0)
+    floor = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor.append(time.monotonic() - t0)
+    return {"matmul_1k_med_s": round(mm, 4),
+            "pyloop_5m_s": round(loop, 4),
+            "jvm_range_sum_200m_med_s": round(statistics.median(reps), 4),
+            "job_floor_noop_med_s": round(statistics.median(floor), 4)}
+
+
 def run() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
@@ -259,6 +298,7 @@ def run() -> None:
         "unit": "sec",
         "queries": timings,
         "sweep_outliers": sweep_outliers,
+        "cpu_ref": _cpu_ref(spark),
         "sf": sf_val,
     }
     # Durable copy of the summary: a shell-redirect mistake on stdout
