@@ -442,13 +442,20 @@ def _open_staging_lock(lock: str, attempts: int = 16) -> int:
       os.stat(lock).st_ino: a mismatch means the directory entry was
       replaced while we waited for the lock (our flock serializes
       nothing), so the fd is dropped and the open retried.
+    * Attempts after the first back off exponentially (1 ms doubling
+      to ~100 ms, ADVICE r10) — without it an active symlink-replant
+      race burns the whole attempts budget in microseconds, and the
+      unrecoverable same-uid EACCES case just spins 16 tight opens.
     """
     import errno
     import fcntl
+    import time
 
     flags = os.O_CREAT | os.O_RDWR | os.O_NOFOLLOW
     last: OSError | None = None
-    for _ in range(attempts):
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(min(0.1, 0.001 * (1 << min(attempt - 1, 7))))
         try:
             fd = os.open(lock, flags, 0o600)
         except OSError as e:

@@ -482,17 +482,30 @@ def _sql_ivf_kmeans_topk(n_centroids: int = 16, iters: int = 2,
             + _sql_ivf_tail(f"c{iters}", nprobe, k, mod))
 
 
-def _sql_lloyd_parts(n_centroids: int, iters: int, dim: int) -> list[str]:
+def _sql_lloyd_parts(n_centroids: int | str, iters: int,
+                     dim: int) -> list[str]:
     """The Lloyd-trainer CTE chain (seed ``c0``, then per-iteration
     assign ``a{i}`` / quantized sums ``s{i}`` / means ``m{i}`` / next
     centroids ``c{i}``) — shared by every trained-quantizer oracle;
-    the final centroid CTE is ``c{iters}``."""
+    the final centroid CTE is ``c{iters}``.
+
+    ``n_centroids`` may be an SQL scalar expression over ``cnt`` (the
+    corpus row count) instead of a literal — the corpus-proportional
+    sizing path (``cells_for_corpus``), where k is a function of
+    COUNT(*) and only changes DATA (seed-centroid rows), never the
+    CTE structure, so the same unrolled Lloyd chain serves any N."""
     scale = 1 << 20  # similarity._QUANT_SCALE
-    parts = [
-        "d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS c_id, v AS c_vec FROM d"
-        f" ORDER BY vec_id LIMIT {n_centroids})",
-    ]
+    parts = ["d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    if isinstance(n_centroids, str):
+        parts.append("n AS (SELECT COUNT(*) AS cnt FROM d)")
+        parts.append(f"""c0 AS (
+  SELECT vec_id AS c_id, v AS c_vec FROM (
+    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM d)
+  WHERE rn <= (SELECT {n_centroids} FROM n))""")
+    else:
+        parts.append(
+            f"c0 AS (SELECT vec_id AS c_id, v AS c_vec FROM d"
+            f" ORDER BY vec_id LIMIT {n_centroids})")
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"
         parts.append(f"""a{i} AS (
@@ -1916,6 +1929,189 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SEMDEDUP_TRAINED = ("WITH " + ",\n".join(_sql_lloyd_parts(16, 2, 64))
                          + ",\n" + _sql_semdedup_tail("c2"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-proportional sizing, driver-certified (r10 VERDICT ask #4).
+#
+# The fixed-knob registrations above (ann_topk nbits=6, semdedup_trained
+# k=16, embedding_dup_pairs exact all-pairs) certify the EXACT/audit
+# baselines; the r10 scaling audit measured them quadratic at 10x data by
+# design (tools/scaling_r10.json). The three ``*_scaled`` queries below
+# certify the PRODUCTION path end-to-end: the Spark side computes the
+# knob live from the corpus count (bits_for_corpus / cells_for_corpus,
+# pipeline/similarity.py), and the oracle recomputes the IDENTICAL value
+# from COUNT(*) in SQL — integer arithmetic on both sides, so one oracle
+# string is exact at every scale factor. The knob changes only DATA
+# (which planes are active / how many seed centroids), never the SQL
+# structure: planes are inlined for every bit up to the cap and gated by
+# the computed nbits; the Lloyd chain takes k as a row_number bound.
+# Tighter targets than the production defaults (target_bucket=4,
+# target_cell=16) make the sizing genuinely move at test scales
+# (sf0.01: nbits 7 / k 32; sf0.1: nbits 9 / k 125) instead of
+# degenerating to the fixed knobs.
+# ---------------------------------------------------------------------------
+
+_SCALED_LSH_TARGET = 4    # bits_for_corpus target_bucket
+_SCALED_LSH_CAP = 16      # covers corpora to 4 * 2^16 = 262k vectors
+_SCALED_LSH_FLOOR = 6
+_SCALED_CELL_TARGET = 16  # cells_for_corpus target_cell
+
+
+def _plane_sql_literal(t: int, j: int, dim: int = 64) -> str:
+    """The (t, j) hyperplane as a DuckDB DOUBLE[] literal — ±1.0
+    components, so ``list_dot_product(v, p)`` is the exact left-fold
+    signed sum the numpy bucket kernel computes (multiplying by ±1.0
+    is IEEE-exact; the accumulation order is identical)."""
+    return ("[" + ", ".join(
+        "1.0" if s > 0 else "-1.0"
+        for s in similarity._plane_signs(t, j, dim)) + "]::DOUBLE[]")
+
+
+def _sql_dyn_lsh_parts(tables: int = 8,
+                       source: str = _ANN_SOURCE_EMBEDDINGS) -> str:
+    """Shared CTE chain for the corpus-proportional LSH oracles:
+    ``d`` (vectors), ``n`` (count), ``nb`` (the bits_for_corpus value,
+    recomputed in integer SQL: min b in [1, cap] with cnt <= target·2^b,
+    capped/floored exactly like the Python), ``pl`` (every plane up to
+    the cap as literals), ``pb`` (planes gated to j < nbits), and
+    ``bk`` (one (vec_id, tbl, bucket) row per table)."""
+    target, cap, floor = (_SCALED_LSH_TARGET, _SCALED_LSH_CAP,
+                          _SCALED_LSH_FLOOR)
+    rows = ",\n       ".join(
+        f"({t}, {j}, {_plane_sql_literal(t, j)})"
+        for t in range(tables) for j in range(cap))
+    return f"""{source},
+n AS (SELECT COUNT(*) AS cnt FROM d),
+nb AS (
+  SELECT CASE WHEN (SELECT cnt FROM n) <= {target} THEN {floor}
+         ELSE greatest({floor}, coalesce(
+           (SELECT MIN(b) FROM range(1, {cap + 1}) t(b)
+            WHERE (SELECT cnt FROM n) <= {target} * (1::BIGINT << b)),
+           {cap})) END AS nbits),
+pl(tbl, j, p) AS (
+  VALUES {rows}),
+pb AS (SELECT tbl, j, p FROM pl WHERE j < (SELECT nbits FROM nb)),
+bk AS (
+  SELECT d.vec_id, pb.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(d.v, pb.p) > 0
+                       THEN (1::BIGINT << pb.j) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM d CROSS JOIN pb GROUP BY 1, 2)"""
+
+
+def _sql_ann_topk_scaled(k: int = 10, mod: int = 50) -> str:
+    """DuckDB twin of ann_topk at ``nbits=bits_for_corpus(N)`` — the
+    1-bit multiprobe replays over the dynamically-gated plane set."""
+    return f"""
+WITH {_sql_dyn_lsh_parts()},
+qp AS (
+  SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id % {mod} = 0
+  UNION ALL
+  SELECT bk.vec_id AS q_id, bk.tbl,
+         xor(bk.bucket, 1::BIGINT << r.j) AS bucket
+  FROM bk CROSS JOIN (SELECT DISTINCT j FROM pb) r
+  WHERE bk.vec_id % {mod} = 0
+), cand AS (
+  SELECT DISTINCT qp.q_id, bk.vec_id
+  FROM qp JOIN bk USING (tbl, bucket)
+  WHERE bk.vec_id <> qp.q_id
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(qv.v, dv.v) /
+           (sqrt(list_dot_product(qv.v, qv.v))
+            * sqrt(list_dot_product(dv.v, dv.v))) AS cos
+  FROM cand c
+  JOIN d qv ON qv.vec_id = c.q_id
+  JOIN d dv ON dv.vec_id = c.vec_id
+), r AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+def q_ann_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_topk at the PRODUCTION hash width: nbits =
+    bits_for_corpus(COUNT), computed live — the knob the r10 scaling
+    audit showed turns the fixed-nbits ~N² rerank into ~N·target
+    (slope 7.8 → 5.6 at 10x, tools/scaling_r10.json). The oracle
+    recomputes the same integer sizing from COUNT(*), so this row
+    certifies the bucketed scale path itself, not a frozen knob."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    nb = similarity.bits_for_corpus(
+        vecs.count(), target_bucket=_SCALED_LSH_TARGET,
+        floor=_SCALED_LSH_FLOOR, cap=_SCALED_LSH_CAP)
+    q = similarity.queries_by_mod(vecs, 50)
+    return similarity.ann_topk(vecs, q, k=10, nbits=nb)
+
+
+_SQL_ANN_TOPK_SCALED = _sql_ann_topk_scaled()
+
+
+def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on the LSH-bucketed SCALE path
+    (cosine_dup_pairs_lsh) at nbits = bits_for_corpus(COUNT) — the
+    production twin of the exact all-pairs ``embedding_dup_pairs``
+    validation scorer (slope 67.8 vs 12.8 at 10x,
+    tools/scaling_r10.json). Candidates are (tbl, bucket) collisions;
+    the exact-cosine verify keeps only true pairs, so the output is a
+    deterministic SUBSET of the exact scorer's — the oracle replays
+    the same buckets, making the approximation itself the certified
+    artifact."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    nb = similarity.bits_for_corpus(
+        vecs.count(), target_bucket=_SCALED_LSH_TARGET,
+        floor=_SCALED_LSH_FLOOR, cap=_SCALED_LSH_CAP)
+    return similarity.cosine_dup_pairs_lsh(vecs, threshold=0.45, nbits=nb)
+
+
+_SQL_EMBEDDING_DUP_PAIRS_LSH = f"""
+WITH {_sql_dyn_lsh_parts()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.d1, c.d2,
+       list_dot_product(x.v, y.v) /
+         (sqrt(list_dot_product(x.v, x.v))
+          * sqrt(list_dot_product(y.v, y.v))) AS cos
+FROM cand c
+JOIN d x ON x.vec_id = c.d1
+JOIN d y ON y.vec_id = c.d2
+WHERE list_dot_product(x.v, y.v) /
+        (sqrt(list_dot_product(x.v, x.v))
+         * sqrt(list_dot_product(y.v, y.v))) >= 0.45
+ORDER BY c.d1, c.d2
+"""
+
+
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the PRODUCTION cell count: k =
+    cells_for_corpus(COUNT) trained centroids (2 Lloyd passes), so
+    |cell| stays ~target and the within-cell pair scan is ~N·target
+    instead of N²/16 (slope 54.7 → 5.4 at 10x, tools/scaling_r10.json
+    — the Abbas et al. 2023 k ∝ N sizing). The oracle computes the
+    identical k from COUNT(*) and unrolls the same Lloyd chain — k
+    only changes the seed-centroid rows, never the SQL structure."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    k = similarity.cells_for_corpus(vecs.count(),
+                                    target_cell=_SCALED_CELL_TARGET)
+    cents = similarity.kmeans_centroids(vecs, k=k, iters=2)
+    return similarity.semantic_dedup_stats(vecs, threshold=0.4,
+                                           centroids=cents)
+
+
+_SQL_SEMDEDUP_SCALED = (
+    "WITH " + ",\n".join(_sql_lloyd_parts(
+        f"greatest(16, (cnt + {_SCALED_CELL_TARGET - 1})"
+        f" // {_SCALED_CELL_TARGET})", 2, 64))
+    + ",\n" + _sql_semdedup_tail("c2"))
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3668,6 +3864,12 @@ PIPELINE_QUERIES: dict = {
     "epoch_shard": (q_epoch_shard, _SQL_EPOCH_SHARD),
     "semdedup": (q_semdedup, _SQL_SEMDEDUP),
     "semdedup_trained": (q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
+    # r11 sanctioned additions (VERDICT r10 ask #4): the corpus-
+    # proportional production sizing, driver-certified end-to-end
+    "ann_topk_scaled": (q_ann_topk_scaled, _SQL_ANN_TOPK_SCALED),
+    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh,
+                                _SQL_EMBEDDING_DUP_PAIRS_LSH),
+    "semdedup_scaled": (q_semdedup_scaled, _SQL_SEMDEDUP_SCALED),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "bigram_novelty": (q_bigram_novelty, _SQL_BIGRAM_NOVELTY),

@@ -567,13 +567,20 @@ def bits_for_corpus(n: int, target_bucket: int = 100,
     work is ~N²: the r10 scaling audit measured the registered
     fixed-nbits=6 ``multimodal_embed_ann`` at slope ~170x on 10x data
     (tools/scaling_r10.json). Production callers pass
-    ``nbits=bits_for_corpus(df.count())``; registered queries keep
-    fixed nbits because the oracle inlines the plane set as literals.
+    ``nbits=bits_for_corpus(df.count())``; the r11 ``*_scaled``
+    registrations compute it live and their oracles recompute the
+    identical value from COUNT(*) — which is why the body is pure
+    integer arithmetic (min b with n <= target·2^b, exactly
+    ceil(log2(n/target)) but immune to float-log2 ulp error at exact
+    powers of two, where ``ceil`` would be one off either way between
+    engines).
     """
-    import math
     if n <= target_bucket:
         return floor
-    return min(cap, max(floor, math.ceil(math.log2(n / target_bucket))))
+    b = 1
+    while (target_bucket << b) < n and b < cap:
+        b += 1
+    return max(floor, b)
 
 
 def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,

@@ -6203,18 +6203,26 @@ BATCH_QUERIES = {
 # present at import. tests/test_plan_quality.py pins the invariants.
 # ---------------------------------------------------------------------------
 
-#: r10: 51, not 50 — the two merge-plan voids (cdc_upsert,
-#: cdc_upsert_mor_stream) plus the six punct_ratio voids put 8
-#: never-green entries ahead of the 43 r5-stale rotation backlog,
-#: which pushes the last backlog entry (weighted_median) to position
-#: 51. If the driver honors this constant it stays covered; if the
-#: driver caps at 50 nothing is lost, and the committed r10 preverify
-#: logs check all 51 either way.
-DRIVER_WINDOW = 51
+#: r11: 50 — the r10 driver demonstrably caps at 50 rows/round (it
+#: sampled 50 of the requested 51, skipping weighted_median), so a
+#: larger constant only misleads: 50 IS the effective window, and the
+#: preverify tooling + COVERAGE.md now treat it as such (ADVICE r10).
+#: r11 window composition: the 3 sanctioned ``*_scaled`` additions
+#: (never-green, VERDICT r10 ask #4) + weighted_median (r5) + 46 of
+#: the 48 r6-stale backlog = 50. The two r6 entries the additions
+#: displace (last by tie order) roll to the FRONT of the r12 window
+#: automatically — the ask-#3/ask-#4 collision under the 50-cap is
+#: structural, resolved in favor of certifying the scale path; all 52
+#: candidates are preverified locally at sf0.01 and sf0.1 either way
+#: (tools/preverify_r11_*).
+DRIVER_WINDOW = 50
 
 #: tie-break seed among never-driver-verified queries (judge-named
 #: round-4 coverage set); names absent from the registry are ignored.
 _DRIVER_PRIORITY = [
+    # r11 sanctioned additions (VERDICT r10 ask #4): the corpus-
+    # proportional scale-path variants — never-green, head the window.
+    "ann_topk_scaled", "embedding_dup_pairs_lsh", "semdedup_scaled",
     # r9 sanctioned addition (VERDICT r8 ask #5) — never-green, so it
     # heads the r9 window alongside the r4-stale rotation backlog.
     "multimodal_decode",

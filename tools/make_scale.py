@@ -117,8 +117,13 @@ def _replicate(tbl: pa.Table, name: str, k: int,
                 offs = np.asarray(col.combine_chunks().offsets)
                 dim = offs[1] - offs[0]
                 mat = flat.reshape(-1, dim)
-                col = pa.array(list(np.roll(mat, r % dim, axis=1)),
-                               type=field.type)
+                # shift 1 + (r-1) % (dim-1) is never 0 for r > 0 —
+                # `r % dim` would give replica r = dim a zero shift,
+                # silently re-introducing the exact-duplicate ~K² pair
+                # explosion this perturbation exists to avoid
+                col = pa.array(
+                    list(np.roll(mat, 1 + (r - 1) % (dim - 1), axis=1)),
+                    type=field.type)
             cols[field.name] = col
         reps.append(pa.table(cols, schema=tbl.schema))
     return pa.concat_tables(reps)

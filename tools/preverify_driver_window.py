@@ -21,9 +21,37 @@ from kafka_connect_msk_demo_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_MEDIUM", "/root/testdata/sf0.01")
 
 
+def _reconcile_driver_cap() -> None:
+    """ADVICE r10: nothing machine-checked that the driver honored
+    DRIVER_WINDOW (r10 requested 51, the driver sampled 50). Compare
+    the newest CORRECTNESS_r*.json row count against the constant and
+    fail loudly on a mismatch so a silent cap can never again strand
+    the window's tail query."""
+    import glob
+    import json
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest, rows = -1, None
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > newest:
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            newest, rows = int(m.group(1)), len(data)
+    if rows is not None and rows != DRIVER_WINDOW:
+        print(f"WARNING: driver r{newest} recorded {rows} rows but "
+              f"DRIVER_WINDOW = {DRIVER_WINDOW} — the effective window "
+              f"is min of the two; align the constant or the tail of "
+              f"the window is silently skipped.", flush=True)
+
+
 def main() -> int:
     start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     end = int(sys.argv[2]) if len(sys.argv) > 2 else DRIVER_WINDOW
+    _reconcile_driver_cap()
     names = list(ALL_QUERIES)[start:end]
     spark = get_spark("preverify", master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")

@@ -34,6 +34,10 @@ Axes (matching the r7 report rows):
            stateful axes (r10 ask: AQE is load-bearing in several
            plans; 1 strips parallelism, 256 floods tiny SFs with
            empty shuffle partitions)
+  evolve   schema-evolution fuzz on the resolved-decode path (r11):
+           random writer/reader pairs through the legal promotion
+           matrix, union-order flips, dropped/added fields with
+           defaults, mixed-writer directories
 """
 
 from __future__ import annotations
@@ -456,12 +460,211 @@ def axis_avro(seeds: list[int]) -> int:
     return fails
 
 
+def axis_evolve(seeds: list[int]) -> int:
+    """Schema-evolution fuzz on the resolved-decode path (r10 VERDICT
+    ask #6 — the one codec surface without a randomized campaign):
+    random WRITER schemas decoded through random READER schemas via
+    ``read_avro(resolve=True)``, against a pure-Python expectation.
+
+    Randomized per seed: field types (all 7 primitives), union
+    nullability AND union branch order (["null",t] vs [t,"null"]),
+    legal promotions from serde._PROMOTIONS (int→long/float/double,
+    long→float/double, float→double, string↔bytes), writer-only
+    fields (decode-and-skip), reader-only fields with defaults (plain
+    and nullable-with-null-default), shuffled reader field order, and
+    — on even seeds — a second OCF file in the same directory written
+    with the READER schema itself, so one read spans two writer
+    schemas (the directory-lifetime case resolution exists for)."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from kafka_connect_msk_demo_spark.serde import _PROMOTIONS
+    from kafka_connect_msk_demo_spark.sources.files import (
+        read_avro, write_avro)
+
+    spark = _spark("stress-evolve")
+    types_all = ["int", "long", "float", "double", "string", "bytes",
+                 "boolean"]
+    spark_of = {"int": T.IntegerType(), "long": T.LongType(),
+                "float": T.FloatType(), "double": T.DoubleType(),
+                "string": T.StringType(), "bytes": T.BinaryType(),
+                "boolean": T.BooleanType()}
+
+    def gen_val(t, rng):
+        if t == "int":
+            return rng.randrange(-2**31, 2**31)
+        if t == "long":
+            return rng.choice([rng.randrange(-100, 100),
+                               2**62 + rng.randrange(100),
+                               -(2**62) - rng.randrange(100)])
+        if t == "float":
+            return float(np.float32(rng.uniform(-1e6, 1e6)))
+        if t == "double":
+            return rng.uniform(-1e6, 1e6)
+        if t == "string":
+            return "".join(rng.choice("abc déf") for _ in
+                           range(rng.randrange(0, 9)))
+        if t == "bytes":
+            # UTF-8-valid bytes: the spec's bytes->string promotion
+            # assumes the payload is encoded text (arbitrary binary
+            # through that promotion is a caller error, not a codec
+            # surface) — but keep multi-byte sequences in play
+            return "".join(rng.choice("abc déf\u20ac") for _ in
+                           range(rng.randrange(0, 9))).encode("utf-8")
+        return rng.random() < 0.5
+
+    def promote_val(v, w, r):
+        if v is None or w == r:
+            return v
+        if r == "float":
+            return float(np.float32(v))
+        if r == "double":
+            return float(v)
+        if r == "long":
+            return v
+        if r == "bytes":
+            return v.encode("utf-8")
+        if r == "string":
+            return v.decode("utf-8")
+        raise AssertionError((w, r))
+
+    fails = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        nfields = rng.randrange(2, 7)
+        writer_fields = []
+        for i in range(nfields):
+            t = rng.choice(types_all)
+            nullable = rng.random() < 0.5
+            wtyp = (rng.choice([["null", t], [t, "null"]])
+                    if nullable else t)
+            writer_fields.append({"name": f"f{i}", "type": wtyp})
+        # reader: keep / promote / drop each writer field
+        reader_fields, kept = [], []
+        for f in writer_fields:
+            base = f["type"][1 - f["type"].index("null")] \
+                if isinstance(f["type"], list) else f["type"]
+            action = rng.random()
+            if action < 0.2:
+                continue  # writer-only: decode-and-skip
+            r_base = base
+            if action < 0.5:
+                promos = [r for (w, r) in _PROMOTIONS if w == base]
+                if promos:
+                    r_base = rng.choice(promos)
+            rtyp = (rng.choice([["null", r_base], [r_base, "null"]])
+                    if isinstance(f["type"], list) else r_base)
+            reader_fields.append({"name": f["name"], "type": rtyp})
+            kept.append((f["name"], base, r_base))
+        if not reader_fields:
+            reader_fields.append(dict(writer_fields[0]))
+            f = writer_fields[0]
+            base = f["type"][1 - f["type"].index("null")] \
+                if isinstance(f["type"], list) else f["type"]
+            kept.append((f["name"], base, base))
+        # reader-only fields with defaults
+        added = []
+        for i in range(rng.randrange(0, 3)):
+            t = rng.choice(["int", "long", "double", "string", "boolean"])
+            if rng.random() < 0.4:
+                reader_fields.append({"name": f"new{i}",
+                                      "type": ["null", t],
+                                      "default": None})
+                added.append((f"new{i}", t, None, True))
+            else:
+                dv = gen_val(t, rng)
+                reader_fields.append({"name": f"new{i}", "type": t,
+                                      "default": dv})
+                added.append((f"new{i}", t, dv, False))
+        rng.shuffle(reader_fields)
+        writer_json = _json.dumps(
+            {"type": "record", "name": "R", "fields": writer_fields})
+        reader_json = _json.dumps(
+            {"type": "record", "name": "R", "fields": reader_fields})
+
+        def fbase(f):
+            return (f["type"][1 - f["type"].index("null")]
+                    if isinstance(f["type"], list) else f["type"])
+
+        nrows = rng.randrange(1, 30)
+        w_rows = [tuple(
+            None if isinstance(f["type"], list) and rng.random() < 0.3
+            else gen_val(fbase(f), rng) for f in writer_fields)
+            for _ in range(nrows)]
+        w_schema = T.StructType([
+            T.StructField(f["name"], spark_of[fbase(f)],
+                          isinstance(f["type"], list))
+            for f in writer_fields])
+        r_schema = T.StructType([
+            T.StructField(f["name"], spark_of[fbase(f)],
+                          isinstance(f["type"], list)
+                          or "default" in f)
+            for f in reader_fields])
+        # expected: writer rows resolved to reader shape, python-side
+        w_idx = {f["name"]: i for i, f in enumerate(writer_fields)}
+        kept_map = {n: (w, r) for n, w, r in kept}
+        add_map = {n: dv for n, _t, dv, _nl in added}
+
+        def resolve_row(row):
+            out = []
+            for f in reader_fields:
+                n = f["name"]
+                if n in kept_map:
+                    w, r = kept_map[n]
+                    out.append(promote_val(row[w_idx[n]], w, r))
+                else:
+                    out.append(add_map[n])
+            return tuple(out)
+
+        want = [resolve_row(r) for r in w_rows]
+        tmp = tempfile.mkdtemp(prefix=f"stress_evolve_{seed}_")
+        try:
+            df = spark.createDataFrame(w_rows, w_schema).coalesce(1)
+            write_avro(df, os.path.join(tmp, "out"), writer_json)
+            if seed % 2 == 0:
+                # second file written with the READER schema itself —
+                # identity resolution in the same directory read
+                os.rename(os.path.join(tmp, "out", "part-00000.avro"),
+                          os.path.join(tmp, "out", "part-w0.avro"))
+                r_rows = [tuple(
+                    None if (isinstance(f["type"], list)
+                             and "default" not in f
+                             and rng.random() < 0.3)
+                    else (add_map[f["name"]] if f["name"] in add_map
+                          else gen_val(fbase(f), rng))
+                    for f in reader_fields) for _ in range(5)]
+                df2 = spark.createDataFrame(r_rows, r_schema).coalesce(1)
+                write_avro(df2, os.path.join(tmp, "out"), reader_json)
+                want = want + r_rows
+            back = read_avro(spark, os.path.join(tmp, "out"),
+                             reader_json, r_schema, resolve=True)
+            got = [tuple(r) for r in back.collect()]
+            key = (lambda r: tuple((x is None, repr(type(x)), x)
+                                   for x in r))
+            ok = sorted(want, key=key) == sorted(got, key=key)
+            print(f"  seed {seed} ({len(writer_fields)}w/"
+                  f"{len(reader_fields)}r fields, {len(want)} rows): "
+                  f"{'ok' if ok else 'DIVERGED'}", flush=True)
+            if not ok:
+                fails += 1
+                for w, g in zip(sorted(want, key=key),
+                                sorted(got, key=key)):
+                    if w != g:
+                        print(f"    want {w}\n    got  {g}", flush=True)
+                        break
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--axis", default="all",
                     choices=["cdc", "jaccard", "ranking", "chunks",
                              "shuffle", "session", "staging", "avro",
-                             "extremes", "all"])
+                             "extremes", "evolve", "all"])
     ap.add_argument("--seeds", default="7000-7019",
                     help="range lo-hi or comma list (cdc/jaccard/"
                          "ranking/avro axes)")
@@ -476,7 +679,7 @@ def main() -> int:
     fails = 0
     axes = ([args.axis] if args.axis != "all" else
             ["cdc", "jaccard", "ranking", "chunks", "shuffle",
-             "session", "staging", "avro", "extremes"])
+             "session", "staging", "avro", "extremes", "evolve"])
     for axis in axes:
         print(f"axis: {axis}", flush=True)
         if axis == "cdc":
@@ -498,6 +701,8 @@ def main() -> int:
             fails += axis_avro(seeds[:25])
         elif axis == "extremes":
             fails += axis_extremes(seeds[:8])
+        elif axis == "evolve":
+            fails += axis_evolve(seeds[:40])
     print(f"stress: {'CLEAN' if not fails else f'{fails} FAILURES'}",
           flush=True)
     return 1 if fails else 0
