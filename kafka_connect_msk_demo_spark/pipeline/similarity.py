@@ -473,24 +473,42 @@ def cosine_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
     (1 − 0.85⁶)⁸ ≈ 2 %, and ≈ 10⁻⁵ at cos 0.99 — recall 1.0 on planted
     duplicates is asserted in tests/test_pipeline.py. NOT for mining
     weak correlations (cos ≈ 0.45 ⇒ per-table collision ≈ 0.08): use
-    the exact scorer at validation scale for that."""
+    the exact scorer at validation scale for that.
+
+    Shuffle discipline (r11): the self-join and the (d1, d2) dedup
+    move BARE id pairs — 16 bytes each — and the vectors join back in
+    only for the exact-cosine verify of the deduped survivors. The
+    first cut shuffled both 64-double vectors through the collision
+    dedup (~1 KB per candidate, ~Σ bucket² of them); at the 10x
+    scaling corpus that was 3x the wall-clock of the pair-first plan,
+    and at 100 TB it is the difference between shuffling candidate
+    KEYS and shuffling a multiple of the corpus."""
     spark = vectors.sparkSession
     v = (vectors.select(F.col(id_col).alias("id"),
                         as_double(vec_col).alias("v"))
          .repartition(spark.sparkContext.defaultParallelism)
-         .withColumn("nrm", _norm(F.col("v"), dim)))
-    # one (tbl, bucket) row per table per vector; persisted — both
-    # self-join sides would otherwise re-run the bucket kernel
-    bucketed = lsh_buckets(v, "v", nbits, dim, tables).persist()
-    a = bucketed.select("tbl", "bucket", F.col("id").alias("d1"),
-                        F.col("v").alias("v1"), F.col("nrm").alias("n1"))
-    b = bucketed.select("tbl", "bucket", F.col("id").alias("d2"),
-                        F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+         .withColumn("nrm", _norm(F.col("v"), dim))
+         .persist())
+    # one (tbl, bucket, id) row per table per vector — vector payloads
+    # deliberately dropped before the self-join; persisted so the two
+    # join sides don't re-run the bucket kernel
+    bucketed = (lsh_buckets(v, "v", nbits, dim, tables)
+                .select("tbl", "bucket", "id").persist())
+    a = bucketed.select("tbl", "bucket", F.col("id").alias("d1"))
+    b = bucketed.select("tbl", "bucket", F.col("id").alias("d2"))
     cand = (a.join(b, ["tbl", "bucket"])
             .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
             .dropDuplicates(["d1", "d2"]))
+    scored = (cand
+              .join(v.select(F.col("id").alias("d1"),
+                             F.col("v").alias("v1"),
+                             F.col("nrm").alias("n1")), "d1")
+              .join(v.select(F.col("id").alias("d2"),
+                             F.col("v").alias("v2"),
+                             F.col("nrm").alias("n2")), "d2"))
     cos = _dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2"))
-    return (cand.withColumn("cos", cos)
+    return (scored.withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("d1", "d2", "cos")
             .orderBy("d1", "d2"))

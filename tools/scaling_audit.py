@@ -54,7 +54,11 @@ AUDIT_QUERIES = [
 #: dwarfs — and tripling a 20-minute quadratic audit query buys nothing
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "60"))
 
-OUT_PATH = os.path.join(HERE, "scaling_r10.json")
+#: per-round output (r10 wrote scaling_r10.json; r11 re-measures the
+#: newly REGISTERED corpus-proportional variants next to their exact
+#: baselines on one host so the slopes are same-machine comparable)
+OUT_PATH = os.path.join(
+    HERE, os.environ.get("SPARK_GRAFT_SCALE_OUT", "scaling_r11.json"))
 
 
 def _force(df) -> None:
@@ -88,9 +92,15 @@ def _scale_path_variants():
         pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
         return dedup.dedup_keep_policy(docs, pairs, order_col="n_chars")
 
-    def embedding_dup_pairs_lsh(spark, sf_dir):
-        # the bucketed replacement for the exact all-pairs scorer, at
-        # its intended true-near-dup threshold and N-scaled hash width
+    def dup_pairs_lsh_t09(spark, sf_dir):
+        # the bucketed replacement for the exact all-pairs scorer at
+        # its intended true-near-dup threshold and the DEFAULT
+        # production hash-width target (nbits ∝ log2(N/100)). NOTE the
+        # r11 registration `embedding_dup_pairs_lsh` (pipeline/
+        # queries.py) is a DIFFERENT configuration (threshold 0.45,
+        # target_bucket=4) — this twin kept its pre-registration name
+        # in r10 and silently SHADOWED the registered query in the
+        # registry.update below, so r11 renamed it.
         vecs = load_table(spark, sf_dir, "embeddings")
         nbits = similarity.bits_for_corpus(vecs.count())
         return similarity.cosine_dup_pairs_lsh(vecs, threshold=0.9,
@@ -108,7 +118,7 @@ def _scale_path_variants():
 
     return {"semdedup_trained_scaled_cells": semdedup_scaled,
             "dedup_keep_best_lsh": keep_best_lsh,
-            "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+            "dup_pairs_lsh_t09": dup_pairs_lsh_t09,
             "multimodal_embed_ann_scaled_bits": multimodal_ann_scaled_bits}
 
 
@@ -166,6 +176,11 @@ def main() -> None:
                 reps.append(round(time.monotonic() - t0, 3))
                 if reps[-1] > BUDGET_S:
                     break  # single-rep is enough past the budget
+            # drop leaked persists (the LSH/IVF queries cache bucket/
+            # assignment frames) — without this, storage pressure from
+            # earlier queries inflates later measurements (r11: the
+            # dup_pairs_lsh sf1 number read 63 s dirty vs ~10 s clean)
+            spark.catalog.clearCache()
             med = statistics.median(reps)
             out.setdefault(name, {})[sf_label] = med
             out[name][f"{sf_label}_reps"] = reps
