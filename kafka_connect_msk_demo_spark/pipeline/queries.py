@@ -2103,8 +2103,18 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = similarity.cells_for_corpus(vecs.count(),
                                     target_cell=_SCALED_CELL_TARGET)
     cents = similarity.kmeans_centroids(vecs, k=k, iters=2)
-    return similarity.semantic_dedup_stats(vecs, threshold=0.4,
-                                           centroids=cents)
+    # k ∝ N makes the JVM K-way-expression assignment the dominant
+    # term; the Arrow kernel (same two-pass exact argmax the trainer
+    # uses) scores a whole batch per instruction stream. Crossover at
+    # k=512 (N·k ≈ 4M cosines): below it the kernel's Python-worker
+    # startup exceeds the JVM expression cost (measured 10.4 s vs
+    # 5.8 s at sf0.1's k=125), above it the kernel wins ~5x (42.7 s →
+    # 8.4 s at the 10x corpus's k=1251). Fixed-k callers (semdedup /
+    # semdedup_trained / ivf_topk) keep the JVM path — and their
+    # driver-certified physical plans.
+    return similarity.semantic_dedup_stats(
+        vecs, threshold=0.4, centroids=cents,
+        assign_vectorized=k >= 512)
 
 
 _SQL_SEMDEDUP_SCALED = (

@@ -519,9 +519,41 @@ def cosine_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
 # ---------------------------------------------------------------------------
 
 
+def _fold_argmax_cells(A: "np.ndarray", Cm: "np.ndarray",
+                       nc: "np.ndarray", na: "np.ndarray") -> "np.ndarray":
+    """Row-wise nearest-centroid INDEX (into the c_id-ordered ``Cm``),
+    bit-identical to the sequential-fold cosine argmax with the
+    (cos DESC, c_id ASC) tie-break — the kmeans trainer's two-pass
+    trick, factored out so :func:`ivf_assign`'s vectorized path and
+    the trainer cannot drift apart.
+
+    Pass 1 scores every (row, centroid) with one dgemm; a 64-term
+    dgemm summation differs from the fold by at most γ₆₄ of ‖a‖‖c‖
+    (u = 2⁻⁵³), so post-division orders agree within ~1.5e-14 — any
+    row whose top-2 margin exceeds 1e-12 provably shares the fold's
+    argmax. Pass 2 re-scores only margin-tied rows with the exact
+    fold and the lowest-id tie-break."""
+    G = (A @ Cm.T) / (na[:, None] * nc[None, :])
+    rows = np.arange(len(G))
+    cell = G.argmax(axis=1)
+    top1 = G[rows, cell]
+    G[rows, cell] = -np.inf
+    top2 = G.max(axis=1)
+    for r in np.flatnonzero(top1 - top2 <= 1e-12):
+        a = A[r]
+        acc = a[0] * Cm[:, 0]
+        for j in range(1, len(a)):
+            acc = acc + a[j] * Cm[:, j]
+        cos = acc / (na[r] * nc)
+        # lowest c_id wins ties; Cm rows are c_id-ordered
+        cell[r] = int(np.flatnonzero(cos == cos.max())[0])
+    return cell
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                vec_col: str = "v", out: str = "cell",
-               dim: int | None = None) -> DataFrame:
+               dim: int | None = None,
+               vectorized: bool = False) -> DataFrame:
     """Assign each vector to its nearest centroid (highest cosine).
 
     Centroids are broadcast (K rows); the assignment is a map-side
@@ -533,7 +565,48 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     cross join evaluates the cosine K times per row, and unrolling a
     64-term dot into each copy explodes the generated code (measured
     2× slower than the fold here — the opposite of the pair scorers,
-    where one unrolled copy per row wins)."""
+    where one unrolled copy per row wins).
+
+    ``vectorized=True`` switches to one Arrow-batched kernel scoring a
+    whole batch against the broadcast centroid matrix per instruction
+    stream (:func:`_fold_argmax_cells` — the trainer's two-pass exact
+    argmax, so the chosen cells are bit-identical to the fold path and
+    the SQL oracle). The crossover is the JVM path's K-way expression
+    cost: at k ∝ N sizing (``cells_for_corpus``, k in the hundreds+)
+    the kernel wins ~an order of magnitude; fixed-k≈16 callers keep
+    the JVM path — and their exact physical plan. The kernel collects
+    the centroid frame to the driver (K×dim — the JVM path broadcasts
+    the same rows), so pass only bounded centroid tables."""
+    if vectorized:
+        rows_c = centroids.select("c_id", "c_vec").collect()
+        order = sorted(range(len(rows_c)), key=lambda i: rows_c[i]["c_id"])
+        ids = np.asarray([rows_c[i]["c_id"] for i in order],
+                         dtype=np.int64)
+        Cm = np.stack([np.asarray(rows_c[i]["c_vec"], dtype=np.float64)
+                       for i in order])
+        nc = _np_seq_norm(Cm)
+        bc = vectors.sparkSession.sparkContext.broadcast((ids, Cm, nc))
+        in_fields = [f"{f.name} {f.dataType.simpleString()}"
+                     for f in vectors.schema.fields]
+        out_schema = ", ".join(in_fields + [f"{out} bigint"])
+        cols = [f.name for f in vectors.schema.fields]
+        long_cols = [f.name for f in vectors.schema.fields
+                     if f.dataType.simpleString() == "bigint"]
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cids, Cmv, ncv = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for lc in long_cols:
+                    exact_longs(pdf[lc], lc)
+                A = _np_stack(pdf[vec_col])
+                idx = _fold_argmax_cells(A, Cmv, ncv, _np_seq_norm(A))
+                outp = pdf[cols].copy()
+                outp[out] = cids[idx]
+                yield outp
+
+        return vectors.mapInPandas(assign, out_schema)
     c = centroids.select(F.col("c_id"), F.col("c_vec"))
     scored = (vectors.crossJoin(F.broadcast(c))
               .withColumn("sim",
@@ -659,39 +732,13 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
                     A = _np_stack(pdf["v"])
                     # Assignment must equal the sequential-fold cosine
                     # argmax (ivf_assign / the oracle's _COS_CENT) on
-                    # ANY BLAS: a matmul accumulates in a vendor/ISA-
-                    # dependent order, so a ULP-tied vector could land
-                    # in a different cell under OpenBLAS vs MKL vs the
-                    # oracle's fold — silently changing the trained
-                    # index across machines. A pure per-dim fold loop
-                    # is bit-exact but measured ~2.3x slower end-to-end
-                    # (temporaries beat dgemm's cache blocking), so:
-                    # two-pass. Fast dgemm cosines first; any 64-term
-                    # summation differs from the fold by at most
-                    # gamma_64 = 64u/(1-64u) of sum|a_j c_j| <= ‖a‖‖c‖
-                    # (u = 2^-53), so after the na*nc division two
-                    # evaluation orders are within ~1.5e-14 of each
-                    # other. Rows whose dgemm top-2 margin exceeds
-                    # 1e-12 (a 60x-safe bound) provably share the
-                    # fold's argmax; only margin-tied rows (none, in
-                    # typical data) re-score with the exact fold and
-                    # the oracle's (cos DESC, c_id) tie-break.
-                    na = _np_seq_norm(A)
-                    G = (A @ Cm.T) / (na[:, None] * nc[None, :])
-                    rows = np.arange(len(G))
-                    cell = G.argmax(axis=1)
-                    top1 = G[rows, cell]
-                    G[rows, cell] = -np.inf
-                    top2 = G.max(axis=1)
-                    for r in np.flatnonzero(top1 - top2 <= 1e-12):
-                        a = A[r]
-                        acc = a[0] * Cm[:, 0]
-                        for j in range(1, len(a)):
-                            acc = acc + a[j] * Cm[:, j]
-                        cos = acc / (na[r] * nc)
-                        # lowest c_id wins ties; Cm rows are c_id-ordered
-                        cell[r] = int(np.flatnonzero(
-                            cos == cos.max())[0])
+                    # ANY BLAS — the shared two-pass exact argmax
+                    # (:func:`_fold_argmax_cells`, rationale there)
+                    # guarantees it; ivf_assign's vectorized path uses
+                    # the SAME helper so trainer and assigner cannot
+                    # drift.
+                    cell = _fold_argmax_cells(A, Cm, nc,
+                                              _np_seq_norm(A))
                     rows = []
                     for ci in np.unique(cell):
                         # Quantize BEFORE summing: int64 addition is
@@ -743,7 +790,8 @@ def semantic_dedup_stats(vectors: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          dim: int = 64,
-                         centroids: DataFrame | None = None) -> DataFrame:
+                         centroids: DataFrame | None = None,
+                         assign_vectorized: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster embeddings with the IVF coarse quantizer, then search for
     near-duplicates ONLY within each cluster — keeping the lowest id
@@ -769,7 +817,7 @@ def semantic_dedup_stats(vectors: DataFrame, threshold: float = 0.4,
         vectors.select(F.col(id_col).alias("vec_id"),
                        as_double(vec_col).alias("v"))
         .repartition(spark.sparkContext.defaultParallelism),
-        cents, vec_col="v")
+        cents, vec_col="v", vectorized=assign_vectorized)
     data = data.withColumn("nrm", _norm(F.col("v"), dim)).persist()
     a = data.select("cell", F.col("vec_id").alias("d1"),
                     F.col("v").alias("v1"), F.col("nrm").alias("n1"))

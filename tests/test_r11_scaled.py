@@ -111,3 +111,24 @@ def test_dup_pairs_lsh_subset_of_exact(spark, sf_small):
            q_embedding_dup_pairs_lsh(spark, sf_small).collect()}
     assert lsh <= exact
     assert lsh, "LSH pair set empty — buckets too fine for this corpus"
+
+
+def test_ivf_assign_vectorized_matches_jvm(spark, sf_small):
+    """The Arrow-batched assignment kernel (two-pass exact argmax,
+    shared with the Lloyd trainer) must choose the IDENTICAL cell for
+    every vector as the JVM max_by fold path — any divergence would
+    silently fork the scaled SemDeDup family from its SQL oracle."""
+    from kafka_connect_msk_demo_spark.catalog import load_table
+    from kafka_connect_msk_demo_spark.pipeline import similarity
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = similarity.kmeans_centroids(
+        load_table(spark, sf_small, "embeddings"), k=32, iters=2)
+    jvm = {r.vec_id: r.cell for r in similarity.ivf_assign(
+        vecs, cents, vec_col="v", vectorized=False).collect()}
+    arrow = {r.vec_id: r.cell for r in similarity.ivf_assign(
+        vecs, cents, vec_col="v", vectorized=True).collect()}
+    assert jvm == arrow
+    assert len(jvm) == vecs.count()
