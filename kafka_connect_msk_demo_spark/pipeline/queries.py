@@ -2124,6 +2124,29 @@ _SQL_SEMDEDUP_SCALED = (
     + ",\n" + _sql_semdedup_tail("c2"))
 
 
+def q_semdedup_scaled_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semdedup_scaled` with the Arrow vectorized IVF-assign kernel
+    FORCED on (VERDICT r11 ask #2): at driver scale (sf0.01) the
+    corpus-proportional k sits below the k=512 crossover, so
+    `semdedup_scaled`'s green r11 row certified only the JVM
+    expression assignment — while production k ∝ N sizing runs the
+    kernel. The kernel's cell choices are bit-identical to the JVM
+    fold by construction (shared two-pass exact argmax,
+    similarity._fold_argmax_cells; bit-identity asserted in
+    tests/test_r11_scaled.py), so this twin reuses
+    `_SQL_SEMDEDUP_SCALED` verbatim — same k, same Lloyd chain, same
+    tail. tests/test_r12_vec_twin.py asserts the executed plan
+    actually contains the mapInPandas assign stage (the plan witness
+    the JVM twin must NOT have)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    k = similarity.cells_for_corpus(vecs.count(),
+                                    target_cell=_SCALED_CELL_TARGET)
+    cents = similarity.kmeans_centroids(vecs, k=k, iters=2)
+    return similarity.semantic_dedup_stats(
+        vecs, threshold=0.4, centroids=cents,
+        assign_vectorized=True)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter tokens via the Misra-Gries candidate pass +
     exact recount (pipeline/freq.py). The output is EXACT (the sketch
@@ -3880,6 +3903,7 @@ PIPELINE_QUERIES: dict = {
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh,
                                 _SQL_EMBEDDING_DUP_PAIRS_LSH),
     "semdedup_scaled": (q_semdedup_scaled, _SQL_SEMDEDUP_SCALED),
+    "semdedup_scaled_vec": (q_semdedup_scaled_vec, _SQL_SEMDEDUP_SCALED),
     "heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "bigram_novelty": (q_bigram_novelty, _SQL_BIGRAM_NOVELTY),

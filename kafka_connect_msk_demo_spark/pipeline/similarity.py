@@ -508,10 +508,22 @@ def cosine_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
                              F.col("v").alias("v2"),
                              F.col("nrm").alias("n2")), "d2"))
     cos = _dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2"))
-    return (scored.withColumn("cos", cos)
-            .filter(F.col("cos") >= threshold)
-            .select("d1", "d2", "cos")
-            .orderBy("d1", "d2"))
+    out = (scored.withColumn("cos", cos)
+           .filter(F.col("cos") >= threshold)
+           .select("d1", "d2", "cos")
+           .orderBy("d1", "d2"))
+    # ADVICE r11: v and bucketed are corpus-sized and were never
+    # unpersisted — repeated calls in a long-lived session leaked
+    # cached frames (the r11 scaling audit measured a 63s-vs-10s
+    # distortion from exactly this). Materialize the result ONCE
+    # (persisted — it is O(#near-dup pairs), tiny versus the corpus by
+    # the >= 0.9 threshold's design), then drop the big inputs. The
+    # caller's action hits the cached result; nothing recomputes.
+    out = out.persist()
+    out.count()
+    v.unpersist()
+    bucketed.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -579,6 +591,14 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     the same rows), so pass only bounded centroid tables."""
     if vectorized:
         rows_c = centroids.select("c_id", "c_vec").collect()
+        if not rows_c:
+            # ADVICE r11: np.stack([]) raises an opaque numpy error;
+            # surface the actual contract violation instead (the JVM
+            # path degrades to an empty cross join, but an empty
+            # quantizer is a caller bug either way).
+            raise ValueError(
+                "ivf_assign(vectorized=True): centroids frame is "
+                "empty — the coarse quantizer needs >= 1 centroid")
         order = sorted(range(len(rows_c)), key=lambda i: rows_c[i]["c_id"])
         ids = np.asarray([rows_c[i]["c_id"] for i in order],
                          dtype=np.int64)

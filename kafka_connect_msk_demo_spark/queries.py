@@ -6207,19 +6207,23 @@ BATCH_QUERIES = {
 #: sampled 50 of the requested 51, skipping weighted_median), so a
 #: larger constant only misleads: 50 IS the effective window, and the
 #: preverify tooling + COVERAGE.md now treat it as such (ADVICE r10).
-#: r11 window composition: the 3 sanctioned ``*_scaled`` additions
-#: (never-green, VERDICT r10 ask #4) + weighted_median (r5) + 46 of
-#: the 48 r6-stale backlog = 50. The two r6 entries the additions
-#: displace (last by tie order) roll to the FRONT of the r12 window
-#: automatically — the ask-#3/ask-#4 collision under the 50-cap is
-#: structural, resolved in favor of certifying the scale path; all 52
-#: candidates are preverified locally at sf0.01 and sf0.1 either way
-#: (tools/preverify_r11_*).
+#: r12 window composition (VERDICT r11 asks #1+#2): the sanctioned
+#: ``semdedup_scaled_vec`` addition (never-green — certifies the
+#: Arrow vectorized IVF-assign kernel the r11 row couldn't reach) +
+#: ``embedding_dup_pairs_lsh`` (r11 row voided by the ADVICE-r11
+#: persist-leak fix, which changed its executed plan) + the full
+#: 43-query r6/r7 staleness tail (domain_cap, hll_distinct + 41 r7
+#: rows) + 5 of the r8 class = 50. After r12 no query's latest driver
+#: row should predate r8.
 DRIVER_WINDOW = 50
 
 #: tie-break seed among never-driver-verified queries (judge-named
 #: round-4 coverage set); names absent from the registry are ignored.
 _DRIVER_PRIORITY = [
+    # r12 sanctioned addition (VERDICT r11 ask #2): the forced-
+    # vectorized semdedup twin — never-green, heads the window so the
+    # Arrow IVF-assign kernel earns its own driver row.
+    "semdedup_scaled_vec",
     # r11 sanctioned additions (VERDICT r10 ask #4): the corpus-
     # proportional scale-path variants — never-green, head the window.
     "ann_topk_scaled", "embedding_dup_pairs_lsh", "semdedup_scaled",
@@ -6346,6 +6350,13 @@ _PLAN_REWRITTEN_AFTER = {
     # read-time merge.
     "cdc_upsert": 9,
     "cdc_upsert_mor_stream": 9,
+    # r12 (ADVICE r11): cosine_dup_pairs_lsh now materializes its
+    # result eagerly (persist + count) so the corpus-sized v/bucketed
+    # frames can be unpersisted inside the library instead of leaking
+    # into long-lived sessions. Values are identical, but the frame
+    # the driver collects is now a cached-result scan — a new executed
+    # plan, so the r11 row is void and the query re-earns its row.
+    "embedding_dup_pairs_lsh": 11,
 }
 
 

@@ -120,7 +120,20 @@ def _replicate(tbl: pa.Table, name: str, k: int,
                 # shift 1 + (r-1) % (dim-1) is never 0 for r > 0 —
                 # `r % dim` would give replica r = dim a zero shift,
                 # silently re-introducing the exact-duplicate ~K² pair
-                # explosion this perturbation exists to avoid
+                # explosion this perturbation exists to avoid.
+                # ADVICE r11: the shift still CYCLES with period dim-1
+                # (replica r = dim would duplicate replica 1), so large
+                # replication factors must be rejected, not silently
+                # allowed to reintroduce the duplicate-pair explosion
+                # against a non-base replica.
+                if r > dim - 1:
+                    raise ValueError(
+                        f"replica r={r} exceeds the roll period "
+                        f"dim-1={dim - 1}: its shift equals replica "
+                        f"{r - (dim - 1)}'s, so the two would be "
+                        f"exact duplicates. Keep k <= dim (= {dim} "
+                        f"here; replicas 0..{dim - 1}) or add a "
+                        f"second perturbation axis.")
                 col = pa.array(
                     list(np.roll(mat, 1 + (r - 1) % (dim - 1), axis=1)),
                     type=field.type)

@@ -21,12 +21,14 @@ from kafka_connect_msk_demo_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_MEDIUM", "/root/testdata/sf0.01")
 
 
-def _reconcile_driver_cap() -> None:
+def _reconcile_driver_cap() -> bool:
     """ADVICE r10: nothing machine-checked that the driver honored
     DRIVER_WINDOW (r10 requested 51, the driver sampled 50). Compare
     the newest CORRECTNESS_r*.json row count against the constant and
     fail loudly on a mismatch so a silent cap can never again strand
-    the window's tail query."""
+    the window's tail query. Returns True when the cap reconciles
+    (ADVICE r11: the WARNING alone left main()'s exit status green —
+    the mismatch now fails the tool)."""
     import glob
     import json
     import re
@@ -42,16 +44,18 @@ def _reconcile_driver_cap() -> None:
                 continue
             newest, rows = int(m.group(1)), len(data)
     if rows is not None and rows != DRIVER_WINDOW:
-        print(f"WARNING: driver r{newest} recorded {rows} rows but "
+        print(f"ERROR: driver r{newest} recorded {rows} rows but "
               f"DRIVER_WINDOW = {DRIVER_WINDOW} — the effective window "
               f"is min of the two; align the constant or the tail of "
               f"the window is silently skipped.", flush=True)
+        return False
+    return True
 
 
 def main() -> int:
     start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     end = int(sys.argv[2]) if len(sys.argv) > 2 else DRIVER_WINDOW
-    _reconcile_driver_cap()
+    cap_ok = _reconcile_driver_cap()
     names = list(ALL_QUERIES)[start:end]
     spark = get_spark("preverify", master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,8 +77,10 @@ def main() -> int:
             failures.append(name)
         spark.catalog.clearCache()
     print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+    if not cap_ok:
+        print("cap reconciliation FAILED (see ERROR above)")
     spark.stop()
-    return 1 if failures else 0
+    return 1 if failures or not cap_ok else 0
 
 
 if __name__ == "__main__":
