@@ -119,47 +119,52 @@ def linear_interpolate_grid(obs: DataFrame, key_col: str, ts_col: str,
     are pre-aggregated to one row per (key, ts) with ``max`` —
     order-independent, so results don't depend on partition layout.
 
-    Scale shape: same as the as-of join above — grid ∪ obs shuffles
-    ONCE on the key; prev/next are RANGE-frame window lookups (state
-    per key = one row each direction), never a pairing join. The grid
-    is exploded on executors, sized by the OUTPUT. The interpolation
-    weight ``(t-t0)/(t1-t0)`` is an exact-int division and the value
-    formula ``v0 + (v1-v0)*w`` is evaluated as the same expression
-    tree an SQL oracle writes, so results are bit-identical
-    cross-engine. Grid instants that coincide with an observation
-    return the observed value exactly (the 0/0 branch is guarded).
+    Scale shape (r12): ONE pass — each observation carries its
+    successor via ``lead`` and generates exactly the grid instants it
+    owns: its own timestamp when that is on-grid (prev = next = self,
+    the observed value returns exactly), plus every multiple of
+    ``step`` STRICTLY inside (t, next t). The intervals partition the
+    timeline, so each grid multiple in [ceil(lo/step)·step, hi] is
+    emitted exactly once — the same instant set, prev/next
+    attributions and arithmetic as the earlier grid ∪ obs + two
+    RANGE-window formulation, which paid a bounds aggregate, a second
+    scan of the source (the union's obs leg), and a union twice the
+    size into the window exchange (guide §2.3/§2.4: one lead window on
+    the key replaces all of it; asserted value-identical in
+    tests/test_round4b_ops.py). The interpolation weight
+    ``(t-t0)/(t1-t0)`` is an exact-int division and the value formula
+    ``v0 + (v1-v0)*w`` is evaluated as the same expression tree an SQL
+    oracle writes, so results are bit-identical cross-engine.
     """
     o = (obs.select(F.col(key_col).alias("k"),
                     F.col(ts_col).alias("t"),
                     F.col(value_col).alias("v"))
          .groupBy("k", "t").agg(F.max("v").alias("v")))
-    bounds = o.groupBy("k").agg(F.min("t").alias("lo"),
-                                F.max("t").alias("hi"))
-    grid_start = (F.ceil(F.col("lo") / step) * step).cast("long")
-    grid = bounds.select(
-        "k", F.explode(F.sequence(grid_start, F.col("hi"),
-                                  F.lit(step))).alias("t"))
-    u = (o.withColumn("_is_obs", F.lit(1))
-         .unionByName(grid.select(
-             "k", "t", F.lit(None).cast(o.schema["v"].dataType).alias("v"),
-             F.lit(0).alias("_is_obs"))))
-    w_prev = (Window.partitionBy("k").orderBy("t")
-              .rangeBetween(Window.unboundedPreceding, 0))
-    w_next = (Window.partitionBy("k").orderBy("t")
-              .rangeBetween(0, Window.unboundedFollowing))
-    obs_t = F.when(F.col("_is_obs") == 1, F.col("t"))
-    marked = (u.withColumn("v0", F.last("v", ignorenulls=True).over(w_prev))
-              .withColumn("t0", F.last(obs_t, ignorenulls=True).over(w_prev))
-              .withColumn("v1", F.first("v", ignorenulls=True).over(w_next))
-              .withColumn("t1", F.first(obs_t, ignorenulls=True).over(w_next))
-              .filter(F.col("_is_obs") == 0))
-    frac = ((F.col("t") - F.col("t0")).cast("double")
-            / (F.col("t1") - F.col("t0")).cast("double"))
-    interp = F.when(F.col("t1") == F.col("t0"), F.col("v0")) \
-        .otherwise(F.col("v0") + (F.col("v1") - F.col("v0")) * frac)
-    return (marked.select(
-        F.col("k").alias(key_col), F.col("t").alias(ts_col),
-        F.col("t0").alias("prev_ts"), F.col("t1").alias("next_ts"),
+    w = Window.partitionBy("k").orderBy("t")
+    nxt = (o.withColumn("t1", F.lead("t").over(w))
+           .withColumn("v1", F.lead("v").over(w)))
+    empty = F.expr("CAST(array() AS array<bigint>)")
+    # first grid multiple STRICTLY after t: (t div step + 1) * step
+    first_in = (F.expr(f"(t div {step} + 1) * {step}")).cast("long")
+    own = F.concat(
+        F.when(F.col("t") % step == 0, F.array(F.col("t")))
+         .otherwise(empty),
+        F.when(first_in <= F.col("t1") - 1,
+               F.sequence(first_in, F.col("t1") - 1,
+                          F.lit(step).cast("long")))
+         .otherwise(empty))
+    g = nxt.select("k", "t", "v", "t1", "v1",
+                   F.explode(own).alias("tg"))
+    hit = F.col("tg") == F.col("t")
+    t1o = F.when(hit, F.col("t")).otherwise(F.col("t1"))
+    v1o = F.when(hit, F.col("v")).otherwise(F.col("v1"))
+    frac = ((F.col("tg") - F.col("t")).cast("double")
+            / (t1o - F.col("t")).cast("double"))
+    interp = F.when(t1o == F.col("t"), F.col("v")) \
+        .otherwise(F.col("v") + (v1o - F.col("v")) * frac)
+    return (g.select(
+        F.col("k").alias(key_col), F.col("tg").alias(ts_col),
+        F.col("t").alias("prev_ts"), t1o.alias("next_ts"),
         interp.alias("v_interp"))
         .orderBy(key_col, ts_col))
 

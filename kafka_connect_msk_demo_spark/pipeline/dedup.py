@@ -486,7 +486,17 @@ def connected_components(edges: DataFrame, src: str = "d1",
 def _cc_driver_union_find(spark, both: DataFrame) -> DataFrame:
     """Min-label union-find over a collected (a, b) edge frame —
     path-halving find, union roots to the smaller id so the root IS
-    the component minimum."""
+    the component minimum.
+
+    The edge frame arrives via ONE Arrow ``toPandas`` job: the earlier
+    ``toLocalIterator`` drain scheduled a separate job per partition —
+    32 sequential ~30 ms job round-trips for a pair set that fits in
+    two int64 columns (measured 2.6 s vs 0.17 s at sf0.1,
+    tools/decompose_dedup_r12.py; guide §5 — the driver transfer is
+    bounded by ``driver_max_edges`` either way)."""
+    pdf = both.toPandas()
+    edges_a = pdf.iloc[:, 0].tolist()
+    edges_b = pdf.iloc[:, 1].tolist()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -495,8 +505,7 @@ def _cc_driver_union_find(spark, both: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in both.toLocalIterator():
-        a, b = r[0], r[1]
+    for a, b in zip(edges_a, edges_b):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

@@ -556,20 +556,32 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cleaned_docs(spark: SparkSession, sf_dir: str,
+                  cache_registry: list | None = None) -> DataFrame:
     """The shared quality-gate → exact-dedup → near-dup-removal chain
     (all columns retained) feeding both `corpus_clean` and the full
-    `corpus_pipeline` census."""
+    `corpus_pipeline` census.
+
+    r12: the two survivor frames are persisted — ``kept1`` feeds both
+    the exact-dedup canon aggregate and the survivor semi-join, and
+    ``kept2`` feeds both the near-dup shingle kernel and the final
+    anti-join, so the un-cached plan re-ran the scan + quality
+    expressions + semi-joins once per consumer (guide §5: reused AND
+    expensive to recompute). Callers materialize their (small) result
+    and unpersist via ``cache_registry`` — the rfm_segments
+    discipline — so repeated invocations leak nothing."""
     docs = load_table(spark, sf_dir, "documents")
     q = text_analysis.quality_score(docs).select("doc_id", "quality")
-    kept = docs.join(q.filter(F.col("quality") >= 0.45).select("doc_id"),
-                     "doc_id", "left_semi")
-    canon = dedup.exact_dedup(kept) \
+    kept1 = docs.join(q.filter(F.col("quality") >= 0.45).select("doc_id"),
+                      "doc_id", "left_semi").persist()
+    canon = dedup.exact_dedup(kept1) \
         .select(F.col("canonical_id").alias("doc_id"))
-    kept = kept.join(canon, "doc_id", "left_semi")
-    losers = dedup.jaccard_pairs(kept, 0.8) \
+    kept2 = kept1.join(canon, "doc_id", "left_semi").persist()
+    if cache_registry is not None:
+        cache_registry += [kept1, kept2]
+    losers = dedup.jaccard_pairs(kept2, 0.8) \
         .select(F.col("d2").alias("doc_id")).distinct()
-    return kept.join(losers, "doc_id", "left_anti")
+    return kept2.join(losers, "doc_id", "left_anti")
 
 
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,9 +596,14 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage reuses the registered operators unchanged; the oracle
     composes their SQL twins, so the full pipeline, not just the
     stages, is hash-verified."""
-    return (_cleaned_docs(spark, sf_dir)
-            .select("doc_id", "lang", "source", "n_chars")
-            .orderBy("doc_id"))
+    caches: list = []
+    out = (_cleaned_docs(spark, sf_dir, caches)
+           .select("doc_id", "lang", "source", "n_chars")
+           .orderBy("doc_id")).persist()
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 #: shared WITH-clause prefix — the quality → exact-dedup → near-dup
@@ -652,17 +669,22 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the stages — is hash-verified."""
     from .selection import domain_cap
     from .textprep import tokens
-    cleaned = _cleaned_docs(spark, sf_dir)
+    caches: list = []
+    cleaned = _cleaned_docs(spark, sf_dir, caches)
     # full_rows keeps one lineage: the expensive cleaning chain
     # (shingle self-join) is referenced once, not re-joined against
     # its own capped-id projection
     final = domain_cap(cleaned, "source", "doc_id", cap=100,
                        full_rows=True)
-    return (final.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.size(tokens("text"))).cast("long")
-                 .alias("n_tokens"))
-            .orderBy("source"))
+    out = (final.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(tokens("text"))).cast("long")
+                .alias("n_tokens"))
+           .orderBy("source")).persist()
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 _SQL_CORPUS_PIPELINE = _SQL_CLEAN_CHAIN + """, clean AS (
@@ -874,13 +896,26 @@ def q_multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes VARCHAR — the chain runs over hex strings by design, see
     ``multimodal.embed_payload``), and the ANN twin inlines the ±1
     planes exactly as ``ann_topk``'s oracle does. The ANN leg's recall
-    is additionally bounded in tests/test_pipeline.py."""
+    is additionally bounded in tests/test_pipeline.py.
+
+    r12: the embedded frame is persisted for the duration of the call
+    — the md5-chain Arrow kernel is the most expensive stage and both
+    the data side and the query side of the ANN index consume it (the
+    query filter cannot push through the opaque kernel, so the
+    un-persisted plan ran the encoder over the full corpus once per
+    leg). The r11 leak discipline applies: the O(|Q|·k) result is
+    materialized, then the corpus-sized cache is dropped before
+    returning (at cluster scale this persist is the guide-§8 'write
+    the fingerprints out once' step)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.with_binary_payload(docs)
     emb = (multimodal.embed_payload(payloads)
-           .withColumnRenamed("doc_id", "vec_id"))
+           .withColumnRenamed("doc_id", "vec_id")).persist()
     q = similarity.queries_by_mod(emb, 50)
-    return similarity.ann_topk(emb, q, k=10)
+    out = similarity.ann_topk(emb, q, k=10).persist()
+    out.count()
+    emb.unpersist()
+    return out
 
 
 #: (vec_id, v DOUBLE[]) source CTE for the generated ANN twin: the

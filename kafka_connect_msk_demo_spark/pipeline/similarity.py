@@ -330,6 +330,29 @@ def _plane_signs(table: int, j: int, dim: int) -> list[float]:
             & 1 else -1.0 for i in range(dim)]
 
 
+def _plane_matrix(tables: int, nbits: int, dim: int) -> np.ndarray:
+    """(tables·nbits, dim) stacked deterministic hyperplanes — ONE
+    construction shared by every bucketing kernel so the data side,
+    query side and the fused top-k kernel cannot drift."""
+    return np.stack([
+        np.asarray(_plane_signs(t, j, dim), dtype=np.float64)
+        for t in range(tables) for j in range(nbits)])
+
+
+def _bucket_ids(V: np.ndarray, planes: np.ndarray, tables: int,
+                nbits: int) -> np.ndarray:
+    """(n, tables) int64 bucket ids for a (n, dim) vector block: the
+    plane dot products accumulate SEQUENTIALLY over the dimension axis
+    (the IEEE left-fold order every cosine kernel in this module uses),
+    sign of each dot = one bucket bit."""
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+    acc = V[:, 0:1] * planes[:, 0][None, :]
+    for j in range(1, V.shape[1]):
+        acc = acc + V[:, j:j + 1] * planes[:, j][None, :]
+    bits = (acc > 0).reshape(len(V), tables, nbits)
+    return (bits * weights[None, None, :]).sum(axis=2)  # (n, T)
+
+
 def lsh_buckets(df: DataFrame, vec_col: str, nbits: int, dim: int,
                 tables: int) -> DataFrame:
     """Explode each vector into its (table, bucket) pairs — one row per
@@ -339,17 +362,15 @@ def lsh_buckets(df: DataFrame, vec_col: str, nbits: int, dim: int,
     vectorized numpy pass per Arrow batch (a (batch, dim) × (dim,
     tables·nbits) product; sign of each dot = one bucket bit). Bucket
     assignment only needs the SIGN to be computed identically on the
-    data and query sides — both go through this same kernel."""
-    planes = np.stack([
-        np.asarray(_plane_signs(t, j, dim), dtype=np.float64)
-        for t in range(tables) for j in range(nbits)])  # (T*nb, dim)
+    data and query sides — both go through the shared
+    :func:`_bucket_ids` kernel."""
+    planes = _plane_matrix(tables, nbits, dim)
     in_fields = [f"{f.name} {f.dataType.simpleString()}"
                  for f in df.schema.fields]
     out_schema = ", ".join(in_fields + ["tbl int", "bucket long"])
     cols = [f.name for f in df.schema.fields]
     long_cols = [f.name for f in df.schema.fields
                  if f.dataType.simpleString() == "bigint"]
-    weights = (1 << np.arange(nbits, dtype=np.int64))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -358,11 +379,7 @@ def lsh_buckets(df: DataFrame, vec_col: str, nbits: int, dim: int,
             for lc in long_cols:
                 exact_longs(pdf[lc], lc)
             V = _np_stack(pdf[vec_col])
-            acc = V[:, 0:1] * planes[:, 0][None, :]
-            for j in range(1, V.shape[1]):
-                acc = acc + V[:, j:j + 1] * planes[:, j][None, :]
-            bits = (acc > 0).reshape(len(V), tables, nbits)
-            buckets = (bits * weights[None, None, :]).sum(axis=2)  # (n, T)
+            buckets = _bucket_ids(V, planes, tables, nbits)
             for t in range(tables):
                 out = pdf[cols].copy()
                 out["tbl"] = np.int32(t)
@@ -383,45 +400,137 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     query probes its own bucket plus all single-bit flips in every
     table. For neighbours at cosine ≈ 0.45 (bit-agreement ≈ 0.65) the
     per-table hit rate with multiprobe is ≈ 0.3, so 8 tables give
-    ≈ 95% recall — tests/test_pipeline.py asserts the floor. The join
-    key (tbl, bucket) is the shuffle key; nothing quadratic. Tuning
+    ≈ 95% recall — tests/test_pipeline.py asserts the floor. Tuning
     nbits up / tables down trades recall for candidate volume at
-    100 TB."""
-    cand = (_lsh_probe_candidates(
+    100 TB.
+
+    Execution is the fused :func:`_lsh_topk` kernel: bucketing, probe
+    matching, collision dedup, exact scoring and per-batch top-k all
+    happen map-side in one Arrow pass over the data; only
+    (q_id, vec_id, cos) rows — |tasks|·|Q|·k of them — reach the final
+    rank window. The earlier join-based plan shuffled every candidate
+    with BOTH 64-double vectors aboard (~1 KB/row) through the
+    collision dedup; at 100 TB that exchange is a multiple of the
+    corpus, here it is gone outright (guide §2.3/§2.4/§8)."""
+    return _lsh_topk(
         vectors.select(F.col(id_col).alias("vec_id"),
                        as_double(vec_col).alias("v")),
         queries.select("q_id", as_double("q_vec").alias("q_vec")),
-        nbits, dim, tables)
-        .filter(F.col("vec_id") != F.col("q_id")))
-    return _rerank_topk(cand, k)
+        k, nbits, dim, tables, exclude_self=True)
 
 
-def _lsh_probe_candidates(data_src: DataFrame, q_src: DataFrame,
-                          nbits: int, dim: int,
-                          tables: int) -> DataFrame:
-    """Shared multi-table LSH + 1-bit-multiprobe candidate generator:
-    bucket both sides through the SAME plane kernel, probe each query
-    bucket plus every single-bit flip, equi-join on (tbl, bucket), and
-    dedup collisions to one row per (q_id, vec_id). ``data_src`` must
-    carry (vec_id, v, ...), ``q_src`` (q_id, q_vec, ...); extra columns
-    ride along — the one probe scheme serves ann_topk AND
-    hard_negative_topk, so tuning changes cannot drift between them."""
+def _lsh_topk(data_src: DataFrame, q_src: DataFrame, k: int,
+              nbits: int, dim: int, tables: int, *,
+              exclude_self: bool = False,
+              different_label: bool = False) -> DataFrame:
+    """Fused multi-table LSH + 1-bit-multiprobe top-k: ONE Arrow kernel
+    pass over the data side computes bucket ids (shared
+    :func:`_bucket_ids` — identical sign bits to ``lsh_buckets``),
+    matches them against the broadcast query probe index (own bucket +
+    every single-bit flip, built once per task), dedups collisions
+    in-batch (each data row lives in exactly one batch, so batch-local
+    dedup IS global dedup), scores survivors with the sequential-fold
+    cosine (bit-identical to the column-expression left fold and the
+    SQL oracle), and emits only each batch's per-query top-k under the
+    final total order (cos DESC, vec_id ASC) — exact, because a pair
+    beaten by k others globally is beaten by ≥ k in its own batch.
+
+    The serving frames are small by construction: the query matrix is
+    |Q|·dim doubles (the join-based predecessor broadcast the same
+    vectors (nbits+1)× over inside its probe frame), and the probe
+    index |Q|·(nbits+1)·tables longs. For a corpus-scale query set,
+    shard ``q_src`` and run the shards as concurrent jobs (guide §2.6)
+    — the same bound the predecessor had, minus the candidate
+    exchange.
+
+    ``exclude_self`` drops vec_id == q_id pairs (ann_topk);
+    ``different_label`` keeps only lbl != q_lbl pairs (hard-negative
+    mining; ``data_src`` must then carry ``lbl``, ``q_src``
+    ``q_lbl``)."""
     spark = data_src.sparkSession
-    data = lsh_buckets(
-        data_src.repartition(spark.sparkContext.defaultParallelism),
-        "v", nbits, dim, tables)
-    q = lsh_buckets(q_src, "q_vec", nbits, dim, tables) \
-        .withColumnRenamed("bucket", "qb")
-    probes = q.select(
-        *q_src.columns, "tbl",
-        F.explode(F.array(
-            F.col("qb"),
-            *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
-        )).alias("bucket"))
-    return (data.join(F.broadcast(probes), ["tbl", "bucket"])
-            .drop("tbl", "bucket")
-            # a pair can collide in several tables/probes
-            .dropDuplicates(["q_id", "vec_id"]))
+    qpd = q_src.toPandas()
+    if not len(qpd):
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos double, rank int")
+    q_ids = exact_longs(qpd["q_id"], "q_id",
+                        allow_null=False).to_numpy(np.int64)
+    Qm = _np_stack(qpd["q_vec"])
+    q_lbl = qpd["q_lbl"].to_numpy() if different_label else None
+    bc = spark.sparkContext.broadcast((q_ids, Qm, q_lbl))
+    planes = _plane_matrix(tables, nbits, dim)
+
+    data_cols = ["vec_id", "v"] + (["lbl"] if different_label else [])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qid, Q, qlb = bc.value
+        nq = _np_seq_norm(Q)
+        QB = _bucket_ids(Q, planes, tables, nbits)
+        # probe index, once per task: (table, bucket) -> query indices
+        probe: list[dict[int, list[int]]] = []
+        for t in range(tables):
+            d: dict[int, list[int]] = {}
+            for qi in range(len(qid)):
+                b0 = int(QB[qi, t])
+                for b in (b0, *(b0 ^ (1 << j) for j in range(nbits))):
+                    d.setdefault(b, []).append(qi)
+            probe.append(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np_stack(pdf["v"])
+            ida = exact_longs(pdf["vec_id"], "vec_id",
+                              allow_null=False).to_numpy(np.int64)
+            lbl = pdf["lbl"].to_numpy() if qlb is not None else None
+            na = _np_seq_norm(A)
+            DB = _bucket_ids(A, planes, tables, nbits)
+            ii: list[int] = []
+            qq: list[int] = []
+            for i in range(len(A)):
+                hits: set[int] = set()
+                for t in range(tables):
+                    lst = probe[t].get(int(DB[i, t]))
+                    if lst:
+                        hits.update(lst)
+                if hits:
+                    ii.extend([i] * len(hits))
+                    qq.extend(hits)
+            if not ii:
+                continue
+            i_arr = np.asarray(ii, dtype=np.int64)
+            q_arr = np.asarray(qq, dtype=np.int64)
+            keep = np.ones(len(i_arr), dtype=bool)
+            if exclude_self:
+                keep &= ida[i_arr] != qid[q_arr]
+            if qlb is not None:
+                keep &= lbl[i_arr] != qlb[q_arr]
+            i_arr, q_arr = i_arr[keep], q_arr[keep]
+            if not len(i_arr):
+                continue
+            Ai, Qi = A[i_arr], Q[q_arr]
+            acc = Ai[:, 0] * Qi[:, 0]
+            for j in range(1, Ai.shape[1]):
+                acc = acc + Ai[:, j] * Qi[:, j]
+            cos = acc / (nq[q_arr] * na[i_arr])
+            vid = ida[i_arr]
+            # batch-local top-k per query under the FINAL total order
+            order = np.lexsort((vid, -cos, q_arr))
+            qs = q_arr[order]
+            starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+            lens = np.diff(np.r_[starts, len(qs)])
+            rank = np.arange(len(qs)) - np.repeat(starts, lens)
+            sel = order[rank < k]
+            yield pd.DataFrame({"q_id": qid[q_arr[sel]],
+                                "vec_id": vid[sel],
+                                "cos": cos[sel]})
+
+    scored = (data_src.select(*data_cols)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .mapInPandas(score, "q_id long, vec_id long, cos double"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cos", "rank")
+            .orderBy("q_id", "rank"))
 
 
 def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
@@ -946,14 +1055,13 @@ def hard_negative_topk(vectors: DataFrame, k: int = 5, nbits: int = 6,
     the near-misses a metric-learning loss needs.
 
     Same multi-table hyperplane LSH + 1-bit multiprobe candidate
-    generation as :func:`ann_topk` (deterministic SHA planes, (tbl,
-    bucket) shuffle key, nothing quadratic); the label constraint is
-    applied to candidates BEFORE the rank window, so the k survivors
-    are the best different-label matches, not a post-filtered rump.
-    Self-matches fall out for free (same label). Fully
-    oracle-replayable for the same reason ann_topk is — it shares
-    :func:`_lsh_probe_candidates` and :func:`_rerank_topk` with
-    ann_topk verbatim, plus the label constraint.
+    generation as :func:`ann_topk` (deterministic SHA planes, nothing
+    quadratic); the label constraint is applied to candidates BEFORE
+    the rank window, so the k survivors are the best different-label
+    matches, not a post-filtered rump. Self-matches fall out for free
+    (same label). Fully oracle-replayable for the same reason ann_topk
+    is — it shares the fused :func:`_lsh_topk` kernel with ann_topk
+    verbatim, plus the label constraint.
     """
     data_src = vectors.select(F.col(id_col).alias("vec_id"),
                               as_double(vec_col).alias("v"),
@@ -962,9 +1070,8 @@ def hard_negative_topk(vectors: DataFrame, k: int = 5, nbits: int = 6,
         F.col(id_col).alias("q_id"),
         as_double(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_lbl"))
-    cand = (_lsh_probe_candidates(data_src, q_src, nbits, dim, tables)
-            .filter(F.col("lbl") != F.col("q_lbl")))
-    return _rerank_topk(cand, k)
+    return _lsh_topk(data_src, q_src, k, nbits, dim, tables,
+                     different_label=True)
 
 
 def label_centroid_similarity(vecs: DataFrame, quant: int = 1 << 20,
