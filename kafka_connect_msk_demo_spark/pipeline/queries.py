@@ -1903,9 +1903,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-dedup) per-cell summary — fully
     oracle-checked because the seed quantizer, the nearest-cell
     assignment tie-break, and the within-cell cosine are all
-    deterministic and replayed verbatim by the SQL twin."""
+    deterministic and replayed verbatim by the SQL twin.
+
+    r12: the within-cell pair scan runs as the fused per-cell Arrow
+    kernel (one cell-key shuffle, counts-only output) — decision
+    boundary bit-identical to the JVM filter, see
+    similarity._cell_pair_stats."""
     vecs = load_table(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup_stats(vecs, threshold=0.4)
+    return similarity.semantic_dedup_stats(vecs, threshold=0.4,
+                                           pairs_vectorized=True)
 
 
 def _sql_semdedup_tail(cents: str, threshold: float = 0.4) -> str:
@@ -1959,7 +1965,8 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(vecs, k=16, iters=2)
     return similarity.semantic_dedup_stats(vecs, threshold=0.4,
-                                           centroids=cents)
+                                           centroids=cents,
+                                           pairs_vectorized=True)
 
 
 _SQL_SEMDEDUP_TRAINED = ("WITH " + ",\n".join(_sql_lloyd_parts(16, 2, 64))
@@ -2179,7 +2186,7 @@ def q_semdedup_scaled_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.kmeans_centroids(vecs, k=k, iters=2)
     return similarity.semantic_dedup_stats(
         vecs, threshold=0.4, centroids=cents,
-        assign_vectorized=True)
+        assign_vectorized=True, pairs_vectorized=True)
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -914,13 +914,64 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
         data.unpersist()
 
 
+def _cell_pair_stats(pdf: pd.DataFrame, threshold: float,
+                     dim: int) -> pd.DataFrame:
+    """Per-cell SemDeDup summary for ONE assigned cell (an
+    applyInPandas group): all within-cell pairs d1 < d2 scored, pair
+    count and distinct-d2 drop count returned — ONE row out per cell.
+
+    Scoring is the trainer's two-pass exact trick
+    (:func:`_fold_argmax_cells` rationale): pass 1 scores every pair
+    with a blocked dgemm; a 64-term dgemm summation differs from the
+    sequential left fold by ≤ ~3e-14 after the (identical) norm-product
+    division, so any pair whose dgemm cosine clears the threshold by
+    more than 1e-12 provably passes the fold comparison too (and
+    vice versa). Pass 2 re-scores only the ≤1e-12 margin band with the
+    exact fold — the decision boundary is bit-identical to the JVM
+    ``_dot/(n1·n2) >= threshold`` filter and the SQL oracle.
+
+    Row blocks bound memory at |block|·|cell| doubles, so a
+    pathological giant cell degrades gracefully instead of
+    materializing |cell|² at once."""
+    pdf = pdf.sort_values("vec_id", kind="mergesort")
+    cell = int(pdf["cell"].iloc[0])
+    A = _np_stack(pdf["v"])
+    na = _np_seq_norm(A)
+    m = len(A)
+    n_pairs = 0
+    dropped = np.zeros(m, dtype=bool)
+    blk = 2048
+    cols = np.arange(m)[None, :]
+    for s in range(0, m, blk):
+        e = min(s + blk, m)
+        G = (A[s:e] @ A.T) / (na[s:e, None] * na[None, :])
+        ut = cols > np.arange(s, e)[:, None]  # strict upper triangle
+        band = ut & (np.abs(G - threshold) <= 1e-12)
+        if band.any():
+            bi, bj = np.nonzero(band)
+            Ai, Aj = A[s + bi], A[bj]
+            acc = Ai[:, 0] * Aj[:, 0]
+            for d in range(1, dim):
+                acc = acc + Ai[:, d] * Aj[:, d]
+            exact = acc / (na[s + bi] * na[bj])
+            G[band] = np.where(exact >= threshold,
+                               threshold + 1.0, threshold - 1.0)
+        hit = ut & (G >= threshold)
+        n_pairs += int(hit.sum())
+        dropped |= hit.any(axis=0)
+    return pd.DataFrame({"cell": [cell], "n_members": [m],
+                         "n_dup_pairs": [n_pairs],
+                         "n_dropped": [int(dropped.sum())]})
+
+
 def semantic_dedup_stats(vectors: DataFrame, threshold: float = 0.4,
                          n_centroids: int = 16,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          dim: int = 64,
                          centroids: DataFrame | None = None,
-                         assign_vectorized: bool = False) -> DataFrame:
+                         assign_vectorized: bool = False,
+                         pairs_vectorized: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster embeddings with the IVF coarse quantizer, then search for
     near-duplicates ONLY within each cluster — keeping the lowest id
@@ -938,16 +989,36 @@ def semantic_dedup_stats(vectors: DataFrame, threshold: float = 0.4,
     A vector is dropped when some LOWER-id member of the same cell has
     cosine ≥ threshold with it — the same keep-lowest convention as
     the MinHash/SimHash dedup family (`pipeline/dedup.py`).
+
+    ``pairs_vectorized=True`` (r12, guide §2.3/§2.4/§4.2) fuses the
+    within-cell pair scan into ONE per-cell Arrow kernel
+    (:func:`_cell_pair_stats`): the assigned frame shuffles ONCE on
+    the cell key and only (cell, n_members, n_dup_pairs, n_dropped)
+    rows come back — the join-based formulation exchanged the full
+    vector payload TWICE (both join sides), materialized Σ|cell|²
+    pair rows, and evaluated the 64-term fold per pair in codegen.
+    The kernel's threshold decision is bit-identical to the JVM
+    filter (two-pass exact margin re-score, see the kernel
+    docstring); asserted path-vs-path in tests. Fixed-plan callers
+    (``semdedup_scaled``'s contract-pinned Python-free plan) keep the
+    default JVM path.
     """
     cents = centroids if centroids is not None else \
         deterministic_centroids(vectors, n_centroids, id_col, vec_col)
     spark = vectors.sparkSession
-    data = ivf_assign(
+    asg = ivf_assign(
         vectors.select(F.col(id_col).alias("vec_id"),
                        as_double(vec_col).alias("v"))
         .repartition(spark.sparkContext.defaultParallelism),
         cents, vec_col="v", vectorized=assign_vectorized)
-    data = data.withColumn("nrm", _norm(F.col("v"), dim)).persist()
+    if pairs_vectorized:
+        return (asg.groupBy("cell")
+                .applyInPandas(
+                    lambda pdf: _cell_pair_stats(pdf, threshold, dim),
+                    "cell long, n_members long, n_dup_pairs long, "
+                    "n_dropped long")
+                .orderBy("cell"))
+    data = asg.withColumn("nrm", _norm(F.col("v"), dim)).persist()
     a = data.select("cell", F.col("vec_id").alias("d1"),
                     F.col("v").alias("v1"), F.col("nrm").alias("n1"))
     b = data.select("cell", F.col("vec_id").alias("d2"),
