@@ -562,7 +562,14 @@ def test_no_unbounded_driver_collect_in_source():
       (a bounded probe set, never the corpus);
     * ``similarity.cosine_dup_pairs`` — documented validation/test
       helper; the registered ``embedding_dup_pairs`` runs the blocked
-      distributed scorer instead (asserted below).
+      distributed scorer instead (asserted below);
+    * ``similarity._lsh_topk`` — collects the QUERY probe side only
+      (same bounded class as ``brute_force_topk``; the corpus never
+      leaves the executors);
+    * ``dedup._cc_driver_union_find`` — reached only below the
+      ``driver_max_edges`` gate in ``connected_components`` (≤2M rows
+      of two int64s, ~32 MB); one Arrow job replaced the 32-job
+      ``toLocalIterator`` drain (r12, guide §5).
 
     Registered-query modules (queries.py, pipeline/queries.py,
     streaming/queries.py) must contain none at all.
@@ -572,7 +579,9 @@ def test_no_unbounded_driver_collect_in_source():
 
     allowed = {("oracle.py", "compare"),
                ("pipeline/similarity.py", "brute_force_topk"),
-               ("pipeline/similarity.py", "cosine_dup_pairs")}
+               ("pipeline/similarity.py", "cosine_dup_pairs"),
+               ("pipeline/similarity.py", "_lsh_topk"),
+               ("pipeline/dedup.py", "_cc_driver_union_find")}
     pkg = pathlib.Path(__file__).resolve().parents[1] \
         / "kafka_connect_msk_demo_spark"
     hits = set()
