@@ -66,7 +66,17 @@ def pagerank_topk(edges: DataFrame, iters: int = 3,
     # frame, which costs a second |E|-row materialization for a
     # column the rank frame can carry itself. deg is one row per
     # node (the graph is bidirectional, so every node occurs as src).
-    edges_p = edges.persist()
+    #
+    # Partition the cached frame by src FIRST (r12): the union that
+    # builds the bidirectional edge list destroys any upstream
+    # partitioning, so an unpartitioned cache re-shuffles the full
+    # |E| frame at EVERY superstep join (iters+1 exchanges of the
+    # biggest frame in the query — the degree aggregate too). Cached
+    # hashpartitioning(src) satisfies both the groupBy("src") and the
+    # rank⋈edges clustering, so only the node-sized rank side moves
+    # per superstep. Integer quantization makes the result partition-
+    # invariant (module docstring), so this cannot change output.
+    edges_p = edges.repartition("src").persist()
     deg = (edges_p.groupBy("src")
            .agg(F.count(F.lit(1)).alias("outdeg")).persist())
     try:

@@ -5179,8 +5179,15 @@ def bfs_hops_frame(li: DataFrame, max_hops: int = 3) -> DataFrame:
     self-join ~2^hops times — measured as an executor OOM at sf0.1
     under a 1 GiB heap. The persist is LRU-evictable and the bench
     harness clears the cache between query sweeps, so no state
-    outlives the measurement."""
-    edges = copurchase_edges(li).persist()
+    outlives the measurement.
+
+    The cached edge list is hash-partitioned by src (r12): the
+    symmetrizing union in copurchase_edges destroys partitioning, so
+    an unpartitioned cache re-shuffled the full |E| frame at every
+    frontier-expansion join — one |E| exchange per hop. Partitioned
+    once, each hop moves only the frontier; set semantics make the
+    result partition-invariant."""
+    edges = copurchase_edges(li).repartition("src").persist()
     src0 = edges.agg(F.min("src").alias("node"))
     visited = src0.withColumn("hops", F.lit(0)).persist()
     frontier = visited.select("node")
