@@ -542,7 +542,17 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     column-expression left fold and the oracle's ``list_dot_product``
     (the unrolled 64-term column projection it replaces evaluated
     interpreted, ~10 µs/pair; the kernel scores a whole batch per
-    instruction stream)."""
+    instruction stream).
+
+    The kernel also prunes each batch to its per-query top-``k``
+    under the final total order (cos DESC, vec_id ASC) before
+    anything is shuffled (r12, §2.3/§2.4 — the `_lsh_topk` argument):
+    each candidate row lives in exactly one batch, and a row beaten
+    by ≥ k rows globally is beaten by ≥ k rows in its own batch, so
+    batch-local pruning never evicts a global winner. The rank window
+    then sees at most k·|Q| rows per batch instead of the full
+    |Q|·nprobe·N/K candidate volume. NaNs sort FIRST (descending) to
+    match Spark's NaN-greatest ordering exactly."""
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -553,10 +563,16 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
             for j in range(1, A.shape[1]):
                 acc = acc + A[:, j] * B[:, j]
             cos = acc / (_np_seq_norm(A) * _np_seq_norm(B))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {"q_id": exact_longs(pdf["q_id"], "q_id"),
                  "vec_id": exact_longs(pdf["vec_id"], "vec_id"),
                  "cos": cos})
+            out = (out.sort_values(["cos", "vec_id"],
+                                   ascending=[False, True],
+                                   na_position="first",
+                                   kind="mergesort")
+                   .groupby("q_id", sort=False).head(k))
+            yield out
 
     scored = (cand.select("q_id", "q_vec", "vec_id", "v")
               .mapInPandas(score, "q_id long, vec_id long, cos double"))
