@@ -71,15 +71,39 @@ def exact_global_rank(df: DataFrame, order_cols: list[Column],
     ``cache_registry``: optional list the pinned ranged frame is
     appended to, so composite callers can unpersist after
     materializing their result (see module docstring)."""
+    # r12 (§2.4 remove shuffles outright): the local row number used to
+    # be a Window.partitionBy("_pid") — whose ClusteredDistribution
+    # requirement re-exchanged the ENTIRE frame by _pid right after the
+    # range exchange had already placed it. sortWithinPartitions (the
+    # sort the window paid anyway, minus the exchange) plus
+    # monotonically_increasing_id — documented layout: partition id in
+    # the upper 31 bits, per-partition record index in the lower 33 —
+    # yields the identical (pid, local row number) with ZERO extra
+    # exchanges. order_cols is a total order (module contract), so the
+    # sorted sequence — and therefore every rank — is unchanged.
+    # Partitions stay far below the 2^33-row index ceiling (the range
+    # partitioner splits long before 8.6e9 rows land in one partition).
+    # The sort lives ABOVE the cache, in the consumer's own stage: the
+    # cache materializes unsorted (it is built inside the serialized
+    # broadcast-offsets job, where added work is pure wall-clock), and
+    # the per-branch sorts run concurrently inside the downstream job —
+    # the same spot the old window sort ran. sortWithinPartitions never
+    # moves rows across partitions, so mid >> 33 equals
+    # spark_partition_id() on the cached frame.
     ranged = (df.repartitionByRange(num_parts, *order_cols)
-              .withColumn("_pid", F.spark_partition_id())
               .persist())  # pins ONE boundary sample for both branches
     if cache_registry is not None:
         cache_registry.append(ranged)
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    local = (ranged.sortWithinPartitions(*order_cols)
+             .withColumn("_mid", F.monotonically_increasing_id())
+             .withColumn("_pid",
+                         F.shiftrightunsigned("_mid", 33).cast("int"))
+             .withColumn("_lrn",
+                         F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+                         + F.lit(1)))
     # P-row offsets frame over the same materialized partitioning
-    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    sizes = (ranged.groupBy(F.spark_partition_id().alias("_pid"))
+             .agg(F.count(F.lit(1)).alias("_cnt")))
     w_off = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offs = (sizes
@@ -90,7 +114,7 @@ def exact_global_rank(df: DataFrame, order_cols: list[Column],
             .select("_pid", "_offset", "_n_total"))
     return (local.join(F.broadcast(offs), "_pid")
             .withColumn(out_col, F.col("_offset") + F.col("_lrn"))
-            .drop("_pid", "_lrn", "_offset"))
+            .drop("_mid", "_pid", "_lrn", "_offset"))
 
 
 def exact_global_ntile(df: DataFrame, n_tiles: int,

@@ -118,14 +118,26 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
     # shingle kernel when the caller also feeds other consumers from it
     sh = shingles if shingles is not None \
         else doc_shingles(docs, id_col, text_col, k).persist()
+    # r12 (§2.3 shuffle keys, not payloads): every downstream
+    # group/join keys on the 8-byte xxhash64 of the shingle instead of
+    # the shingle STRING — the df aggregate, the df join and the
+    # candidate self-join exchange longs. Correctness is unchanged:
+    # a hash collision only MERGES two shingles' df counts (the same
+    # way for every document, so the prefix ranking below stays one
+    # globally consistent total order — the PPJoin prefix lemma holds
+    # under ANY consistent order) and can only ADD candidate pairs,
+    # which the exact full-array verification drops. The ranking
+    # tiebreak stays the true shingle string, so the order is total
+    # even across hash collisions.
     ex = sh.select("doc_id", F.size("s").alias("n"),
-                   F.explode("s").alias("sg"))
+                   F.explode("s").alias("sg")) \
+           .withColumn("sgh", F.xxhash64("sg"))
 
     if prefix_filter:
         # Rank each doc's shingles by global document frequency (rarest
         # first, shingle string as tiebreak); only the first
         # ⌊(1-t)·n⌋+1 can witness a pair at J ≥ t.
-        dfreq = ex.groupBy("sg").agg(F.count(F.lit(1)).alias("df"))
+        dfreq = ex.groupBy("sgh").agg(F.count(F.lit(1)).alias("df"))
         w = Window.partitionBy("doc_id").orderBy("df", "sg")
         # +1e-9 before floor: (1-t) is not exact in binary (1-0.8 =
         # 0.19999999999999996), so for n a multiple of 1/(1-t) the raw
@@ -134,17 +146,17 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3,
         # shared rare shingle sits at the true boundary is missed). The
         # epsilon only ever lengthens the prefix (more candidates, same
         # verified output), never shortens it.
-        index = (ex.join(dfreq, "sg")
+        index = (ex.join(dfreq, "sgh")
                  .withColumn("rk", F.row_number().over(w))
                  .filter(F.col("rk") <=
                          F.floor((1.0 - threshold) * F.col("n") + 1e-9)
                          + 1)
-                 .select("doc_id", "sg")).persist()
+                 .select("doc_id", "sgh")).persist()
     else:
-        index = ex.select("doc_id", "sg")
+        index = ex.select("doc_id", "sgh")
 
     cand = (index.alias("a")
-            .join(index.alias("b"), (F.col("a.sg") == F.col("b.sg"))
+            .join(index.alias("b"), (F.col("a.sgh") == F.col("b.sgh"))
                   & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("d1"),
                     F.col("b.doc_id").alias("d2"))

@@ -752,11 +752,21 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                 yield outp
 
         return vectors.mapInPandas(assign, out_schema)
-    c = centroids.select(F.col("c_id"), F.col("c_vec"))
-    scored = (vectors.crossJoin(F.broadcast(c))
-              .withColumn("sim",
-                          cosine(F.col(vec_col), F.col("c_vec"), dim)))
+    # r12 (§1.2 per-task work): hoist the norms out of the K-way
+    # scoring. cosine(v, c) re-derived sqrt(dot(v,v)) and
+    # sqrt(dot(c,c)) PER (vector, centroid) PAIR — 3 interpreted
+    # folds per pair. Computing ‖v‖ once per vector (below the join)
+    # and ‖c‖ once per centroid (inside the K-row broadcast) leaves
+    # ONE fold per pair; sqrt/multiply/divide on the same operand
+    # values in the same order keeps every sim double bit-identical.
+    c = (centroids.select(F.col("c_id"), F.col("c_vec"))
+         .withColumn("_cnrm", _norm(F.col("c_vec"), dim)))
     keys = [f.name for f in vectors.schema.fields]
+    scored = (vectors.withColumn("_vnrm", _norm(F.col(vec_col), dim))
+              .crossJoin(F.broadcast(c))
+              .withColumn("sim",
+                          _dot(F.col(vec_col), F.col("c_vec"), dim)
+                          / (F.col("_vnrm") * F.col("_cnrm"))))
     return (scored.groupBy(*keys)
             .agg(F.max_by("c_id", F.struct(F.col("sim"), -F.col("c_id")))
                  .alias(out)))
@@ -1082,9 +1092,14 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                        as_double(vec_col).alias("v"))
         .repartition(vectors.sparkSession.sparkContext.defaultParallelism),
         cents, vec_col="v")
-    # query side: nprobe nearest cells each
-    qscored = (queries.crossJoin(F.broadcast(cents))
-               .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec"))))
+    # query side: nprobe nearest cells each (norms hoisted per side —
+    # same rationale and bit-identity argument as ivf_assign's JVM path)
+    qscored = (queries.withColumn("_qnrm", _norm(F.col("q_vec")))
+               .crossJoin(F.broadcast(
+                   cents.withColumn("_cnrm", _norm(F.col("c_vec")))))
+               .withColumn("sim",
+                           _dot(F.col("q_vec"), F.col("c_vec"))
+                           / (F.col("_qnrm") * F.col("_cnrm"))))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
     probes = (qscored.withColumn("rk", F.row_number().over(w))
               .filter(F.col("rk") <= nprobe)
