@@ -38,23 +38,37 @@ def copurchase_pairs(lineitem: DataFrame, k: int = 25,
 
     Output: ``p1 < p2``, ordered by (support desc, lift desc, p1, p2).
     """
+    # r12 (§2.4 share one exchange, §2.3 shuffle fewer bytes):
+    # repartition by okey FIRST — hashpartitioning(okey) satisfies the
+    # (okey, part) distinct AND co-partitions both self-join sides, so
+    # the whole candidate generator runs off ONE exchange. The pair
+    # stream then shuffles bare (p1, p2) into the support aggregate —
+    # the per-item frequencies (functionally dependent on the part id)
+    # re-attach to the ~top-k-sized survivor set via two broadcast
+    # joins instead of riding every pair row through the exchange.
     li = (lineitem
           .select(F.col("l_orderkey").alias("okey"),
                   F.col("l_partkey").alias("part"))
-          .distinct())
+          .repartition("okey")
+          .dropDuplicates(["okey", "part"]))
     item_freq = li.groupBy("part").agg(F.count(F.lit(1)).alias("c_item"))
     frequent = item_freq.filter(F.col("c_item") >= min_support)
-    # apriori prune + carry the item frequency for the lift term; the
-    # thresholded item list is the broadcast side.
-    fli = li.join(F.broadcast(frequent), "part")
-    a = fli.select("okey", F.col("part").alias("p1"),
-                   F.col("c_item").alias("c1"))
-    b = fli.select("okey", F.col("part").alias("p2"),
-                   F.col("c_item").alias("c2"))
+    # apriori prune + the thresholded item list is the broadcast side.
+    fli = li.join(F.broadcast(frequent.select("part")), "part")
+    a = fli.select("okey", F.col("part").alias("p1"))
+    b = fli.select("okey", F.col("part").alias("p2"))
     pairs = a.join(b, "okey").filter(F.col("p1") < F.col("p2"))
-    sup = (pairs.groupBy("p1", "p2", "c1", "c2")
+    sup = (pairs.groupBy("p1", "p2")
            .agg(F.count(F.lit(1)).alias("support"))
            .filter(F.col("support") >= min_support))
+    sup = (sup.join(F.broadcast(frequent
+                                .select(F.col("part").alias("p1"),
+                                        F.col("c_item").alias("c1"))),
+                    "p1")
+           .join(F.broadcast(frequent
+                             .select(F.col("part").alias("p2"),
+                                     F.col("c_item").alias("c2"))),
+                 "p2"))
     n_orders = li.agg(
         F.count_distinct(F.col("okey")).alias("n_orders"))
     dec = "decimal(19,0)"

@@ -129,8 +129,14 @@ def copart_supplier_edges(lineitem: DataFrame) -> DataFrame:
     of re-shuffling each alias — measured 2x on the whole kernel at
     sf0.1 (4.9 s -> 2.5 s steady state), and at cluster scale it is
     the difference between one |ps| shuffle and three."""
-    ps = (lineitem.select("l_partkey", "l_suppkey").distinct()
-          .repartition("l_partkey"))
+    # r12 (§2.4): repartition FIRST — hashpartitioning(l_partkey)
+    # satisfies the (l_partkey, l_suppkey) distinct (the key is a
+    # subset of the grouping columns), so one exchange feeds dedup AND
+    # both join legs; the old distinct-then-repartition shape paid the
+    # (part, supp) distinct exchange plus the repartition exchange.
+    ps = (lineitem.select("l_partkey", "l_suppkey")
+          .repartition("l_partkey")
+          .dropDuplicates(["l_partkey", "l_suppkey"]))
     return (ps.alias("a")
             .join(ps.alias("b"),
                   (F.col("a.l_partkey") == F.col("b.l_partkey"))

@@ -3764,21 +3764,26 @@ def q_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "transform(sequence(1, size(t) - 4), "
                       "i -> concat_ws(' ', slice(t, i, 5))) "
                       "ELSE array() END")).alias("g")))
-    boiler = (kg.select("source", "g", "doc_id").distinct()
-              .groupBy("source", "g")
-              .agg(F.count(F.lit(1)).alias("df"))
-              .filter(F.col("df") >= 5)
-              .select("source", "g"))
-    hits = (kg.join(boiler, ["source", "g"], "leftsemi")
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_boiler")))
-    totals = kg.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_positions"))
-    return (totals.join(hits, "source", "left")
-            .select("source", "n_positions",
-                    F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
-                    F.expr("(coalesce(n_boiler, 0) * 1000000) "
-                           "div n_positions").alias("boiler_ppm"))
+    # r12 (§2.3/§2.4): the old shape ran the gram explode THREE times
+    # (distinct → df filter, the leftsemi hits pass, the totals pass)
+    # and shuffled the full position stream — gram STRINGS riding —
+    # into the semi join. One (source, g) aggregate carrying BOTH the
+    # position count and the distinct-doc count replaces all of it:
+    # n_boiler = Σ cnt over grams with df ≥ 5 and n_positions = Σ cnt
+    # are then a per-source fold over the gram-level rows. Exact
+    # integer identity with the semi-join formulation (a position is
+    # counted iff its (source, g) clears the df threshold).
+    per_gram = (kg.groupBy("source", "g")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.countDistinct("doc_id").alias("df")))
+    return (per_gram.groupBy("source")
+            .agg(F.sum("cnt").alias("n_positions"),
+                 F.coalesce(F.sum(F.when(F.col("df") >= 5,
+                                         F.col("cnt"))),
+                            F.lit(0)).alias("n_boiler"))
+            .select("source", "n_positions", "n_boiler",
+                    F.expr("(n_boiler * 1000000) div n_positions")
+                    .alias("boiler_ppm"))
             .orderBy("source"))
 
 

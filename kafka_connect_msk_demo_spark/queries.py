@@ -5155,9 +5155,17 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     lineitem-shaped frame — the shared graph-extraction step of
     bfs_hops and degree_histogram (keep the twin SQL CTE in their
     oracles in sync with this)."""
+    # r12 (§2.4 share one exchange): repartition by okey FIRST, so the
+    # hashpartitioning(okey) both satisfies the (okey, part) distinct
+    # (okey ⊆ the grouping key) and co-partitions BOTH self-join sides
+    # — one exchange where the old distinct-then-join shape paid the
+    # (okey, part) distinct exchange plus an okey exchange per join
+    # input. Lineitem rarely repeats a part within an order, so the
+    # lost map-side partial dedup moved ~no bytes anyway.
     base = (li.select(F.col("l_orderkey").alias("okey"),
                       F.col("l_partkey").alias("part"))
-            .distinct())
+            .repartition("okey")
+            .dropDuplicates(["okey", "part"]))
     pairs = (base.alias("a")
              .join(base.alias("b"),
                    (F.col("a.okey") == F.col("b.okey"))
