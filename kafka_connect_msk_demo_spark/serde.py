@@ -169,13 +169,10 @@ def _field_encoder(typ: str):
     raise NotImplementedError(f"avro type {typ}")
 
 
-def avro_encode_rows(rows: pd.DataFrame, avro_json: str) -> pd.Series:
-    """Encode a pandas batch to Avro binary (one cell per row).
-
-    Column-at-a-time: each field's cells are encoded in one list
-    comprehension over a precompiled closure (union branch markers
-    included), then the row cells are joined — ~3× the throughput of a
-    per-row loop with per-value type dispatch."""
+def _avro_encode_rows_py(rows: pd.DataFrame, avro_json: str) -> pd.Series:
+    """Reference per-cell encoder (the pre-r12 implementation) — kept
+    as the fallback for field shapes the vectorized path declines
+    (e.g. ``bytes`` cells) and as the differential-test twin."""
     fields = _parse_schema(avro_json)
     per_field: list[list[bytes]] = []
     for i, (name, typ, null_branch) in enumerate(fields):
@@ -194,6 +191,203 @@ def avro_encode_rows(rows: pd.DataFrame, avro_json: str) -> pd.Series:
         else:
             per_field.append([enc(val) for val in col])
     return pd.Series([b"".join(cells) for cells in zip(*per_field)])
+
+
+# --- r12 vectorized encoder (guide §4.2: whole-batch numpy kernels) ---
+
+
+def _vec_zigzag(v: "np.ndarray") -> "np.ndarray":
+    """int64 → uint64 zigzag, bit-identical to ``_zigzag_encode``'s
+    ``(n << 1) ^ (n >> 63)`` (uint64 wraparound == the arbitrary-
+    precision result reduced mod 2^64 for int64 inputs)."""
+    import numpy as np
+    u = v.astype(np.uint64)
+    return (u << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64)
+
+
+def _vec_varint(zz: "np.ndarray"):
+    """(flat uint8 buffer, per-value lengths) — Avro base-128 varints
+    for a whole uint64 array: byte j of value i is
+    ``(zz[i] >> 7j) & 0x7F`` with the continuation bit on every byte
+    but the last, exactly the loop in ``_zigzag_encode``."""
+    import numpy as np
+    n = len(zz)
+    nb = np.ones(n, dtype=np.int64)
+    for t in range(1, 10):
+        nb += zz >= (np.uint64(1) << np.uint64(7 * t))
+    width = int(nb.max()) if n else 1
+    B = np.empty((n, width), dtype=np.uint8)
+    for j in range(width):
+        B[:, j] = (((zz >> np.uint64(7 * j)) & np.uint64(0x7F))
+                   | np.uint64(0x80)).astype(np.uint8)
+    B[np.arange(n), nb - 1] &= 0x7F
+    mask = np.arange(width)[None, :] < nb[:, None]
+    return B[mask], nb  # row-major compaction keeps per-value order
+
+
+def _vec_null_mask(col: pd.Series) -> "np.ndarray":
+    """The exact null predicate of the per-cell encoder:
+    ``val is None or (isinstance(val, float) and pd.isna(val))`` —
+    deliberately NOT pd.isna (which would also nullify NaT)."""
+    import numpy as np
+    if col.dtype.kind == "f":
+        return np.isnan(col.to_numpy())
+    if col.dtype == object:
+        return np.fromiter(
+            (v is None or (isinstance(v, float) and v != v)
+             for v in col), dtype=bool, count=len(col))
+    return np.zeros(len(col), dtype=bool)
+
+
+def _vec_field_segments(col: pd.Series, typ: str, null_branch):
+    """[(flat uint8, per-row lengths)] segments for one field, or
+    ``None`` when this field shape is not vectorized (caller falls
+    back to the per-cell encoder for the whole batch). Byte-identical
+    to ``_field_encoder`` by construction — every arithmetic step
+    mirrors the per-cell closure (asserted in tests)."""
+    import numpy as np
+    n = len(col)
+    isnull = _vec_null_mask(col)
+    if null_branch is None and isnull.any():
+        return None  # per-cell path would raise; let it
+    segs = []
+    if null_branch is not None:
+        # both branch markers are single-byte varints (0 -> 0x00,
+        # 1 -> 0x02), prepended per row
+        marker = np.where(isnull, np.uint8(2 * null_branch),
+                          np.uint8(2 * (1 - null_branch)))
+        segs.append((marker.astype(np.uint8), np.ones(n, np.int64)))
+    sub = col[~isnull] if isnull.any() else col
+
+    def _expand(sub_lens, sub_flat):
+        lens = np.zeros(n, dtype=np.int64)
+        lens[~isnull] = sub_lens
+        return sub_flat, lens
+
+    if typ in ("int", "long") or typ.startswith("long:"):
+        is_ts = typ.startswith("long:timestamp-millis")
+        try:
+            if sub.dtype.kind == "i":
+                vals = sub.to_numpy(dtype=np.int64)
+            elif sub.dtype.kind == "f":
+                # int(float) truncates toward zero; C cast matches
+                vals = sub.to_numpy().astype(np.int64)
+            else:  # object: Decimal / int / (datetime for ts fields)
+                if is_ts:
+                    vals = np.fromiter(
+                        ((pd.Timestamp(v).value // 1_000_000
+                          if isinstance(v, (pd.Timestamp, _dt.datetime))
+                          else int(v)) for v in sub),
+                        dtype=np.int64, count=len(sub))
+                else:
+                    vals = np.fromiter((int(v) for v in sub),
+                                       dtype=np.int64, count=len(sub))
+        except (TypeError, ValueError, OverflowError):
+            return None
+        flat, lens = _vec_varint(_vec_zigzag(vals))
+        segs.append(_expand(lens, flat))
+        return segs
+    if typ == "double" or typ == "float":
+        try:
+            a = sub.to_numpy(dtype=np.float64)
+        except (TypeError, ValueError):
+            return None
+        w = 8 if typ == "double" else 4
+        raw = a.astype("<f8" if typ == "double" else "<f4") \
+               .view(np.uint8).reshape(-1)
+        segs.append(_expand(np.full(len(sub), w, np.int64), raw))
+        return segs
+    if typ == "string":
+        import pyarrow as pa
+        try:
+            arr = pa.array([x if type(x) is str else str(x)
+                            for x in sub], type=pa.large_string())
+        except (pa.ArrowInvalid, TypeError, ValueError):
+            return None
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                             count=len(arr) + 1)
+        data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8,
+                             count=int(offs[-1]))
+        slens = np.diff(offs)
+        vflat, vlens = _vec_varint(_vec_zigzag(slens))
+        segs.append(_expand(vlens, vflat))      # length varints
+        segs.append(_expand(slens, data))       # utf-8 payloads
+        return segs
+    if typ == "boolean":
+        try:
+            b = sub.to_numpy().astype(bool).astype(np.uint8)
+        except (TypeError, ValueError):
+            return None
+        segs.append(_expand(np.ones(len(sub), np.int64), b))
+        return segs
+    return None  # bytes / exotic — per-cell fallback
+
+
+def _vec_assemble(n: int, segments):
+    """Interleave per-field segments into one flat record buffer.
+    Returns (buffer, row_offsets, row_lengths)."""
+    import numpy as np
+    row_len = np.zeros(n, dtype=np.int64)
+    seg_off = []
+    for _, lens in segments:
+        seg_off.append(row_len.copy())
+        row_len = row_len + lens
+    row_starts = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(row_len[:-1], out=row_starts[1:])
+    out = np.empty(int(row_len.sum()), dtype=np.uint8)
+    for (flat, lens), off in zip(segments, seg_off):
+        m = int(lens.sum())
+        if m == 0:
+            continue
+        dst_starts = row_starts + off
+        src_starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=src_starts[1:])
+        dst_idx = (np.repeat(dst_starts - src_starts, lens)
+                   + np.arange(m))
+        out[dst_idx] = flat[:m]
+        del dst_idx
+    return out, row_starts, row_len
+
+
+def _vec_encode_record_buffer(rows: pd.DataFrame, avro_json: str):
+    """(flat buffer, row_offsets, row_lengths) for a whole batch, or
+    None when any field declines vectorization."""
+    fields = _parse_schema(avro_json)
+    segments = []
+    for i, (name, typ, null_branch) in enumerate(fields):
+        segs = _vec_field_segments(rows.iloc[:, i], typ, null_branch)
+        if segs is None:
+            return None
+        segments.extend(segs)
+    return _vec_assemble(len(rows), segments)
+
+
+def avro_encode_rows(rows: pd.DataFrame, avro_json: str) -> pd.Series:
+    """Encode a pandas batch to Avro binary (one cell per row).
+
+    r12 (guide §4.2): the encode is one numpy pass per field —
+    vectorized zigzag varints, float bit-views, Arrow string buffers —
+    scattered into a single flat record buffer, instead of ~n·fields
+    per-cell closure calls. Byte-identical to the per-cell encoder
+    (``_avro_encode_rows_py``, kept as the fallback for exotic field
+    shapes and asserted equal in tests)."""
+    enc = _vec_encode_record_buffer(rows, avro_json)
+    if enc is None:
+        return _avro_encode_rows_py(rows, avro_json)
+    out, starts, lens = enc
+    buf = out.tobytes()
+    return pd.Series([buf[s:s + ln]
+                      for s, ln in zip(starts.tolist(), lens.tolist())])
+
+
+def avro_encode_block(rows: pd.DataFrame, avro_json: str) -> bytes:
+    """All records of a batch concatenated — the OCF block body — in
+    one buffer, skipping the per-row split+join entirely."""
+    enc = _vec_encode_record_buffer(rows, avro_json)
+    if enc is None:
+        return b"".join(_avro_encode_rows_py(rows, avro_json))
+    return enc[0].tobytes()
 
 
 def _field_decoder(typ: str):

@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..serde import avro_encode_rows
+from ..serde import avro_encode_block as _avro_encode_block
+from ..serde import avro_encode_rows  # noqa: F401 (re-exported for tests)
 
 # ---------------------------------------------------------------------------
 # CSV (S1 / S9)
@@ -103,7 +104,7 @@ def _ocf_bytes(pdf: pd.DataFrame, avro_json: str) -> bytes:
         buf.write(_zigzag(len(vb)) + vb)
     buf.write(_zigzag(0))  # end of metadata map
     buf.write(_SYNC)
-    body = b"".join(avro_encode_rows(pdf, avro_json))
+    body = _avro_encode_block(pdf, avro_json)
     buf.write(_zigzag(len(pdf)))
     buf.write(_zigzag(len(body)))
     buf.write(body)
