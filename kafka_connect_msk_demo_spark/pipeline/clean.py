@@ -247,10 +247,10 @@ def repeated_span_mask(docs: DataFrame, k: int = 8, min_count: int = 2,
     positions.
 
     Shape at scale: gram explode is a narrow ~L-rows-per-doc map; the
-    frequency pass is one hash-aggregate with the gram as the shuffle
-    key (at 100 TB hash the gram to 16 bytes first; kept raw here so
-    the oracle replays verbatim) and the membership pass is a
-    co-partitioned left-semi join on that same key. Island-merging and
+    frequency AND membership passes are ONE count window partitioned
+    by the gram — a single shuffle with the gram as the key (at 100 TB
+    hash the gram to 16 bytes first; kept raw here so the oracle
+    replays verbatim), no second explode, no semi join. Island-merging and
     re-assembly shuffle once more on doc_id with per-group state
     bounded by the document length — the same bound the input row
     already paid. Nothing quadratic, no driver-side state.
@@ -268,9 +268,17 @@ def repeated_span_mask(docs: DataFrame, k: int = 8, min_count: int = 2,
             f"ELSE array() END")).alias("x")) \
         .select("doc_id", F.col("x.pos").alias("pos"),
                 F.col("x.g").alias("g"))
-    dup = (kg.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-           .filter(F.col("n") >= min_count).select("g"))
-    marked = (kg.join(dup, "g", "leftsemi")
+    # r12 (§2.4 remove shuffles outright): the corpus-wide frequency
+    # pass and the membership pass used to be a gram-keyed aggregate
+    # PLUS a semi join back onto a second explode of the gram table —
+    # two exchanges and two scan passes. A count window partitioned by
+    # the gram computes the same frequency on the same single exchange
+    # the membership rows ride anyway: one explode, one shuffle on g,
+    # identical marked set (a row survives iff its gram occurs
+    # >= min_count corpus-wide, exactly the old HAVING + semi join).
+    wg = Window.partitionBy("g")
+    marked = (kg.withColumn("n", F.count(F.lit(1)).over(wg))
+              .filter(F.col("n") >= min_count)
               .select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("e")))
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_e = F.max("e").over(
@@ -347,23 +355,32 @@ def contamination_spans(corpus: DataFrame, benchmark: DataFrame,
     new_run = F.when(F.lag("pos").over(w).isNull()
                      | (F.col("pos") > F.lag("pos").over(w) + 1),
                      F.lit(1)).otherwise(F.lit(0))
+    # r12 (§2.4 fewer passes): per-run position counts fold into the
+    # runs aggregate, so n_hits (= matched positions per doc) comes
+    # out of the same doc_id-keyed pass as the run stats instead of a
+    # THIRD explode + semi-join recompute of `marked`.
     runs = (marked.withColumn("rid", F.sum(new_run).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .groupBy("doc_id", "rid")
-            .agg((F.max("pos") - F.min("pos") + n).alias("run_tokens")))
+            .agg((F.max("pos") - F.min("pos") + n).alias("run_tokens"),
+                 F.count(F.lit(1)).alias("n_pos")))
     per_doc = runs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_runs"),
-        F.max("run_tokens").cast("long").alias("max_run_tokens"))
-    totals = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"))
-    hits = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_hits"))
-    base = corpus.select(F.col(id_col).alias("doc_id"))
-    return (base.join(totals, "doc_id", "left")
-            .join(hits, "doc_id", "left")
-            .join(per_doc, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.max("run_tokens").cast("long").alias("max_run_tokens"),
+        F.sum("n_pos").alias("n_hits"))
+    # r12 (§2.4 remove shuffles outright): the per-doc gram total is a
+    # pure function of the token count — max(size(t) - n + 1, 0) — so
+    # it is computed in the corpus scan's projection, replacing a
+    # SECOND explode + doc_id-keyed aggregate pass with zero rows of
+    # shuffle (the left-join null for short docs becomes the
+    # greatest(..., 0) floor, the same 0 the old coalesce produced).
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.size(tokens(text_col)) - F.lit(n - 1), F.lit(0))
+        .cast("long").alias("n_grams"))
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_grams",
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
                     F.coalesce("max_run_tokens", F.lit(0))

@@ -631,12 +631,27 @@ def minhash_jaccard_estimates(docs: DataFrame, threshold: float = 0.5,
     J = 0.5, k = 128.
     """
     sh = doc_shingles(docs, id_col, text_col, k).persist()
+    # persist: the pair frame feeds THREE consumers (both signature
+    # legs' participant pruning and the final join) — tiny (audit
+    # pairs only), so caching it costs nothing and saves re-running
+    # the exact jaccard plan per consumer
     pairs = jaccard_pairs(docs, threshold=threshold, k=k,
                           id_col=id_col, text_col=text_col,
-                          shingles=sh)
+                          shingles=sh).persist()
+    # r12 (§1.2 don't compute what you throw away): the signature
+    # kernel only serves docs that APPEAR in a pair — everything else
+    # is dropped by the inner joins below. Semi-join the shingle table
+    # down to the participant set (broadcast: bounded by 2·|pairs|)
+    # before the Arrow pass, so the kernel's multiply-shift work and
+    # both join legs scale with the audit set, not the corpus.
+    ids = (pairs.select(F.col("d1").alias("doc_id"))
+           .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+           .distinct())
     # persist: BOTH pair legs consume the signature kernel — without
     # this the Arrow pass over the shingle table runs twice
-    sigs = minhash_signatures(sh, num_hashes).persist()
+    sigs = minhash_signatures(
+        sh.join(F.broadcast(ids), "doc_id", "leftsemi"),
+        num_hashes).persist()
     s1 = sigs.select(F.col("doc_id").alias("d1"),
                      F.col("sig").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("d2"),

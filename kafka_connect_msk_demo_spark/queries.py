@@ -5557,8 +5557,9 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     P_i = n·S_i − i·T (exact integers), so max−min and the argmax
     location are engine-replayable. One shuffle+sort (the prefix
     window) plus a broadcast of per-type totals; the change-point
-    location is the first instant achieving max |P| (a second window
-    max + MIN(ts) tie-break, no self-join)."""
+    location is the first instant achieving max |P|, folded into the
+    final aggregate as max(struct(|P|, −ts)) — no second window pass,
+    no self-join."""
     ev = load_table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100).cast("long")
     base = ev.select("event_type", "event_id",
@@ -5575,20 +5576,24 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(tot), "event_type")
             .withColumn("p", F.col("n").cast(d19) * F.col("s").cast(d19)
                         - F.col("i").cast(d19) * F.col("t_sum")))
-    wt = Window.partitionBy("event_type")
-    marked = (pref.withColumn("p_max", F.max("p").over(wt))
-              .withColumn("p_min", F.min("p").over(wt))
-              .withColumn("p_abs_max", F.max(F.abs("p")).over(wt)))
-    return (marked.groupBy("event_type")
+    # r12 (guide §2.4 fewer passes): p_max/p_min/p_abs_max used to be
+    # three whole-partition windows (a second full-frame pass that
+    # buffers every partition) feeding the final aggregate — but all
+    # three ARE aggregates. max/min fold directly; the change-point
+    # location folds as one argmax: max(struct(|p|, -ts)) picks the
+    # largest |p| and, among ties, the largest -ts = the SMALLEST ts —
+    # exactly the old min(ts where |p| = max|p|).
+    arg = F.max(F.struct(F.abs(F.col("p")).alias("a"),
+                         (-F.col("ts_us")).alias("nt")))
+    return (pref.groupBy("event_type")
             .agg(F.max("n").alias("n"),
-                 F.max("p_max").alias("_pmax"),
-                 F.min("p_min").alias("_pmin"),
-                 F.min(F.when(F.abs(F.col("p")) == F.col("p_abs_max"),
-                              F.col("ts_us"))).alias("shift_ts_us"))
+                 F.max("p").alias("_pmax"),
+                 F.min("p").alias("_pmin"),
+                 arg.alias("_arg"))
             .select("event_type", "n",
                     ((F.col("_pmax") - F.col("_pmin")).cast("double")
                      / F.col("n") / 100.0).alias("drift_range"),
-                    "shift_ts_us")
+                    (-F.col("_arg.nt")).alias("shift_ts_us"))
             .orderBy("event_type"))
 
 
