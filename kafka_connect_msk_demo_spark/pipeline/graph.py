@@ -282,28 +282,41 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     raw-RDD escape hatch, which the repo's plan gate bans).
     """
     spark = edges.sparkSession
-    e = edges.select("u", "v").persist()
+    # r12 (guide §2.4 — the pagerank/bfs cache-partitioning trick):
+    # persist the BIDIRECTIONAL incidence list hash-partitioned by the
+    # degree key. Every round's degree recount is then satisfied by
+    # the cached distribution — two broadcast semi-filters (alive is a
+    # dimension-bounded node frame, the side the old shape already
+    # broadcast) feeding a co-partitioned hash-agg, ZERO per-round
+    # exchanges — where the old union-of-projections shape re-shuffled
+    # the full edge frame by u every round.
+    bidir = (edges.select("u", "v")
+             .unionAll(edges.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+             .repartition("u").persist())
 
-    def degrees(ed: DataFrame) -> DataFrame:
+    def degrees(alive: DataFrame | None) -> DataFrame:
         # one row per node that still has an edge: undirected degree =
-        # count of incidences over both endpoint projections
-        return (ed.select("u")
-                .unionAll(ed.select(F.col("v").alias("u")))
-                .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+        # incidence count, with BOTH endpoints required alive — the
+        # same two-sided filter the old explicit edge join applied
+        cur = bidir
+        if alive is not None:
+            cur = (cur.join(F.broadcast(alive), "u")
+                   .join(F.broadcast(
+                       alive.select(F.col("u").alias("v"))), "v"))
+        return cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
 
     rows: list[tuple[int, int, int]] = []
     try:
-        deg = degrees(e).localCheckpoint(eager=False)
+        deg = degrees(None).localCheckpoint(eager=False)
         n_prev = deg.count()  # one job: materializes + round-0 census
         for r in range(1, rounds + 1):
             alive = deg.filter(F.col("deg") >= k).select("u")
-            cur = (e.join(alive, "u")
-                   .join(alive.select(F.col("u").alias("v")), "v"))
-            deg = degrees(cur).localCheckpoint(eager=False)
+            deg = degrees(alive).localCheckpoint(eager=False)
             n_rem = deg.count()  # one job: materializes + census
             rows.append((r, n_prev - n_rem, n_rem))
             n_prev = n_rem
     finally:
-        e.unpersist()
+        bidir.unpersist()
     return spark.createDataFrame(
         rows, "round int, n_removed long, n_remaining long")

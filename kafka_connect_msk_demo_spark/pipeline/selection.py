@@ -56,16 +56,21 @@ def dsir_topk(docs: DataFrame, target_pred: Column, k: int = 25,
                        F.explode(tokens(text_col)).alias("term"))
     b = toks.select("doc_id", "is_target",
                     _bucket(F.col("term")).alias("bkt"))
-    cr = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
-    ct = (b.filter(F.col("is_target"))
-          .groupBy("bkt").agg(F.count(F.lit(1)).alias("ct")))
-    tot = b.agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.count(F.when(F.col("is_target"), 1)).alias("c_tgt"))
-    w = (cr.join(ct, "bkt", "left")
-         .crossJoin(F.broadcast(tot))
+    # r12 (guide §2.4 fewer passes): the raw count, the target count
+    # AND the corpus totals all come out of ONE bucket-keyed aggregate
+    # over ONE explode — the old shape ran three separate corpus
+    # passes (cr, ct, tot), each re-exploding and re-hashing every
+    # token. ct as a conditional count equals the old left-join +
+    # coalesce(ct, 0) (a bucket with no target tokens counts 0); the
+    # totals are exact sums over the 1024-row bucket frame.
+    cb = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("is_target"), 1)).alias("ct"))
+    tot = cb.agg(F.sum("cr").alias("c_raw"),
+                 F.sum("ct").alias("c_tgt"))
+    w = (cb.crossJoin(F.broadcast(tot))
          .select("bkt", F.expr(
-             f"({QUANT} * coalesce(ct, 0L) * c_raw) div (cr * c_tgt)")
+             f"({QUANT} * ct * c_raw) div (cr * c_tgt)")
              .alias("w")))
     # length-normalize: the quantized MEAN importance ratio per token
     # (integer division — exact both engines); a raw sum would just

@@ -272,46 +272,87 @@ def repetition_stats(docs: DataFrame, ns: tuple = (2, 3),
     occurrence share of the single most frequent n-gram
     (``top_{n}gram_frac``), plus the distinct-token ratio.
 
-    Shape at scale: one explode per n unioned into ONE (doc_id, n,
-    gram) hash-aggregate (shuffle key = doc+n+gram), one (doc_id, n)
-    roll-up, one final pivot-free conditional agg on doc_id, joined
-    back to a NARROW per-doc projection (distinct-token ratio is
-    computed with array_distinct inside the row — no extra shuffle).
-    All fractions are bigint/bigint → double, so cross-engine
-    bit-identical."""
+    Shape at scale (r12, guide §2.4 + §4.2): every statistic here is a
+    PER-DOCUMENT function of the token array, so no shuffle is needed
+    at all — the old shape hash-aggregated exploded (doc, n, gram)
+    rows corpus-wide (a corpus-sized exchange of gram strings) purely
+    to get per-doc counts back. One Arrow kernel pass now computes all
+    of it inside the scan stage: tokens are dictionary-encoded with an
+    exact factorization (no hashing — collisions impossible), n-gram
+    occurrences count via vectorized group-bys, and only the final
+    orderBy moves data. Per-task state is bounded by the batch's token
+    count — the same bound the input rows already paid. Counts are
+    exact integers and every fraction is the same int/int → double
+    division the oracle runs, so values stay bit-identical."""
+    ns = tuple(ns)
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokens(text_col).alias("t"))
-    grams = None
+    fields = ["doc_id long", "n_tokens int",
+              "distinct_token_ratio double"]
     for n in ns:
-        g = toks.select("doc_id", F.lit(n).alias("n"),
-                        F.explode(_sliding_grams("t", n)).alias("gram"))
-        grams = g if grams is None else grams.unionByName(g)
-    cnt = (grams.groupBy("doc_id", "n", "gram")
-           .agg(F.count(F.lit(1)).alias("c")))
-    per_n = (cnt.groupBy("doc_id", "n")
-             .agg(F.sum("c").alias("total"),
-                  F.max("c").alias("top"),
-                  F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))),
-                             F.lit(0)).alias("dup")))
-    aggs = []
-    for n in ns:
-        is_n = F.col("n") == n
-        aggs.append(F.max(F.when(is_n, F.col("dup").cast("double")
-                                 / F.col("total")))
-                    .alias(f"dup_{n}gram_frac"))
-        aggs.append(F.max(F.when(is_n, F.col("top").cast("double")
-                                 / F.col("total")))
-                    .alias(f"top_{n}gram_frac"))
-    wide = per_n.groupBy("doc_id").agg(*aggs)
-    narrow = toks.select(
-        "doc_id", F.size("t").alias("n_tokens"),
-        (F.size(F.array_distinct("t")).cast("double")
-         / F.size("t")).alias("distinct_token_ratio"))
-    return (narrow.join(wide, "doc_id", "left")
-            .select("doc_id", "n_tokens", "distinct_token_ratio",
-                    *[c for n in ns for c in
-                      (f"dup_{n}gram_frac", f"top_{n}gram_frac")])
-            .orderBy("doc_id"))
+        fields += [f"dup_{n}gram_frac double", f"top_{n}gram_frac double"]
+    schema = ", ".join(fields)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..arrow_guard import exact_longs
+
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            doc_ids = exact_longs(pdf["doc_id"], "doc_id").to_numpy()
+            arrs = [np.asarray(a, dtype=object) for a in pdf["t"]]
+            sizes = np.fromiter((len(a) for a in arrs),
+                                dtype=np.int64, count=m)
+            flat = (np.concatenate(arrs) if int(sizes.sum())
+                    else np.empty(0, dtype=object))
+            didx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+            # exact dictionary encoding: equal strings ↔ equal codes
+            codes = pd.factorize(flat)[0].astype(np.int64)
+            uniq = (pd.DataFrame({"d": didx, "c": codes})
+                    .groupby("d", sort=False)["c"].nunique())
+            n_uniq = np.zeros(m, dtype=np.int64)
+            n_uniq[uniq.index.to_numpy()] = uniq.to_numpy()
+            out = {
+                "doc_id": doc_ids,
+                "n_tokens": sizes.astype(np.int32),
+                "distinct_token_ratio": [
+                    float(n_uniq[i]) / float(sizes[i])
+                    if sizes[i] else None for i in range(m)],
+            }
+            for n in ns:
+                # gram start positions: windows fully inside one doc
+                span = max(len(codes) - n + 1, 0)
+                valid = (didx[:span] == didx[n - 1:n - 1 + span]
+                         if span else np.zeros(0, dtype=bool))
+                key_cols = {"d": didx[:span][valid]}
+                for j in range(n):
+                    key_cols[f"w{j}"] = codes[j:j + span][valid]
+                total = np.maximum(sizes - (n - 1), 0)
+                top = np.zeros(m, dtype=np.int64)
+                single = np.zeros(m, dtype=np.int64)
+                if len(key_cols["d"]):
+                    cnt = (pd.DataFrame(key_cols)
+                           .groupby(list(key_cols), sort=False)
+                           .size().reset_index(name="c"))
+                    d = cnt["d"].to_numpy()
+                    c = cnt["c"].to_numpy()
+                    np.maximum.at(top, d, c)
+                    np.add.at(single, d[c == 1], 1)
+                # dup occurrences = total − grams occurring exactly once
+                dup = total - single
+                out[f"dup_{n}gram_frac"] = [
+                    float(dup[i]) / float(total[i])
+                    if total[i] else None for i in range(m)]
+                out[f"top_{n}gram_frac"] = [
+                    float(top[i]) / float(total[i])
+                    if total[i] else None for i in range(m)]
+            yield pd.DataFrame(out)
+
+    return toks.mapInPandas(kernel, schema).orderBy("doc_id")
 
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 25,
@@ -813,28 +854,38 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     count or a floor division, so DuckDB replays bit-for-bit (no log
     probabilities — same rationale as the unigram scorer).
 
-    Plan shape: two narrow explodes (unigrams, bigrams), two
-    hash-aggregates keyed on the gram, then co-partitioned joins back
-    on those same keys and one doc_id hash-aggregate. Docs shorter
-    than two tokens emit zero bigrams and score 0.
+    Plan shape (r12, guide §2.4 share one exchange): ONE explode emits
+    every token once as (doc_id, w1 = token_i, w2 = token_{i+1} or
+    NULL at the doc end), explicitly repartitioned by w1; the bigram
+    count is a count window over (w1, w2) and the prefix count a count
+    window over (w1) — both distributions and both sort orders are
+    satisfied by that single exchange (hash(w1) clusters (w1, w2);
+    sorting (w1, w2) prefixes (w1)), where the old shape paid two
+    gram-keyed aggregates plus two shuffled joins to re-attach them.
+    c1 counts every token occurrence because every token appears in
+    exactly one row as w1, including doc-final ones; the NULL-w2 rows
+    drop before the doc_id roll-up, so docs shorter than two tokens
+    emit zero bigrams and score 0, as before.
     """
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokens(text_col).alias("t"))
-    uni = toks.select(F.explode("t").alias("w1"))
-    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    bg = toks.select(
+    pairs = toks.select(
         "doc_id",
         F.explode(F.expr(
-            "CASE WHEN size(t) >= 2 THEN "
-            "transform(sequence(1, size(t) - 1), "
+            "CASE WHEN size(t) >= 1 THEN "
+            "transform(sequence(1, size(t)), "
             "i -> struct(element_at(t, i) AS w1, "
-            "element_at(t, i + 1) AS w2)) "
+            "IF(i < size(t), element_at(t, i + 1), NULL) AS w2)) "
             "ELSE array() END")).alias("x")) \
-        .select("doc_id", "x.w1", "x.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    term = (bg.join(c2, ["w1", "w2"]).join(c1, "w1")
-            .select("doc_id",
-                    F.expr(f"(c2 * {ppm}) div c1").alias("tq")))
+        .select("doc_id", "x.w1", "x.w2") \
+        .repartition("w1")
+    term = (pairs
+            .withColumn("c2", F.count(F.lit(1)).over(
+                Window.partitionBy("w1", "w2")))
+            .withColumn("c1", F.count(F.lit(1)).over(
+                Window.partitionBy("w1")))
+            .filter(F.col("w2").isNotNull())
+            .select("doc_id", F.expr(f"(c2 * {ppm}) div c1").alias("tq")))
     per_doc = (term.groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_bigrams"),
                     F.expr("sum(tq) div count(1)").alias("score_ppm")))
