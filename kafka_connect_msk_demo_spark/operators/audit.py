@@ -44,16 +44,24 @@ def key_skew_census(rels: list[tuple[str, DataFrame, str]]) -> DataFrame:
     for name, df, key in rels:
         counts = (df.select(F.col(key).cast("string").alias("k"))
                   .groupBy("k").agg(F.count(F.lit(1)).alias("cnt")))
-        top = (counts.orderBy(F.col("cnt").desc(), "k").limit(1)
-               .select(F.col("k").alias("top_key"),
-                       F.col("cnt").alias("top_cnt")))
+        # r12 (guide §2.4 fewer passes): totals and the top key fold
+        # into ONE aggregate over the per-key counts — the old shape
+        # re-ran the count aggregate (a full scan + shuffle each) for
+        # the top-1 sort and for the totals. The argmax is
+        # min(struct(-cnt, k)): smallest -cnt = largest cnt, ties to
+        # the smallest key string — exactly the old
+        # orderBy(cnt DESC, k).limit(1).
         stats = counts.agg(
             F.sum("cnt").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_distinct"))
-        outs.append(stats.crossJoin(top).select(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.min(F.struct((-F.col("cnt")).alias("nc"),
+                           F.col("k").alias("tk"))).alias("_top"))
+        outs.append(stats.select(
             F.lit(name).alias("relation"), F.lit(key).alias("key_col"),
-            "n_rows", "n_distinct", "top_key", "top_cnt",
-            (F.col("top_cnt").cast("double") / F.col("n_rows"))
+            "n_rows", "n_distinct",
+            F.col("_top.tk").alias("top_key"),
+            (-F.col("_top.nc")).alias("top_cnt"),
+            ((-F.col("_top.nc")).cast("double") / F.col("n_rows"))
             .alias("top_share")))
     out = outs[0]
     for o in outs[1:]:
@@ -72,14 +80,23 @@ def join_cardinality(joins: list[tuple[str, DataFrame, str,
              .groupBy("k").agg(F.count(F.lit(1)).alias("ca")))
         b = (right.select(F.col(rk).alias("k"))
              .groupBy("k").agg(F.count(F.lit(1)).alias("cb")))
-        m = a.join(b, "k")
+        # r12 (guide §2.4 fewer passes): ONE full-outer join of the two
+        # count frames carries every statistic — the old shape ran each
+        # count aggregate TWICE (its own total + the inner-join leg)
+        # plus two crossJoins. count(ca) = keys present on the left
+        # (count skips the nulls the outer join fills in; a NULL key
+        # groups on each side but never equi-matches, exactly as
+        # before); matched = both sides present; ca*cb is NULL unless
+        # both are, so the sum is the old inner-join sum.
+        m = a.join(b, "k", "full_outer")
         outs.append(
-            a.agg(F.count(F.lit(1)).alias("distinct_left")).crossJoin(
-                b.agg(F.count(F.lit(1)).alias("distinct_right"))).crossJoin(
-                m.agg(F.coalesce(F.count(F.lit(1)), F.lit(0))
-                      .alias("matched_keys"),
-                      F.coalesce(F.sum(F.col("ca") * F.col("cb")),
-                                 F.lit(0)).alias("out_rows")))
+            m.agg(F.count("ca").alias("distinct_left"),
+                  F.count("cb").alias("distinct_right"),
+                  F.count(F.when(F.col("ca").isNotNull()
+                                 & F.col("cb").isNotNull(), 1))
+                  .alias("matched_keys"),
+                  F.coalesce(F.sum(F.col("ca") * F.col("cb")),
+                             F.lit(0)).alias("out_rows"))
             .select(F.lit(name).alias("join_name"), "distinct_left",
                     "distinct_right", "matched_keys", "out_rows"))
     out = outs[0]

@@ -100,31 +100,55 @@ def bloom_semi_join(fact: DataFrame, dim_keys: DataFrame, key: str,
     while the expensive exact-join shuffle sees only the pre-filtered
     fraction.
 
-    All Bloom positions are deterministic md5 buckets, and the filter
-    is built WITHOUT driver state: dim positions (<= bits distinct
-    rows) broadcast into the position probe; a fact row survives when
-    all ``hashes`` of its positions hit. At 100 TB, bits scales to
-    keep the false-positive rate ~ (1-e^{-kn/m})^k manageable, and the
-    broadcast stays <= bits rows regardless of dim cardinality.
+    All Bloom positions are deterministic xxhash64 buckets — build and
+    probe run inside this one Spark plan, and the oracle is the plain
+    semi join, so the position family needs no cross-engine replay;
+    xxhash64 is a codegen intrinsic where the previous md5 probe paid
+    string digest + base-16 conv PER PROBE (r12, guide §1.2 per-task
+    work). The filter is built WITHOUT driver state: the dim positions
+    fold into a
+    ``bits``-wide bitmap (≤ bits/64 map entries — 8 KB of longs at
+    2^16) that cross-joins onto the fact scan as ONE broadcast row, so
+    the membership test is a per-row expression INSIDE the scan stage.
+    At 100 TB, bits scales to keep the false-positive rate
+    ~ (1-e^{-kn/m})^k manageable, and the broadcast stays <= bits bits
+    regardless of dim cardinality.
+
+    r12 (guide §3.2 — "drop rows before the big side is shuffled"):
+    the previous shape exchanged the DISTINCT FACT KEYS (a
+    corpus-scale shuffle at 100 TB) before the Bloom test; the bitmap
+    form needs zero exchanges before the exact verification semi join,
+    which then sees only the pre-filtered fraction — the entire point
+    of the Bloom pass.
     """
     def positions(col):
         return F.array(*[
-            F.pmod(F.conv(F.substring(
-                F.md5(F.concat_ws(":", F.lit(f"{salt}{i}"),
-                                  F.col(col).cast("string"))), 1, 12),
-                16, 10).cast("long"), F.lit(bits))
+            F.pmod(F.xxhash64(F.lit(f"{salt}{i}"), F.col(col)),
+                   F.lit(bits))
             for i in range(hashes)])
 
     dim_pos = (dim_keys.select(F.explode(positions(key)).alias("_p"))
                .distinct())
-    # membership test on DISTINCT fact keys (narrow), not full rows:
-    # a key passes when all `hashes` positions hit the dim set
-    passing = (fact.select(key).distinct()
-               .withColumn("_p", F.explode(positions(key)))
-               .join(F.broadcast(dim_pos), "_p", "left_semi")
-               .groupBy(key)
-               .agg(F.count(F.lit(1)).alias("_nhit"))
-               .filter(F.col("_nhit") >= hashes)
-               .select(key))
-    return (fact.join(passing, key, "left_semi")
-            .join(dim_keys.select(key).distinct(), key, "left_semi"))
+    # flat ARRAY of bits/64 words, not a map: Spark MapType lookups
+    # are linear scans, so a map probe would pay O(bits/64) per hash
+    # per row; array element_at is O(1) (index always in bounds:
+    # p = pmod(·, bits) < bits)
+    nwords = bits // 64
+    bitmap = (dim_pos
+              .groupBy(F.expr("_p div 64").alias("_w"))
+              .agg(F.expr("bit_or(shiftleft(1L, CAST(_p % 64 AS INT)))")
+                   .alias("_m"))
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("_w", "_m"))).alias("_mm"))
+              .select(F.expr(
+                  f"transform(sequence(0, {nwords - 1}), w -> "
+                  f"coalesce(try_element_at(_mm, CAST(w AS BIGINT)), 0L))"
+              ).alias("_bm")))
+    hit_all = F.expr(
+        "forall(_ps, p -> (element_at(_bm, CAST(p div 64 AS INT) + 1)"
+        " & shiftleft(1L, CAST(p % 64 AS INT))) != 0)")
+    kept = (fact.withColumn("_ps", positions(key))
+            .crossJoin(F.broadcast(bitmap))
+            .filter(hit_all)
+            .drop("_ps", "_bm"))
+    return kept.join(dim_keys.select(key).distinct(), key, "left_semi")

@@ -63,6 +63,11 @@ BNLJ_ALLOWED = {"similar_vectors", "ann_topk",
                 # audit queries assemble ONE-ROW aggregate frames per
                 # relation/join (scalar-subquery plan, like tfidf)
                 "skew_census", "join_cardinality",
+                # bloom_semi_join: the Bloom bitmap is ONE broadcast
+                # row (<= bits/64 map entries) cross-joined onto the
+                # fact scan so the membership test runs scan-side with
+                # zero pre-filter exchanges (r12, guide §3.2)
+                "bloom_semi_join",
                 # unigram_lm / temperature_mix / zipf_census broadcast
                 # ONE-ROW corpus-total frames (scalar-subquery plan,
                 # same class as tfidf)
