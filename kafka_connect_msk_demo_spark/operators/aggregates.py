@@ -315,16 +315,27 @@ def weighted_median(df: DataFrame, group_cols: list[str],
     (value, order_cols) order, the qualifying rows form a suffix and
     ``min`` picks exactly the first of them.
 
-    Scale shape: one shuffle on the group key; running and total sums
-    share a single window sort pass; then a partial/final hash-agg.
-    Same per-group-sort cost class as :func:`trimmed_stats`.
+    Scale shape (r12, §2.3 aggregate before you shuffle): weights are
+    first summed per DISTINCT (group, value) — a hash aggregate whose
+    partial (map-side) phase runs before the exchange, so the shuffle
+    carries distinct values with pre-summed weights instead of every
+    fact row (and none of the tiebreaker columns). The windows then
+    run over the deduplicated frame. The result is provably unchanged:
+    cumulative weight at the last row of a value's tie-group equals
+    the distinct-level inclusive cumulative, so the smallest value
+    whose (doubled) cumulative reaches the total is the same under
+    both row- and distinct-level scans, and the total is the same long
+    sum regrouped. ``order_cols`` thereby stops affecting even the
+    internal order (values are unique per group after the
+    pre-aggregation) — it is kept for API stability.
     """
+    d = (df.groupBy(*group_cols, value_col)
+         .agg(F.sum(F.col(weight_col).cast("long")).alias("w_q")))
     w = (Window.partitionBy(*group_cols)
-         .orderBy(value_col, *order_cols)
+         .orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     wt = Window.partitionBy(*group_cols)
-    d = (df.withColumn("w_q", F.col(weight_col).cast("long"))
-         .withColumn("cum_w", F.sum("w_q").over(w))
+    d = (d.withColumn("cum_w", F.sum("w_q").over(w))
          .withColumn("tot_w", F.sum("w_q").over(wt)))
     return (d.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
             .groupBy(*group_cols)

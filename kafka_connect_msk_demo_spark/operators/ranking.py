@@ -55,14 +55,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: default fan-out of the range shuffle; at real scale set to the
-#: cluster's parallelism (each task then sorts n/P rows)
+#: fallback fan-out of the range shuffle when the session exposes no
+#: parallelism (never in practice); callers that pass nothing get the
+#: SESSION's parallelism instead — see :func:`_resolve_parts`
 DEFAULT_PARTS = 32
+
+
+def _resolve_parts(df: DataFrame, num_parts: int | None) -> int:
+    """r12 (guide §2: partitioning must be scale-adaptive, not a
+    constant tuned for one machine): ``num_parts=None`` derives the
+    range fan-out from the session's ``defaultParallelism`` — the
+    cluster's core count, exactly the "at real scale set to the
+    cluster's parallelism" deployment note the old hard-coded 32
+    delegated to callers. Rank/ntile/prefix-sum outputs are exact for
+    ANY partition count (range contiguity + total order), so this is
+    output-invariant; locally (bench runs local[32]) the resolved value
+    equals the old constant."""
+    if num_parts is not None:
+        return int(num_parts)
+    try:
+        return max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+    except Exception:  # noqa: BLE001 - conf probe must never fail a query
+        return DEFAULT_PARTS
 
 
 def exact_global_rank(df: DataFrame, order_cols: list[Column],
                       out_col: str = "rank",
-                      num_parts: int = DEFAULT_PARTS,
+                      num_parts: int | None = None,
                       cache_registry: list | None = None) -> DataFrame:
     """Exact 1-based global rank under ``order_cols`` (must be a total
     order) with no single-partition exchange anywhere in the plan.
@@ -90,7 +109,8 @@ def exact_global_rank(df: DataFrame, order_cols: list[Column],
     # the same spot the old window sort ran. sortWithinPartitions never
     # moves rows across partitions, so mid >> 33 equals
     # spark_partition_id() on the cached frame.
-    ranged = (df.repartitionByRange(num_parts, *order_cols)
+    ranged = (df.repartitionByRange(_resolve_parts(df, num_parts),
+                                    *order_cols)
               .persist())  # pins ONE boundary sample for both branches
     if cache_registry is not None:
         cache_registry.append(ranged)
@@ -119,7 +139,7 @@ def exact_global_rank(df: DataFrame, order_cols: list[Column],
 
 def exact_global_ntile(df: DataFrame, n_tiles: int,
                        order_cols: list[Column], out_col: str,
-                       num_parts: int = DEFAULT_PARTS,
+                       num_parts: int | None = None,
                        cache_registry: list | None = None) -> DataFrame:
     """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` — identical
     bucket boundaries to the SQL window function (the first
@@ -162,7 +182,7 @@ def ntile_tile_expr(n_tiles: int,
 def partitioned_prefix_sum(df: DataFrame, order_cols: list[Column],
                            value_col: str, out_col: str,
                            exclusive: bool = True,
-                           num_parts: int = DEFAULT_PARTS,
+                           num_parts: int | None = None,
                            cache_registry: list | None = None) -> DataFrame:
     """Exact running sum of ``value_col`` under ``order_cols`` (total
     order required) without a single-partition window over the rows:
@@ -171,7 +191,8 @@ def partitioned_prefix_sum(df: DataFrame, order_cols: list[Column],
     ``exclusive=True`` sums strictly-preceding rows (the ``ROWS
     BETWEEN UNBOUNDED PRECEDING AND -1`` shape). Also leaves
     ``_grand_total`` for share-of-total callers."""
-    ranged = (df.repartitionByRange(num_parts, *order_cols)
+    ranged = (df.repartitionByRange(_resolve_parts(df, num_parts),
+                                    *order_cols)
               .withColumn("_pid", F.spark_partition_id())
               .persist())  # pins ONE boundary sample for both branches
     if cache_registry is not None:

@@ -9,7 +9,7 @@ operator spell out the 100 TB shuffle story.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textprep import tokens
@@ -52,11 +52,19 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 5,
     ch = toks.select(
         "doc_id",
         F.posexplode(_chunk_expr("t", chunk_tokens)).alias("pos", "chunk"))
-    dup = (ch.groupBy("chunk")
-           .agg(F.countDistinct("doc_id").alias("nd"))
-           .filter(F.col("nd") >= min_docs)
-           .select("chunk", F.lit(True).alias("is_dup")))
-    fl = ch.join(dup, "chunk", "left")
+    # r12 (§2.4, the repeated_span_mask pattern): the distinct-doc count
+    # per chunk is max(dense_rank) over the SAME chunk-keyed exchange the
+    # membership rows ride — one explode and one chunk exchange instead
+    # of two of each (the old shape aggregated countDistinct on one
+    # explode and left-joined it back onto a second). dense_rank over
+    # doc_id within a chunk reaches exactly countDistinct(doc_id) at the
+    # partition max; both windows share one exchange + sort.
+    w_ord = Window.partitionBy("chunk").orderBy("doc_id")
+    w_all = Window.partitionBy("chunk")
+    fl = (ch.withColumn("_dr", F.dense_rank().over(w_ord))
+          .withColumn("_nd", F.max("_dr").over(w_all))
+          .withColumn("is_dup",
+                      F.when(F.col("_nd") >= min_docs, F.lit(True))))
     kept = F.when(F.col("is_dup").isNull(), F.struct("pos", "chunk"))
     return (fl.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_chunks"),

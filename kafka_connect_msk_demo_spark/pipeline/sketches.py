@@ -372,8 +372,16 @@ def kmv_set_ops(df: DataFrame, key_col: str, group_col: str,
     blowup. Drop the audit columns to skip the exact pass entirely at
     true scale.
     """
-    sk = _kmv_sketch(df, key_col, group_col, k, salt) \
-        .select(F.col(group_col).alias("g"), "h")
+    # r12 (§5 caching, §2.4 fewer passes): the sketch table feeds four
+    # consumers (type census, both union legs, both membership semi
+    # joins) and the distinct (group, key) frame three (census, both
+    # exact-intersection legs) — unpersisted, EVERY consumer re-ran the
+    # full fact-table pass (the KMV partial kernel / the distinct
+    # exchange), ~7 corpus scans per call. Both are persisted, the
+    # (|groups|²/2)-row result is materialized inside the call, and the
+    # pins are dropped before returning — no cross-run state.
+    sk = (_kmv_sketch(df, key_col, group_col, k, salt)
+          .select(F.col(group_col).alias("g"), "h").persist())
     types = sk.select("g").distinct()
     pairs = (types.select(F.col("g").alias("ta"))
              .join(types.select(F.col("g").alias("tb")),
@@ -403,7 +411,7 @@ def kmv_set_ops(df: DataFrame, key_col: str, group_col: str,
     # exact audit counts
     e = (_non_null_keys(df, key_col)
          .select(F.col(group_col).alias("g"), F.col(key_col).alias("u"))
-         .distinct())
+         .distinct().persist())
     per_type = e.groupBy("g").agg(F.count(F.lit(1)).alias("n_t"))
     inter = (e.select(F.col("g").alias("ta"), "u")
              .join(e.select(F.col("g").alias("tb"), "u"), "u")
@@ -417,21 +425,27 @@ def kmv_set_ops(df: DataFrame, key_col: str, group_col: str,
     est_inter = F.when(
         F.col("n_h") < k, F.col("n_both").cast("double")).otherwise(
         jac * F.col("est_union"))
-    return (stats
-            .join(nboth, ["ta", "tb"], "left")
-            .na.fill({"n_both": 0})
-            .join(F.broadcast(per_type.select(
-                F.col("g").alias("ta"), F.col("n_t").alias("na"))), "ta")
-            .join(F.broadcast(per_type.select(
-                F.col("g").alias("tb"), F.col("n_t").alias("nb"))), "tb")
-            .join(inter, ["ta", "tb"], "left")
-            .na.fill({"n_true_inter": 0})
-            .withColumn("n_true_union",
-                        F.col("na") + F.col("nb") - F.col("n_true_inter"))
-            .withColumn("est_union", est_union)
-            .withColumn("est_inter", est_inter)
-            .select(F.col("ta").alias("type_a"),
-                    F.col("tb").alias("type_b"),
-                    "n_true_union", "n_true_inter",
-                    "est_union", "est_inter")
-            .orderBy("type_a", "type_b"))
+    out = (stats
+           .join(nboth, ["ta", "tb"], "left")
+           .na.fill({"n_both": 0})
+           .join(F.broadcast(per_type.select(
+               F.col("g").alias("ta"), F.col("n_t").alias("na"))), "ta")
+           .join(F.broadcast(per_type.select(
+               F.col("g").alias("tb"), F.col("n_t").alias("nb"))), "tb")
+           .join(inter, ["ta", "tb"], "left")
+           .na.fill({"n_true_inter": 0})
+           .withColumn("n_true_union",
+                       F.col("na") + F.col("nb") - F.col("n_true_inter"))
+           .withColumn("est_union", est_union)
+           .withColumn("est_inter", est_inter)
+           .select(F.col("ta").alias("type_a"),
+                   F.col("tb").alias("type_b"),
+                   "n_true_union", "n_true_inter",
+                   "est_union", "est_inter")
+           .orderBy("type_a", "type_b")
+           # group-pair census: |groups|²/2 rows, bounded by the group
+           # domain — safe to pin on the driver-side block manager
+           .localCheckpoint(eager=True))
+    sk.unpersist()
+    e.unpersist()
+    return out

@@ -4428,37 +4428,51 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = orders_cdc_envelope(spark, sf_dir).drop("__phase")
     key = F.coalesce(F.col("after.o_orderkey"),
                      F.col("before.o_orderkey"))
-    w = Window.partitionBy("_key").orderBy(
-        F.col("ts_ms").desc(), F.col("source.lsn").desc())
-
-    def snap(upper_ts: int | None) -> DataFrame:
-        e = env if upper_ts is None else env.filter(
-            F.col("ts_ms") <= upper_ts)
-        return (e.withColumn("_key", key)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter((F.col("_rn") == 1) & (F.col("op") != "d"))
-                .select(F.col("_key").alias("k"),
-                        F.col("after.o_totalprice").alias("price"),
-                        F.col("after.order_month").alias("month")))
-
-    s1 = snap(1_000_000_500)
-    s2 = snap(None)
-    j = (s1.alias("a").join(s2.alias("b"),
-                            F.col("a.k") == F.col("b.k"), "full_outer"))
-    change = (F.when(F.col("a.k").isNull(), "inserted")
-              .when(F.col("b.k").isNull(), "deleted")
-              .when((F.col("a.price") != F.col("b.price"))
-                    | (F.col("a.month") != F.col("b.month")),
+    # r12 (§2.3 aggregate before you shuffle, §2.4 fewer passes): both
+    # snapshots fold into ONE hash aggregate over the envelope. The old
+    # shape ranked the envelope TWICE (two full window exchanges + sorts,
+    # six scans of orders through the 3-way union envelope) and stitched
+    # the snapshots with a full-outer join — a third key exchange. The
+    # latest-wins winner under (ts_ms DESC, lsn DESC) is exactly
+    # max(struct(ts_ms, lsn, ...)) — struct comparison is lexicographic
+    # and ts_ms is unique within a key by envelope construction (phase
+    # base 1e9/2e9/3e9 + key) — so one partial-aggregating groupBy
+    # carries the T1-bounded winner (a conditional max) and the final
+    # winner in the same pass: 3 exchanges + 2 sorts -> 1 exchange.
+    # A snapshot omits the key when its winner is a delete (the old
+    # rn==1 & op!='d' filter) or, for T1, when no row exists yet; a key
+    # absent from BOTH snapshots produced no full-outer row before, so
+    # the both-absent case maps to change=NULL and is filtered the same.
+    rec = F.struct(F.col("ts_ms"),
+                   F.col("source.lsn").alias("lsn"),
+                   F.col("op"),
+                   F.col("after.o_totalprice").alias("price"),
+                   F.col("after.order_month").alias("month"))
+    agg = (env.withColumn("_key", key)
+           .groupBy("_key")
+           .agg(F.max(F.when(F.col("ts_ms") <= 1_000_000_500, rec))
+                .alias("w1"),
+                F.max(rec).alias("w2")))
+    a_abs = F.col("w1").isNull() | (F.col("w1.op") == "d")
+    b_abs = F.col("w2.op") == "d"
+    price_old = F.when(~a_abs, F.col("w1.price"))
+    month_old = F.when(~a_abs, F.col("w1.month"))
+    price_new = F.when(~b_abs, F.col("w2.price"))
+    month_new = F.when(~b_abs, F.col("w2.month"))
+    change = (F.when(a_abs & b_abs, F.lit(None).cast("string"))
+              .when(a_abs, "inserted")
+              .when(b_abs, "deleted")
+              .when((price_old != price_new)
+                    | (month_old != month_new),
                     "updated"))
-    return (j.withColumn("change", change)
+    return (agg.withColumn("change", change)
             .filter(F.col("change").isNotNull())
-            .select(F.coalesce(F.col("a.k"), F.col("b.k"))
-                    .alias("o_orderkey"),
+            .select(F.col("_key").alias("o_orderkey"),
                     "change",
-                    F.col("a.price").alias("price_old"),
-                    F.col("b.price").alias("price_new"),
-                    F.col("a.month").alias("month_old"),
-                    F.col("b.month").alias("month_new"))
+                    price_old.alias("price_old"),
+                    price_new.alias("price_new"),
+                    month_old.alias("month_old"),
+                    month_new.alias("month_new"))
             .orderBy("o_orderkey"))
 
 

@@ -131,7 +131,19 @@ _EMPTY_PARTITION_WINDOW = __import__("re").compile(
 #: each witness matches the logical node AND its physical rendering —
 #: a cached subplan (persisted ranged frame) renders inside
 #: InMemoryRelation as physical nodes (HashAggregate, GlobalLimit ...)
-_PID_AGG = r"Aggregate \[_pid#|HashAggregate\(keys=\[_pid#"
+#: the ranking-class witness: the P-row per-partition counts aggregate.
+#: Two extra renders of the SAME aggregate are accepted: when the rank
+#: plan sits under a persisted frame, the optimized-logical section
+#: in-lines the cache's PHYSICAL plan, where PullOutNondeterministic
+#: has moved spark_partition_id() into a `_nondeterministic#N` grouping
+#: key and the `_pid` name survives only in the aggregate's output list
+#: (observed after r12's sorted_neighborhood pinned its ranked frame —
+#: the input is still the same bounded P-row fold).
+_PID_AGG = (r"Aggregate \[_pid#|HashAggregate\(keys=\[_pid#"
+            r"|Aggregate \[_nondeterministic#\d+\],"
+            r" \[_nondeterministic#\d+ AS _pid#"
+            r"|HashAggregate\(keys=\[_nondeterministic#\d+\][^\n]*"
+            r"output=\[_pid#")
 _TOPK = r"GlobalLimit|TakeOrderedAndProject"
 _ANY_AGG = (r"Aggregate \[|HashAggregate\(keys=\[|SortAggregate\(key"
             r"|ObjectHashAggregate\(keys=\[")
