@@ -198,10 +198,16 @@ FROM sess GROUP BY user_id, sid
 
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 (07:65-75): latest-by-timestamp dedup per key, with event_id as
-    the deterministic tiebreaker."""
+    the deterministic tiebreaker.
+
+    r12 (§2.3 aggregate before you shuffle): runs on ``latest_by_key``
+    (max_by aggregation) instead of the window rank — the shuffle
+    carries one candidate row per user per map partition instead of
+    every event, and no per-user sort runs. (ts, event_id) is a total
+    order, so the max_by winner is exactly the old rank-1 row; the
+    window idiom itself stays exercised by ``golden_profile``."""
     events = load_table(spark, sf_dir, "events")
-    out = ranked_keep_first(events, ["user_id"],
-                            [F.col("ts").desc(), F.col("event_id").desc()])
+    out = latest_by_key(events, ["user_id"], "ts", "event_id")
     return out.select("event_id", F.unix_micros("ts").alias("ts_us"),
                       "user_id", "event_type", "value")
 
@@ -224,8 +230,10 @@ def q_latest_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = events.withColumn(
         "window_start",
         F.unix_timestamp(F.window("ts", "5 minutes").start))
-    out = ranked_keep_first(bucketed, ["event_type", "window_start"],
-                            [F.col("ts").desc(), F.col("event_id").desc()])
+    # r12 (§2.3): max_by aggregation instead of the window rank — same
+    # rationale and equivalence as q_latest_event_per_user above
+    out = latest_by_key(bucketed, ["event_type", "window_start"],
+                        "ts", "event_id")
     return out.select("event_type", "window_start", "event_id",
                       F.unix_micros("ts").alias("ts_us"), "value")
 
@@ -2208,19 +2216,25 @@ def q_cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     T falls mid-update-phase, so keys ≤ 30000 show their update image
     while larger keys (present from sf0.1 up) still show the snapshot
     image — the reconstruction is genuinely time-dependent, not a
-    disguised cdc_upsert. One shuffle on the key for the rank."""
+    disguised cdc_upsert.
+
+    r12 (§2.3, the cdc_snapshot_diff rewrite): latest-wins under
+    (ts_ms DESC, lsn DESC) is max(struct(ts_ms, lsn, ...)) — ts_ms is
+    unique per key by envelope construction — so one map-side partial
+    aggregate replaces the window rank's full exchange + per-key
+    sort."""
     from .sources.cdc import orders_cdc_envelope
 
     t_us = 2_000_030_000
     env = (orders_cdc_envelope(spark, sf_dir).drop("__phase")
            .filter(F.col("ts_ms") <= t_us))
     key = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
-    w = Window.partitionBy("_key").orderBy(
-        F.col("ts_ms").desc(), F.col("source.lsn").desc())
-    latest = (env.withColumn("_key", key)
-              .withColumn("_rn", F.row_number().over(w))
-              .filter((F.col("_rn") == 1) & (F.col("op") != "d")))
-    return (latest.select("after.*").orderBy("o_orderkey"))
+    rec = F.struct(F.col("ts_ms"), F.col("source.lsn").alias("lsn"),
+                   F.col("op"), F.col("after"))
+    latest = (env.groupBy(key.alias("_key"))
+              .agg(F.max(rec).alias("w"))
+              .filter(F.col("w.op") != "d"))
+    return (latest.select("w.after.*").orderBy("o_orderkey"))
 
 
 _SQL_CDC_SNAPSHOT_AT = """

@@ -19,6 +19,27 @@ def frame(spark):
     return spark.createDataFrame(rows, "id long, v long, w long")
 
 
+def test_default_fanout_follows_session_parallelism(spark, frame):
+    """r12: num_parts=None derives the range fan-out from the session's
+    defaultParallelism (scale-adaptive) instead of a hard-coded local
+    constant; an explicit num_parts is honored verbatim — and the ranks
+    are identical either way (rank exactness is partition-count-
+    invariant)."""
+    from kafka_connect_msk_demo_spark.operators.ranking import (
+        _resolve_parts)
+    assert _resolve_parts(frame, None) == \
+        spark.sparkContext.defaultParallelism
+    assert _resolve_parts(frame, 7) == 7
+    small = frame.limit(500)
+    auto = {r.id: r.rank for r in exact_global_rank(
+        small, [F.col("v"), F.col("id")], "rank")
+        .select("id", "rank").collect()}
+    pinned = {r.id: r.rank for r in exact_global_rank(
+        small, [F.col("v"), F.col("id")], "rank", num_parts=5)
+        .select("id", "rank").collect()}
+    assert auto == pinned
+
+
 def test_exact_rank_matches_single_window(spark, frame):
     got = {r.id: r.rank for r in exact_global_rank(
         frame, [F.col("v"), F.col("id")], "rank", num_parts=16)

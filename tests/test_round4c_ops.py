@@ -119,6 +119,30 @@ def test_weighted_median_reduces_to_plain_median(spark):
     assert row.weighted_median == 30.0
 
 
+def test_weighted_median_ties_match_row_level_definition(spark):
+    """r12: the operator pre-aggregates weights per DISTINCT value
+    before the cumulative window — the result must still match the
+    row-level definition (smallest value whose doubled cumulative
+    weight reaches the total) when the median falls INSIDE a
+    tie-group of equal values. [1, 1, 2] unit weights: the second
+    v=1 row already satisfies 2*cum >= total, so the answer is 1 —
+    a distinct-level scan that only tested whole tie-groups too late
+    would wrongly return 2."""
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0, 1), ("g", 1.0, 1.0, 2), ("g", 2.0, 1.0, 3)],
+        "g string, v double, w double, id int")
+    row = weighted_median(df, ["g"], "v", "w", ["id"]).collect()[0]
+    assert row.weighted_median == 1.0
+    assert row.total_weight == 3
+    # duplicated values with non-unit weights on both sides of the cut
+    df2 = spark.createDataFrame(
+        [("g", 5.0, 1.0, 1), ("g", 5.0, 1.0, 2), ("g", 7.0, 3.0, 3)],
+        "g string, v double, w double, id int")
+    row2 = weighted_median(df2, ["g"], "v", "w", ["id"]).collect()[0]
+    assert row2.weighted_median == 7.0
+    assert row2.total_weight == 5
+
+
 # ---------------------------------------------------------------------------
 # equi-depth bins
 # ---------------------------------------------------------------------------
