@@ -305,7 +305,8 @@ def finalize_timestamps(df: DataFrame, name: str,
     return df.select(*cols)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
     """Read one deterministic parquet table with unambiguous timestamps.
 
     Tables without timestamp columns read self-described; tables with
@@ -316,12 +317,77 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     order and names are preserved, so downstream operators see the
     documented TESTDATA.md shape. Projection/filter pushdown still
     reaches the scan (the conversion is a Project on top).
+
+    ``spread=True`` opts a SCAN-STAGE-COMPUTE-HEAVY consumer into the
+    unsplittable-input fix (optimization guide §2.5): parquet's atomic
+    read unit is the row group, and the deterministic testdata ships
+    every table as ONE row group — so the scan stage (and everything
+    Spark fuses into it: projections, partial aggregation, explodes,
+    Arrow kernel feeds) runs as ONE task no matter how many cores the
+    session has. When — and only when — the layout cannot feed the
+    session's parallelism, the frame is hash-repartitioned on the
+    table's unique key to ``defaultParallelism`` partitions. On a
+    production layout (row groups >> cores) the condition is false and
+    this is a literal no-op, so no extra corpus-scale exchange ever
+    ships at 100 TB; the key-hash repartition avoids round-robin's
+    sort-before-repartition pass and is deterministic under task retry
+    (guide §2.5's SPARK-38388 note).
     """
     path = f"{sf_dir}/{name}.parquet"
     if name not in _TS_COLUMNS:
-        return spark.read.parquet(path)
-    df = spark.read.schema(raw_schema(name)).parquet(path)
-    return finalize_timestamps(df, name, dict(_storage_units(path, name)))
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.schema(raw_schema(name)).parquet(path)
+        df = finalize_timestamps(df, name, dict(_storage_units(path, name)))
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if _scan_splits(path, par) < par:
+            keys = _SPREAD_KEYS.get(name)
+            if keys:
+                df = df.repartition(par, *[F.col(k) for k in keys])
+            else:
+                df = df.repartition(par)
+    return df
+
+
+#: unique row keys per table — high-cardinality hash-repartition keys
+#: for the ``spread`` path (unique => even spread, guide §2.5)
+_SPREAD_KEYS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+}
+
+
+@lru_cache(maxsize=None)
+def _scan_splits(path: str, cap: int) -> int:
+    """How many parallel read tasks this parquet layout can actually
+    feed — the row-group count summed across files, short-circuited at
+    ``cap`` (a layout that can already feed every core needs no
+    inspection beyond that). Footer metadata only; milliseconds."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                 if f.endswith(".parquet")]
+    else:
+        files = [path]
+    if len(files) >= cap:
+        return cap
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:  # unreadable footer: assume splittable
+            return cap
+        if total >= cap:
+            return cap
+    return total
 
 
 #: how many file chunks a staged stream table is split into; with

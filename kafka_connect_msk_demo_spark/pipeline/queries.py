@@ -765,7 +765,8 @@ ORDER BY doc_id
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: docs spread (guide §2.5 single-task scan fix)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text_analysis.lang_id(docs)
 
 
@@ -1068,8 +1069,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 distinctive terms per document. Uses the rational-idf
     scoring so the DOUBLE scores are bit-identical cross-engine
     (multiply/divide are correctly rounded everywhere; ln is not —
-    see tfidf_top_terms)."""
-    docs = load_table(spark, sf_dir, "documents")
+    see tfidf_top_terms).
+
+    r13: docs spread (guide §2.5) — tokenize + explode otherwise run
+    single-task on the one-row-group testdata (no-op at scale)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text_analysis.tfidf_top_terms(docs, k=5)
 
 
@@ -1100,8 +1104,11 @@ ORDER BY doc_id, rank
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (dup/top n-gram occurrence
     fractions + distinct-token ratio). int/int → double divisions only,
-    so every value replays bit-for-bit in the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    so every value replays bit-for-bit in the oracle.
+
+    r13: docs spread (guide §2.5) — the per-doc Arrow kernel otherwise
+    runs as ONE Python worker."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text_analysis.repetition_stats(docs, ns=(2, 3))
 
 
@@ -1147,7 +1154,10 @@ ORDER BY doc_id
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style repeated-passage removal: 5-token chunks occurring in
     ≥2 distinct documents are deleted everywhere and each doc is
-    re-assembled from its surviving chunks (see pipeline/clean.py)."""
+    re-assembled from its surviving chunks (see pipeline/clean.py).
+
+    r13: spread examined and REJECTED (A/B 1.09 vs 1.16 s — the
+    chunk exchange already spreads the heavy phase)."""
     docs = load_table(spark, sf_dir, "documents")
     return clean.chunk_dedup(docs, chunk_tokens=5, min_docs=2)
 
@@ -1186,8 +1196,11 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLANTS deterministic doc_id-derived PII — an email, a hyphenated
     phone and a dotted-quad IP per document — then proves the scrubber
     finds and redacts all of it. The oracle plants the identical
-    strings, so detection counts and redacted text are exact-matched."""
-    docs = load_table(spark, sf_dir, "documents")
+    strings, so detection counts and redacted text are exact-matched.
+
+    r13: docs spread (guide §2.5) — the plant + regex scrub chain is
+    per-row compute in the scan stage."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     planted = docs.select(
         "doc_id",
         F.concat(F.lower(F.trim(F.col("text"))),
@@ -1796,11 +1809,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents mentioning 'vector'), the realistic DSIR setup where
     the target is a curated in-domain corpus; the synthetic corpus's
     lang column is content-independent, so a metadata target would
-    have nothing to learn."""
+    have nothing to learn.
+
+    r13: docs spread (guide §2.5 single-task scan fix)."""
     from .selection import dsir_topk
     from .textprep import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dsir_topk(docs, F.array_contains(tokens("text"), "vector"),
                      k=25)
 
@@ -3254,8 +3269,10 @@ def q_repeated_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup restricted to 8-token granularity): every 8-token gram
     occurring >=2 times corpus-wide marks its positions everywhere;
     marked intervals merge into maximal spans per document, which are
-    reported and excised (see pipeline/clean.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    reported and excised (see pipeline/clean.py).
+
+    r13: docs spread (guide §2.5 single-task scan fix)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return clean.repeated_span_mask(docs, k=8, min_count=2)
 
 
@@ -3320,7 +3337,10 @@ ORDER BY doc_id
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail LM bucketing (Wenzek et al. 2020)
     via the exact integer unigram score — mean corpus frequency of the
-    document's tokens in floor-ppm (see pipeline/text_analysis.py)."""
+    document's tokens in floor-ppm (see pipeline/text_analysis.py).
+
+    r13: spread examined and REJECTED (A/B 1.43 vs 1.55 s — the
+    token-count exchange already spreads the heavy phase)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.unigram_lm_score(docs)
 
@@ -3496,10 +3516,14 @@ ORDER BY doc_id
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style column census over customer/orders/part: null
     count, exact distinct count, min/max per column under
-    engine-stable string rendering — operators/profiling.py."""
+    engine-stable string rendering — operators/profiling.py.
+
+    r13: tables spread (guide §2.5) — the per-column melt + census
+    aggregates are scan-stage compute."""
     from ..operators.profiling import PROFILE_COLUMNS, profile_tables
 
-    tables = {t: load_table(spark, sf_dir, t) for t in PROFILE_COLUMNS}
+    tables = {t: load_table(spark, sf_dir, t, spread=True)
+              for t in PROFILE_COLUMNS}
     return profile_tables(tables)
 
 
@@ -3511,8 +3535,10 @@ def _sql_table_profile() -> str:
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer bigram LM fluency score: mean floor-ppm
     conditional bigram frequency per document (see
-    pipeline/text_analysis.py bigram_lm_score)."""
-    docs = load_table(spark, sf_dir, "documents")
+    pipeline/text_analysis.py bigram_lm_score).
+
+    r13: docs spread (guide §2.5 single-task scan fix)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text_analysis.bigram_lm_score(docs)
 
 

@@ -514,8 +514,11 @@ def q_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (quantile_cont interpolation) — the
-    summary-statistics extension beyond df.summary() (A4)."""
-    orders = load_table(spark, sf_dir, "orders")
+    summary-statistics extension beyond df.summary() (A4).
+
+    r13: spread (guide §2.5) — the rank windows' exchange is written
+    from a single-task scan otherwise."""
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     return group_quantiles(orders, ["o_orderstatus"], "o_totalprice")
 
 
@@ -597,7 +600,11 @@ OFFSET 250 LIMIT 600
 
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 (13 ipynb cells 7/14): deterministic df.summary() equivalent —
-    count/mean/stddev/min/max per return flag."""
+    count/mean/stddev/min/max per return flag.
+
+    r13: spread examined and REJECTED — the five cents moments are
+    light enough that the §2.5 repartition costs more than the
+    parallelism buys (A/B: 1.03 s base vs 2.57 s spread)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return summary_stats(lineitem, ["l_returnflag"], "l_extendedprice")
 
@@ -646,10 +653,13 @@ FROM orders
 def q_serde_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-E4 (01:75-76 → 02:80-83): whole-row JSON encode into a binary
     Kafka-style value, then decode against the explicit schema — the
-    identity the serde layer must preserve."""
+    identity the serde layer must preserve.
+
+    r13: orders spread (guide §2.5) — the JSON encode + decode chain
+    is per-row scan-stage compute."""
     from .serde import decode_json, encode_json
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     enveloped = encode_json(orders, key_col="o_orderkey") \
         .select(F.col("key"), F.col("value").cast("binary").alias("value"))
     decoded = decode_json(enveloped, orders.schema)
@@ -842,13 +852,16 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read through the distributed binaryFile+OCF source, decoded —
     the identity the Avro plane must preserve. Runs on the pure-Python
     codec in this container; the null-codec OCFs it writes are readable
-    by any Avro implementation (spark-avro included)."""
+    by any Avro implementation (spark-avro included).
+
+    r13: orders spread (guide §2.5) — the Avro encode kernel otherwise
+    runs as ONE Python worker on the single-row-group testdata."""
     import tempfile
 
     from .catalog import struct_to_avro_json
     from .sources.files import read_avro, write_avro
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     avro_json = struct_to_avro_json("orders", orders.schema)
     avro_dir = tempfile.mkdtemp(prefix="avro_rt_")
     write_avro(orders, avro_dir, avro_json)
@@ -877,12 +890,15 @@ def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     container's Avro codec itself. Rows whose id does not match the
     catalog entry would route to the dead letter path; here all ids
     match and the identity must hold, which the avro_roundtrip
-    oracle checks."""
+    oracle checks.
+
+    r13: orders spread (guide §2.5) — frame/unframe + the Avro codec
+    are per-row scan-stage compute."""
     from .catalog import struct_to_avro_json
     from .serde import (frame_registry, from_avro_column,
                         to_avro_column, unframe_registry)
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     avro_json = struct_to_avro_json("orders", orders.schema)
     framed = orders.select(
         frame_registry(to_avro_column(orders, avro_json), 7)
@@ -1121,8 +1137,13 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-country order statistics: mean/min/max after
     dropping the top and bottom 5% of orders by exact rank
     (operators/aggregates.py trimmed_stats) — the outlier-resistant
-    twin of ``sales_by_country``."""
+    twin of ``sales_by_country``.
+
+    r13: orders spread (guide §2.5 single-row-group testdata; no-op at
+    scale) — the join + rank-window exchange write otherwise runs
+    single-task."""
     t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    t["orders"] = load_table(spark, sf_dir, "orders", spread=True)
     joined = (t["orders"]
               .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
               .join(F.broadcast(t["nation"]),
@@ -1387,8 +1408,12 @@ FROM runs GROUP BY user_id ORDER BY user_id
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority weighted median line price, weight = quantity
     (operators/aggregates.py weighted_median) — integer cumulative
-    weights, no interpolation, deterministic lower-median."""
+    weights, no interpolation, deterministic lower-median.
+
+    r13: lineitem spread — the distinct-(group, value) pre-aggregation
+    runs map-side in the scan stage (guide §2.5)."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    t["lineitem"] = load_table(spark, sf_dir, "lineitem", spread=True)
     j = t["lineitem"].join(
         t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
     from .operators.aggregates import weighted_median
@@ -2553,10 +2578,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer domain: cents/basis-point quantization, per-row integer
     products for disc_price and charge (≤ 10^11, long-safe), decimal
     accumulators, one correctly-rounded division per output — so the
-    full report hash-matches the oracle."""
+    full report hash-matches the oracle.
+
+    r13: the report aggregate reads the spread frame (guide §2.5 —
+    the integer products + decimal sums otherwise run single-task on
+    the one-row-group testdata); the max-shipdate bounds probe keeps
+    the bare scan (one column, no spread-shuffle worth paying)."""
     li = load_table(spark, sf_dir, "lineitem")
     day = F.expr("unix_micros(l_shipdate) div 86400000000")
     bounds = li.agg(F.max(day).alias("max_day"))
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     qty_c = F.round(F.col("l_quantity") * 100).cast("long")
     ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_b = F.round(F.col("l_discount") * 100).cast("long")
@@ -3136,9 +3167,12 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-country winsorized order-value mean at 10% (operators/
     aggregates.py winsorized_stats): the clamping robust statistic —
     trimmed_mean's sibling — assembled in one window pass + one
-    hash-agg with exact-rank boundaries and decimal arithmetic."""
+    hash-agg with exact-rank boundaries and decimal arithmetic.
+
+    r13: orders spread — same rationale as q_trimmed_mean."""
     from .operators.aggregates import winsorized_stats
     t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    t["orders"] = load_table(spark, sf_dir, "orders", spread=True)
     joined = (t["orders"]
               .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
               .join(F.broadcast(t["nation"]),
@@ -4757,8 +4791,14 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers into three correctly-rounded double conversions,
     one sqrt each (sqrt IS exactly rounded in IEEE754), so every
     coefficient hash-matches the oracle bit-for-bit. Single scan,
-    no shuffle beyond the 3-group partial/final agg."""
-    li = load_table(spark, sf_dir, "lineitem")
+    no shuffle beyond the 3-group partial/final agg.
+
+    r13: ``spread=True`` — the 15 decimal-buffer moment sums are the
+    heaviest scan-stage compute in the registry, and the single-row-
+    group testdata layout ran them on ONE task (guide §2.5
+    unsplittable input; no-op on a production layout). Measured
+    2.27 -> 1.32 s isolated."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     d38 = "decimal(38,0)"
     meas = {
         "q": F.round(F.col("l_quantity")).cast("long"),
