@@ -141,7 +141,8 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sites, cross-source syndication) before choosing a dedup policy.
     Two broadcast-sized joins attach sources to the pair endpoints;
     least/greatest normalizes the pair so (a,b) and (b,a) pool."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5) — tokenize+shingle+explode are scan-stage
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
     src = docs.select("doc_id", "source")
     lab = (pairs
@@ -192,12 +193,14 @@ FROM lab GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5) — tokenize+shingle+explode are scan-stage
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.jaccard_pairs(docs, threshold=0.8, k=3)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5) — the 128-fold signature kernel feed
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
 
 
@@ -570,7 +573,8 @@ def _cleaned_docs(spark: SparkSession, sf_dir: str,
     expensive to recompute). Callers materialize their (small) result
     and unpersist via ``cache_registry`` — the rfm_segments
     discipline — so repeated invocations leak nothing."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5) — quality chain + md5/shingle kernels start in the scan stage
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     q = text_analysis.quality_score(docs).select("doc_id", "quality")
     kept1 = docs.join(q.filter(F.col("quality") >= 0.45).select("doc_id"),
                       "doc_id", "left_semi").persist()
@@ -841,7 +845,8 @@ FROM m GROUP BY lang ORDER BY lang
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5 single-task scan fix)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return text_analysis.fingerprint(docs)
 
 
@@ -1282,7 +1287,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (the retention decision a dedup pipeline actually ships).
     The oracle recomputes the same components with a recursive CTE —
     an independent fixpoint formulation of the same closure."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5) — shingle explode + df partials in scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
     return dedup.dedup_clusters(docs, pairs)
 
@@ -1341,7 +1347,8 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     closures — coincide and the same recursive-CTE oracle applies. At
     scale they diverge only by the LSH miss probability
     ((1-J^r)^b ≈ 4% at J = 0.8, ≈ 10⁻¹³ at true-near-dup J ≈ 0.98)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5 single-task scan fix)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
     return dedup.dedup_clusters(docs, pairs)
 
@@ -2466,7 +2473,8 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact near-pair at J >= 0.5. The 128-component signature is
     multiply-shift mod 2^64 off sha256 seeds; the twin replays it with
     HUGEINT split-multiplication, so the match counts are exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5) — signature kernel + shingle explode
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_jaccard_estimates(docs, threshold=0.5)
 
 
@@ -3036,7 +3044,8 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts alongside — the distinct-join-free overlap audit."""
     from .sketches import kmv_set_ops
 
-    events = load_table(spark, sf_dir, "events")
+    # r13: spread (guide §2.5) — sketch hash partials are scan-stage
+    events = load_table(spark, sf_dir, "events", spread=True)
     return kmv_set_ops(events, "user_id", "event_type", k=64,
                        salt="kmv")
 
@@ -3575,7 +3584,8 @@ def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     run of benchmark-matching 5-grams per corpus document (doc_id % 23
     == 0 is the stand-in eval set, as in benchmark_contamination) —
     pipeline/clean.py contamination_spans."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5 single-task scan fix)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     corpus = docs.filter(F.col("doc_id") % 23 != 0)
     return clean.contamination_spans(corpus, bench, n=5)
@@ -3693,7 +3703,8 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-minimum 3-gram hashes under w=4 windows — position-aware
     passage-level dedup, 2/(w+1) index density (see
     pipeline/dedup.py winnowing_fingerprints)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5 single-task scan fix)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.winnowing_pairs(docs, k=3, w=4, min_shared=3)
 
 
@@ -3730,7 +3741,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.8 pairs -> connected components) keep the LONGEST member
     (n_chars desc, doc_id tiebreak), not the minimum id — see
     pipeline/dedup.py dedup_keep_policy."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5 single-task scan fix)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
     return dedup.dedup_keep_policy(docs, pairs, order_col="n_chars")
 
@@ -3781,7 +3793,8 @@ def q_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup sees pairs. Exact floor-ppm integers throughout. Shape: one
     gram explode, one (source, gram) distinct-doc aggregate, one
     co-partitioned semi join back, one source rollup."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5) — the gram explode is scan-stage
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     kg = (docs.select("source", F.col("doc_id"),
                       tokens("text").alias("t"))
           .select("source", "doc_id",
@@ -3888,7 +3901,8 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest contiguous eval-overlap run is >= 8 tokens (the
     contamination_spans criterion) and report kept/dropped counts per
     source — the go/no-go summary before a training run."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread (guide §2.5 single-task scan fix)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     corpus = docs.filter(F.col("doc_id") % 23 != 0)
     spans = clean.contamination_spans(corpus, bench, n=5)

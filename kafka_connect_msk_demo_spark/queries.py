@@ -2251,7 +2251,8 @@ def q_cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.cdc import orders_cdc_envelope
 
     t_us = 2_000_030_000
-    env = (orders_cdc_envelope(spark, sf_dir).drop("__phase")
+    # r13: spread (guide §2.5) — envelope build is scan-stage compute
+    env = (orders_cdc_envelope(spark, sf_dir, spread=True).drop("__phase")
            .filter(F.col("ts_ms") <= t_us))
     key = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
     rec = F.struct(F.col("ts_ms"), F.col("source.lsn").alias("lsn"),
@@ -3734,7 +3735,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue sold to EUROPE-region customers, the share supplied by
     NATION_3, per order-date 365-day bucket. Numerator and
     denominator accumulate in the same integer domain; the share is
-    one double division — bit-identical to the oracle."""
+    one double division — bit-identical to the oracle.
+
+    r13: lineitem spread examined and REJECTED (A/B tails 1.3-1.7
+    base vs 1.4-1.9 s — the probe chain is too cheap to amortize the
+    §2.5 exchange)."""
     t = load_tables(spark, sf_dir,
                     ("orders", "customer", "lineitem", "supplier",
                      "nation", "region", "part"))
@@ -3818,7 +3823,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     table exists, so p_retailprice stands in for the unit supply
     cost. Both profit terms land in the same 10^-4-dollar integer
     unit (ep_c·(100−disc_b) and retail_c·qty_c), so the subtraction
-    stays exact."""
+    stays exact.
+
+    r13: lineitem spread examined and REJECTED (A/B tails 0.9-1.4
+    base vs 1.4-2.1 s — same reason as tpch_q8)."""
     t = load_tables(spark, sf_dir,
                     ("orders", "lineitem", "supplier", "nation", "part"))
     parts = F.broadcast(t["part"]
@@ -4473,7 +4481,8 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction of the deterministic envelope (sources/cdc.py)."""
     from .sources.cdc import orders_cdc_envelope
 
-    env = orders_cdc_envelope(spark, sf_dir).drop("__phase")
+    # r13: spread (guide §2.5) — envelope build is scan-stage compute
+    env = orders_cdc_envelope(spark, sf_dir, spread=True).drop("__phase")
     key = F.coalesce(F.col("after.o_orderkey"),
                      F.col("before.o_orderkey"))
     # r12 (§2.3 aggregate before you shuffle, §2.4 fewer passes): both
@@ -6062,6 +6071,8 @@ def q_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's own shuffle keys — the top_share vs 1/n_distinct gap
     is the broadcast/salt/AQE-skew-join decision input."""
     from .operators.audit import key_skew_census
+    # r13: spread examined and REJECTED (A/B 1.4-2.0 base vs 2.4-2.9 s:
+    # the partial count agg already map-reduces in the scan stage)
     return key_skew_census([(t, load_table(spark, sf_dir, t), k)
                             for t, k in _SKEW_TARGETS])
 
@@ -6087,6 +6098,8 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/audit.py join_cardinality) — the statistics join a
     planner runs instead of the data join it sizes."""
     from .operators.audit import join_cardinality
+    # r13: spread examined and REJECTED (A/B 1.2-1.9 base vs 2.4-3.3 s:
+    # same reason as q_skew_census)
     return join_cardinality(
         [(n, load_table(spark, sf_dir, lt), lk,
           load_table(spark, sf_dir, rt), rk)

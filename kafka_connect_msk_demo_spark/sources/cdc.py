@@ -49,14 +49,22 @@ def _envelope(record, before, op, ts_ms, lsn):
     )
 
 
-def orders_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_cdc_envelope(spark: SparkSession, sf_dir: str,
+                        spread: bool = False) -> DataFrame:
     """Deterministic Debezium-envelope stream derived from ``orders``.
     Returns envelope rows (unioned snapshot/update/delete phases) with
-    a ``__phase`` column so callers can split into micro-batch files."""
+    a ``__phase`` column so callers can split into micro-batch files.
+
+    ``spread=True`` (r13, guide §2.5): the per-row envelope build
+    (tz-pinned month formatting, struct assembly, three legs) runs in
+    the scan stage, which the single-row-group testdata pins to one
+    task; batch snapshot readers opt in (no-op on production
+    layouts). Stream staging keeps the default — its file layout is
+    part of the replay contract."""
     # order_month: UTC-pinned month label (session-tz-independent) —
     # the date-like partition key a production CDC table would use
     utc_date = F.expr("convert_timezone('UTC', o_orderdate)")
-    orders = (load_table(spark, sf_dir, "orders")
+    orders = (load_table(spark, sf_dir, "orders", spread=spread)
               .withColumn("order_month",
                           F.date_format(utc_date, "yyyy-MM"))
               .withColumn("order_month_next",
