@@ -98,6 +98,17 @@ def as_double(col: str | Column) -> Column:
 _QUANT_SCALE = 1 << 20
 
 
+def _adaptive_width(spark, n: int, rows_per_task: int = 256) -> int:
+    """Kernel-feed partition width derived from the input size (guide
+    §2 intro: scale-adaptive, never a constant): one task per
+    ``rows_per_task`` rows, capped at the session's parallelism. At
+    production corpus sizes this equals ``defaultParallelism``; on
+    small inputs it stops paying a Python-worker round trip per
+    near-empty partition."""
+    par = spark.sparkContext.defaultParallelism
+    return max(1, min(par, -(-int(n) // rows_per_task)))
+
+
 def _np_stack(cells) -> np.ndarray:
     """(n, dim) float64 from an Arrow array column (cells are numpy
     arrays or lists)."""
@@ -863,9 +874,19 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 5,
     import pandas as pd
 
     spark = vectors.sparkSession
+    # r13 (guide §2 intro — derive partitioning from input size, not a
+    # constant): each training partition costs a Python-worker round
+    # trip per iteration, so tiny corpora on wide sessions paid 32
+    # near-empty workers per pass (interleaved A/B at sf0.1: 0.45 ->
+    # 0.30 s per partials job at width 8). Width = one task per ~256
+    # rows, capped at the session parallelism — at production N this
+    # IS defaultParallelism, so the cluster plan is unchanged. The
+    # int64-quantized partials make the result bit-identical under any
+    # width (docstring above); the count is a metadata-only scan job.
+    width = _adaptive_width(spark, vectors.count())
     data = (vectors.select(F.col(id_col).alias("vec_id"),
                            as_double(vec_col).alias("v"))
-            .repartition(spark.sparkContext.defaultParallelism))
+            .repartition(width))
     data = data.persist()
     try:
         cents = [(r["c_id"], list(r["c_vec"])) for r in
