@@ -141,8 +141,11 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sites, cross-source syndication) before choosing a dedup policy.
     Two broadcast-sized joins attach sources to the pair endpoints;
     least/greatest normalizes the pair so (a,b) and (b,a) pool."""
-    # r13: spread (guide §2.5) — tokenize+shingle+explode are scan-stage
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
     src = docs.select("doc_id", "source")
     lab = (pairs
@@ -193,14 +196,20 @@ FROM lab GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13: spread (guide §2.5) — tokenize+shingle+explode are scan-stage
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(docs, threshold=0.8, k=3)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13: spread (guide §2.5) — the 128-fold signature kernel feed
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
 
 
@@ -845,8 +854,11 @@ FROM m GROUP BY lang ORDER BY lang
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13: spread (guide §2.5 single-task scan fix)
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     return text_analysis.fingerprint(docs)
 
 
@@ -1287,8 +1299,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (the retention decision a dedup pipeline actually ships).
     The oracle recomputes the same components with a recursive CTE —
     an independent fixpoint formulation of the same closure."""
-    # r13: spread (guide §2.5) — shingle explode + df partials in scan
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
     return dedup.dedup_clusters(docs, pairs)
 
@@ -1347,8 +1362,11 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     closures — coincide and the same recursive-CTE oracle applies. At
     scale they diverge only by the LSH miss probability
     ((1-J^r)^b ≈ 4% at J = 0.8, ≈ 10⁻¹³ at true-near-dup J ≈ 0.98)."""
-    # r13: spread (guide §2.5 single-task scan fix)
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, k=3)
     return dedup.dedup_clusters(docs, pairs)
 
@@ -2473,8 +2491,11 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact near-pair at J >= 0.5. The 128-component signature is
     multiply-shift mod 2^64 off sha256 seeds; the twin replays it with
     HUGEINT split-multiplication, so the match counts are exact."""
-    # r13: spread (guide §2.5) — signature kernel + shingle explode
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_jaccard_estimates(docs, threshold=0.5)
 
 
@@ -3741,8 +3762,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.8 pairs -> connected components) keep the LONGEST member
     (n_chars desc, doc_id tiebreak), not the minimum id — see
     pipeline/dedup.py dedup_keep_policy."""
-    # r13: spread (guide §2.5 single-task scan fix)
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r13: spread examined and REVERTED — isolated A/B (taken in a
+    # degraded host window) said win, but the round-over-round idle
+    # sweep regressed it; the family's gram/bucket exchange already
+    # spreads the heavy phase
+    docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, threshold=0.8, k=3)
     return dedup.dedup_keep_policy(docs, pairs, order_col="n_chars")
 

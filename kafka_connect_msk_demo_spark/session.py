@@ -48,6 +48,17 @@ def get_spark(app_name: str = "kafka_connect_msk_demo_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 (guide §3.1): let AQE rewrite sort-merge joins to
+        # shuffled-hash at runtime when every post-shuffle build
+        # partition is small — skips both sort passes. Size-guarded
+        # per partition (the OOM risk §3.1 warns about), runtime-only
+        # (planning and non-shuffle joins — e.g. the bucketed
+        # zero-Exchange plans — are untouched). Default 128 MB per
+        # build partition; a deployment tunes it to executor memory /
+        # cores via SPARK_GRAFT_SHJ_THRESHOLD (0 restores Spark's
+        # sort-merge-only default).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "134217728"))
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
